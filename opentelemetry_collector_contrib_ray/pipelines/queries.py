@@ -1,0 +1,275 @@
+"""Driver-facing query catalogue: Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry re-expresses one reference component (SURVEY.md §2) over either the
+deterministic transcript table (flagship input, BASELINE.json input_hint) or
+the driver's testdata tables. The oracle SQL strings are the independent
+semantic spec: same column NAMES, same values, order-insensitive.
+
+Transcript queries read our deterministic cached Parquet via
+``read_parquet('<path>/*.parquet')`` directly in SQL (the transcripts are not
+among the driver's pre-registered views); ``oracle_sql()`` ensures the sf0.01
+cache exists before returning.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..expr import col
+from ..sources.transcripts import ensure_transcripts
+from ..stages.aggregate import count_by, dedup_counts, sum_by
+from .flagship import build_parsed
+
+PARSED_COLS = [
+    "conv_id", "turn_idx", "template", "severity_number", "severity_text",
+    "http_status", "http_method", "http_path", "log_level", "error_code",
+    "latency_ms", "msg", "syslog_pri", "syslog_host", "syslog_app", "rc",
+    "tool_attr",
+]
+
+# The oracle re-derives the parse in SQL. DuckDB's regexp_extract uses RE2 —
+# the same engine family as pyarrow's extract_regex — so the patterns are
+# shared verbatim (parse.py APACHE_RE etc. minus the named groups).
+_AP = (r'^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}) - (\S+) '
+       r'\[([^\]]+)\] "([A-Z]+) (\S+) HTTP/1\.1" '
+       r'(\d{3}) (\d+)$')
+_KV = (r'^level=(\w+) code=(\S+) latency_ms=(\d+) '
+       r'msg="([^"]*)" tool=(\w*)$')
+_JS = (r'^\{"severity":"([A-Z]+)","error":\{"code":"([^"]+)",'
+       r'"retryable":(true|false)\},"dur":"([0-9.]+)s"')
+_SY = (r'^<(\d{1,3})>1 (\S+) (\S+) (\S+) '
+       r'(\d+) (\S+) - tool=(\w+) rc=(\d+)$')
+
+# severity alias mapping (model.default_severity_mapping) as SQL CASE pieces;
+# generated once here so Ray and SQL share one source of truth.
+
+
+def _sql_severity_map_case(token_expr: str) -> str:
+    from ..model import default_severity_mapping
+    whens = "\n      ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in default_severity_mapping().items())
+    return f"(CASE lower({token_expr}) {whens} ELSE NULL END)"
+
+
+def _sql_severity_name(num_expr: str) -> str:
+    from ..model import SEVERITY_NAMES
+    whens = "\n      ".join(
+        f"WHEN {n} THEN '{t}'" for n, t in SEVERITY_NAMES.items())
+    return f"(CASE {num_expr} {whens} ELSE NULL END)"
+
+
+def _transcripts_glob(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return ensure_transcripts(sf_dir) + "/*.parquet"
+
+
+def parsed_view_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """A SQL CTE body reproducing parse_transcript_batch + severity_bucket +
+    enrichment + routing over the transcript parquet. The single source of
+    oracle truth for all flagship queries."""
+    glob = _transcripts_glob(sf_dir)
+    sevmap_kv = _sql_severity_map_case("m_kv[1]")
+    sevmap_js = _sql_severity_map_case("m_js[1]")
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         regexp_extract_all(text, '{_AP}') AS g_ap,
+         regexp_extract_all(text, '{_KV}') AS g_kv,
+         regexp_extract_all(text, '{_JS}') AS g_js,
+         regexp_extract_all(text, '{_SY}') AS g_sy,
+         regexp_matches(text, '^Traceback ') AS tb_head,
+         regexp_matches(text, '^\\s') AS tb_cont
+  FROM read_parquet('{glob}')
+), m AS (
+  SELECT *,
+    CASE WHEN len(g_ap)>0 THEN regexp_extract(text, '{_AP}',
+      ['ip','m_user','ats','method','path','status','bytes']) END AS m_ap_s,
+    CASE WHEN len(g_kv)>0 THEN regexp_extract(text, '{_KV}',
+      ['level','code','latency','msg','tool']) END AS m_kv_s,
+    CASE WHEN len(g_js)>0 THEN regexp_extract(text, '{_JS}',
+      ['sev','code','retryable','dur']) END AS m_js_s,
+    CASE WHEN len(g_sy)>0 THEN regexp_extract(text, '{_SY}',
+      ['pri','sts','host','app','pid','msgid','tool','rc']) END AS m_sy_s
+  FROM raw
+), f AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, tb_head, tb_cont,
+    len(g_ap)>0 AS ap_ok, len(g_kv)>0 AS kv_ok,
+    len(g_js)>0 AS js_ok, len(g_sy)>0 AS sy_ok,
+    m_ap_s.method AS ap_method, m_ap_s.path AS ap_path,
+    CAST(m_ap_s.status AS INTEGER) AS ap_status,
+    [m_kv_s.level, m_kv_s.code, m_kv_s.latency, m_kv_s.msg, m_kv_s.tool] AS m_kv,
+    [m_js_s.sev, m_js_s.code, m_js_s.retryable, m_js_s.dur] AS m_js,
+    [m_sy_s.pri, m_sy_s.sts, m_sy_s.host, m_sy_s.app, m_sy_s.pid,
+     m_sy_s.msgid, m_sy_s.tool, m_sy_s.rc] AS m_sy
+  FROM m
+), sev AS (
+  SELECT *,
+    CASE WHEN ap_ok THEN
+      CASE ap_status // 100 WHEN 2 THEN 9 WHEN 3 THEN 10
+           WHEN 4 THEN 13 WHEN 5 THEN 17 ELSE NULL END
+    END AS sev_ap,
+    CASE WHEN kv_ok THEN {sevmap_kv} END AS sev_kv,
+    CASE WHEN js_ok THEN {sevmap_js} END AS sev_js,
+    CASE WHEN sy_ok THEN
+      list_value(21,19,18,17,13,10,9,5)[(CAST(m_sy[1] AS INTEGER) % 8) + 1]
+    END AS sev_sy,
+    CASE WHEN tb_head THEN 17 END AS sev_tb
+  FROM f
+), parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+    CASE WHEN ap_ok THEN 'apache' WHEN kv_ok THEN 'kv' WHEN js_ok THEN 'json'
+         WHEN sy_ok THEN 'syslog' WHEN tb_head THEN 'traceback'
+         WHEN tb_cont THEN 'traceback_cont' ELSE 'plain' END AS template,
+    COALESCE(sev_ap, sev_kv, sev_js, sev_sy, sev_tb, 0) AS severity_number,
+    ap_status AS http_status, ap_method AS http_method, ap_path AS http_path,
+    m_kv[1] AS log_level, COALESCE(m_kv[2], m_js[2]) AS error_code,
+    CAST(m_kv[3] AS BIGINT) AS latency_ms, m_kv[4] AS msg,
+    CAST(m_sy[1] AS INTEGER) AS syslog_pri, m_sy[3] AS syslog_host,
+    m_sy[4] AS syslog_app, CAST(m_sy[8] AS INTEGER) AS rc,
+    COALESCE(m_kv[5], m_sy[7]) AS tool_attr,
+    sev_ap, sev_kv, sev_js, sev_sy, sev_tb, sy_ok, tb_head
+  FROM sev
+), enriched AS (
+  SELECT *,
+    COALESCE(CASE WHEN sev_ap IS NOT NULL THEN {_sql_severity_name("sev_ap")}
+                  END,
+             CASE WHEN sev_kv IS NOT NULL THEN {_sql_severity_name("sev_kv")}
+                  END,
+             CASE WHEN sev_js IS NOT NULL THEN {_sql_severity_name("sev_js")}
+                  END,
+             CASE WHEN sy_ok THEN
+               list_value('emerg','alert','crit','err','warning','notice',
+                          'info','debug')[(syslog_pri % 8) + 1] END,
+             CASE WHEN tb_head THEN 'error' END,
+             '') AS severity_text,
+    CASE WHEN severity_number >= 21 THEN 'fatal'
+         WHEN severity_number >= 17 THEN 'error'
+         WHEN severity_number >= 13 THEN 'warn'
+         WHEN severity_number >= 9 THEN 'info'
+         WHEN severity_number >= 5 THEN 'debug'
+         WHEN severity_number >= 1 THEN 'trace'
+         ELSE 'default' END AS severity_bucket,
+    CASE role WHEN 'user' THEN 'client' WHEN 'assistant' THEN 'agent'
+         WHEN 'system' THEN 'orchestrator' WHEN 'tool' THEN 'runtime'
+         ELSE 'unknown' END AS service,
+    CASE tool WHEN 'bash' THEN 'compute' WHEN 'search' THEN 'retrieval'
+         WHEN 'browser' THEN 'web' WHEN 'editor' THEN 'workspace'
+         WHEN '' THEN 'none' ELSE 'none' END AS resource
+  FROM parsed
+), routed AS (
+  SELECT *,
+    CASE WHEN severity_number >= 17 THEN 'errors'
+         WHEN tool = 'bash' AND role = 'assistant' THEN 'tool-calls'
+         WHEN role = 'user' THEN 'user-turns'
+         ELSE 'default' END AS sink
+  FROM enriched
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ray-side query callables
+# ---------------------------------------------------------------------------
+
+def q_parse(sf_dir: str):
+    """Stanza parser chain output (regex/kv/json/syslog/severity parsers)."""
+    ds = build_parsed(sf_dir)
+    return ds.select_columns(PARSED_COLS)
+
+
+def q_route(sf_dir: str):
+    """routingconnector: first-match sink assignment per turn."""
+    ds = build_parsed(sf_dir)
+    return ds.select_columns(["conv_id", "turn_idx", "role", "tool",
+                              "severity_number", "sink"])
+
+
+def q_enrich(sf_dir: str):
+    """k8sattributes-style broadcast enrichment columns."""
+    ds = build_parsed(sf_dir)
+    return ds.select_columns(["conv_id", "turn_idx", "role", "service",
+                              "tool", "resource"])
+
+
+def q_sink_counts(sf_dir: str):
+    """Per-sink routed record counts (grouping fileexporter totals)."""
+    ds = build_parsed(sf_dir)
+    return count_by(ds, ["sink"], count_col="n")
+
+
+def q_count_connector(sf_dir: str):
+    """countconnector: count by (sink, tool, severity_bucket) with
+    default_value '' for missing attrs (counter.go:42-73)."""
+    ds = build_parsed(sf_dir)
+    return count_by(ds, ["sink", "tool", "severity_bucket"], count_col="n")
+
+
+def q_sum_connector(sf_dir: str):
+    """sumconnector: total latency_ms by (sink, tool_attr) over kv rows."""
+    ds = build_parsed(sf_dir)
+    return sum_by(ds, ["sink", "tool_attr"], "latency_ms",
+                  condition=col("template") == "kv", sum_col="latency_total")
+
+
+def q_filter_errors(sf_dir: str):
+    """filterprocessor: keep only error-or-worse parsed turns."""
+    ds = build_parsed(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b.filter((col("severity_number") >= 17).mask(b)),
+        batch_format="pyarrow")
+    return ds.select_columns(["conv_id", "turn_idx", "severity_number",
+                              "severity_text", "template"])
+
+
+def q_dedup(sf_dir: str):
+    """logdedupprocessor: one row per (template, severity_number, error_code)
+    identity with count + first/last observed ts."""
+    ds = build_parsed(sf_dir)
+    return dedup_counts(ds, ["template", "severity_number", "error_code"],
+                        ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (same names, same values)
+# ---------------------------------------------------------------------------
+
+def oracle_queries() -> dict[str, str]:
+    v = parsed_view_sql()
+    return {
+        "flagship_parse": v + f"SELECT {', '.join(PARSED_COLS)} FROM routed",
+        "flagship_route": v + ("SELECT conv_id, turn_idx, role, tool, "
+                               "severity_number, sink FROM routed"),
+        "flagship_enrich": v + ("SELECT conv_id, turn_idx, role, service, "
+                                "tool, resource FROM routed"),
+        "flagship_sink_counts": v + ("SELECT sink, count(*) AS n FROM routed "
+                                     "GROUP BY sink"),
+        "count_connector": v + (
+            "SELECT sink, tool, severity_bucket, count(*) AS n FROM routed "
+            "GROUP BY sink, tool, severity_bucket"),
+        "sum_connector": v + (
+            "SELECT sink, tool_attr, CAST(sum(latency_ms) AS BIGINT) "
+            "AS latency_total "
+            "FROM routed WHERE template = 'kv' GROUP BY sink, tool_attr"),
+        "filter_errors": v + (
+            "SELECT conv_id, turn_idx, severity_number, severity_text, "
+            "template FROM routed WHERE severity_number >= 17"),
+        "log_dedup": v + (
+            "SELECT template, severity_number, error_code, "
+            "count(*) AS log_count, min(ts) AS first_observed_ts, "
+            "max(ts) AS last_observed_ts "
+            "FROM routed GROUP BY template, severity_number, error_code"),
+    }
+
+
+def ray_queries() -> dict:
+    return {
+        "flagship_parse": q_parse,
+        "flagship_route": q_route,
+        "flagship_enrich": q_enrich,
+        "flagship_sink_counts": q_sink_counts,
+        "count_connector": q_count_connector,
+        "sum_connector": q_sum_connector,
+        "filter_errors": q_filter_errors,
+        "log_dedup": q_dedup,
+    }

@@ -1,0 +1,143 @@
+"""Grouped counts/sums (countconnector / sumconnector re-expressed).
+
+Reference semantics (studied, not ported):
+  - countconnector: optional OTTL conditions (OR-ed), group by configured
+    attributes with a default value when the attribute is missing (or skip the
+    record entirely when configured), emit counts keyed by the attribute set
+    (connector/countconnector/counter.go:38-106, config.go:35-51).
+  - sumconnector: same, summing a numeric source_attribute
+    (connector/sumconnector/README.md:67-74).
+  - logdedupprocessor: count duplicates per (body, attrs, severity) identity
+    with first/last observed timestamps (processor/logdedupprocessor/counter.go:27-99).
+
+Scale design: a bare groupby shuffles EVERY row. All aggregations here
+pre-aggregate inside ``map_batches`` first — one output row per key per
+input block — so the all-to-all exchange moves only partial aggregates
+(cardinality(keys) × blocks rows, not N rows). The reference does the same
+thing implicitly: countconnector's in-memory ``counts`` map is a per-batch
+partial that downstream metric pipelines merge.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ..expr import Expr
+
+
+def _merge_partials(partials: Dataset, keys: list[str],
+                    aggs: list[tuple[str, str]],
+                    out_names: list[str]) -> Dataset:
+    """Final combine of per-block partial aggregates.
+
+    Partial tables are tiny (blocks x key-cardinality rows), so a full Ray
+    sort-shuffle groupby is pure overhead (~10s fixed cost at any size).
+    Instead: repartition the partials to one block and merge with a single
+    vectorized pyarrow group_by task. For key cardinalities that don't fit
+    one block (rare for telemetry-count shapes), callers can insert an extra
+    repartition(k)+merge tree level.
+    """
+    def merge(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate(aggs)
+        return out.rename_columns(keys + out_names)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
+
+
+def _fill_defaults(batch: pa.Table, keys: list[str], default: str) -> pa.Table:
+    """countconnector's default_value for missing attributes (counter.go:42-73)."""
+    for k in keys:
+        c = batch[k]
+        if c.null_count:
+            batch = batch.set_column(batch.column_names.index(k), k,
+                                     pc.fill_null(c, default))
+    return batch
+
+
+def count_by(ds: Dataset, keys: list[str], condition: Expr | None = None,
+             count_col: str = "count", default_value: str = "") -> Dataset:
+    """countconnector: filter by condition, group by ``keys``, count.
+
+    Two-phase: vectorized within-block partial counts (pyarrow group_by),
+    then a small shuffle summing partials.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        if condition is not None:
+            batch = batch.filter(condition.mask(batch))
+        batch = _fill_defaults(batch, keys, default_value)
+        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _merge_partials(partials, keys, [("_partial", "sum")], [count_col])
+
+
+def sum_by(ds: Dataset, keys: list[str], value_col: str,
+           condition: Expr | None = None, sum_col: str = "total",
+           default_value: str = "") -> Dataset:
+    """sumconnector: group by ``keys``, sum ``value_col`` (nulls contribute 0)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if condition is not None:
+            batch = batch.filter(condition.mask(batch))
+        batch = _fill_defaults(batch, keys, default_value)
+        out = (batch.select(keys + [value_col]).group_by(keys)
+               .aggregate([(value_col, "sum")]))
+        return out.rename_columns(keys + ["_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _merge_partials(partials, keys, [("_partial", "sum")], [sum_col])
+
+
+def canonical_identity(batch: pa.Table, cols: list[str]) -> pa.Array:
+    """Canonical serialization of a column tuple — the columnar analogue of
+    the reference's sorted-key, type-prefixed identity hash
+    (pkg/pdatautil/hash.go:16-32). Nulls get a distinct marker so
+    null != "" != "null-marker". Never null itself, so it is safe as a
+    shuffle/groupby key."""
+    parts = []
+    for c in cols:
+        arr = batch[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_null(arr.type):
+            arr = pc.cast(arr, pa.string())
+        s = pc.cast(arr, pa.string())
+        parts.append(pc.coalesce(s, pa.scalar("\x00\x00null")))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
+def dedup_counts(ds: Dataset, identity_cols: list[str], ts_col: str = "ts",
+                 count_col: str = "log_count") -> Dataset:
+    """logdedupprocessor: one row per identity with count + first/last observed.
+
+    Groups on a canonical identity string (never null — Ray's sort-based
+    shuffle cannot key on nullable columns), carrying the identity columns
+    through as per-group constants. Pre-aggregated per block like count_by so
+    the shuffle moves only partials.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select(identity_cols + [ts_col])
+        # pin all-null blocks to string so cross-block schemas unify
+        for i, f in enumerate(sel.schema):
+            if pa.types.is_null(f.type):
+                sel = sel.set_column(i, f.name, pc.cast(sel.column(i), pa.string()))
+        sel = sel.append_column("_id", canonical_identity(sel, identity_cols))
+        aggs = [([], "count_all"), (ts_col, "min"), (ts_col, "max")]
+        aggs += [(c, "min") for c in identity_cols]  # constant per group
+        out = sel.group_by(["_id"]).aggregate(aggs)
+        return out.rename_columns(
+            ["_id", "_n", "_first", "_last"] + identity_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    agg = _merge_partials(
+        partials, ["_id"],
+        [("_n", "sum"), ("_first", "min"), ("_last", "max")] +
+        [(c, "min") for c in identity_cols],
+        [count_col, "first_observed_ts", "last_observed_ts"] + identity_cols)
+    return agg.select_columns(
+        identity_cols + [count_col, "first_observed_ts", "last_observed_ts"])

@@ -1,0 +1,316 @@
+"""Vectorized parse stages (the stanza parser family re-expressed on Arrow).
+
+Reference semantics (studied, not ported):
+  - ParserConfig parse_from -> parse -> parse_to, on_error drop/send:
+    pkg/stanza/operator/helper/parser.go:17-35,98-195
+  - regex_parser (named captures): pkg/stanza/operator/parser/regex/parser.go:34-66
+  - keyvalue/json/csv/syslog/severity/time parsers: pkg/stanza/operator/parser/*
+  - OTTL ExtractGrokPatterns: pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:38-90
+
+Everything here is a pure function over a ``pyarrow.Table`` batch, built on
+``pyarrow.compute`` kernels (RE2 regex engine — same engine family as Go's
+``regexp``), suitable for ``ds.map_batches(fn, batch_format="pyarrow")``.
+No Python-per-row loops in any hot path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..model import (
+    ERROR,
+    HTTP_RANGE_SEVERITY,
+    SEVERITY_NAMES,
+    SYSLOG_SEVERITY,
+    SYSLOG_SEVERITY_TEXT,
+    default_severity_mapping,
+)
+
+# --- flagship transcript templates (FIXTURES.md F1a) ---------------------
+APACHE_RE = (r'^(?P<ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}) - (?P<user>\S+) '
+             r'\[(?P<ats>[^\]]+)\] "(?P<method>[A-Z]+) (?P<path>\S+) HTTP/1\.1" '
+             r'(?P<status>\d{3}) (?P<bytes>\d+)$')
+KV_RE = (r'^level=(?P<level>\w+) code=(?P<code>\S+) latency_ms=(?P<latency>\d+) '
+         r'msg="(?P<msg>[^"]*)" tool=(?P<tool>\w*)$')
+JSON_RE = (r'^\{"severity":"(?P<sev>[A-Z]+)","error":\{"code":"(?P<code>[^"]+)",'
+           r'"retryable":(?P<retryable>true|false)\},"dur":"(?P<dur>[0-9.]+)s"')
+SYSLOG_RE = (r'^<(?P<pri>\d{1,3})>1 (?P<sts>\S+) (?P<host>\S+) (?P<app>\S+) '
+             r'(?P<pid>\d+) (?P<msgid>\S+) - tool=(?P<tool>\w+) rc=(?P<rc>\d+)$')
+TRACEBACK_HEAD_RE = r'^Traceback '
+CONTINUATION_RE = r'^\s'
+
+_SEV_MAP = default_severity_mapping()
+_SEV_KEYS = pa.array(list(_SEV_MAP.keys()), pa.string())
+_SEV_VALS = pa.array(list(_SEV_MAP.values()), pa.int32())
+# canonical name per enum value, indexed 0..24
+_SEV_NAME_BY_NUM = pa.array([SEVERITY_NAMES[i] for i in range(25)], pa.string())
+_SYSLOG_SEV = pa.array(SYSLOG_SEVERITY, pa.int32())
+_SYSLOG_TEXT = pa.array(SYSLOG_SEVERITY_TEXT, pa.string())
+# http bucket 0..5 -> severity (only 2..5 defined)
+_HTTP_SEV = pa.array([None, None] + [HTTP_RANGE_SEVERITY[i] for i in (2, 3, 4, 5)],
+                     pa.int32())
+
+
+def map_severity_tokens(tokens: pa.Array) -> pa.Array:
+    """Lowercased token -> severity number via the default preset mapping
+    (severity_builder.go:17-91). Unknown/null tokens -> null."""
+    idx = pc.index_in(pc.utf8_lower(tokens), value_set=_SEV_KEYS)
+    return pc.take(_SEV_VALS, idx)
+
+
+def severity_name(nums: pa.Array) -> pa.Array:
+    """Canonical severity text for enum values (overwrite_text=true behavior)."""
+    return pc.take(_SEV_NAME_BY_NUM, nums)
+
+
+def _coalesce(*arrays):
+    return pc.coalesce(*arrays)
+
+
+def parse_transcript_batch(batch: pa.Table) -> pa.Table:
+    """Flagship envelope parse: classify each turn's text into one of the six
+    template families and extract structured fields + severity.
+
+    Adds columns:
+      template:string, severity_number:int32, severity_text:string,
+      http_status:int32, http_method:string, http_path:string,
+      log_level:string, error_code:string, latency_ms:int64, msg:string,
+      syslog_pri:int32, syslog_host:string, syslog_app:string, rc:int32,
+      tool_attr:string
+
+    Unmatched rows pass through with template='plain', severity 0/'' —
+    the stanza on_error=send path (helper/parser.go:98-150).
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    ap = pc.extract_regex(text, APACHE_RE)
+    kv = pc.extract_regex(text, KV_RE)
+    js = pc.extract_regex(text, JSON_RE)
+    sy = pc.extract_regex(text, SYSLOG_RE)
+    tb_head = pc.match_substring_regex(text, TRACEBACK_HEAD_RE)
+    tb_cont = pc.match_substring_regex(text, CONTINUATION_RE)
+
+    ap_ok, kv_ok, js_ok, sy_ok = (x.is_valid() for x in (ap, kv, js, sy))
+
+    f = pc.struct_field
+    null_str = pa.nulls(len(text), pa.string())
+    null_i32 = pa.nulls(len(text), pa.int32())
+    null_i64 = pa.nulls(len(text), pa.int64())
+
+    # per-template severity
+    status = pc.cast(f(ap, "status"), pa.int32())
+    sev_ap = pc.take(_HTTP_SEV, pc.divide(status, 100))
+    sev_kv = map_severity_tokens(f(kv, "level"))
+    sev_js = map_severity_tokens(f(js, "sev"))
+    pri = pc.cast(f(sy, "pri"), pa.int32())
+    sev_idx = pc.bit_wise_and(pri, 7)
+    sev_sy = pc.take(_SYSLOG_SEV, sev_idx)
+    sev_tb = pc.if_else(tb_head, pa.scalar(ERROR, pa.int32()), null_i32)
+
+    severity = _coalesce(sev_ap, sev_kv, sev_js, sev_sy, sev_tb,
+                         pa.scalar(0, pa.int32()))
+    sev_text = _coalesce(
+        severity_name(sev_ap), severity_name(sev_kv), severity_name(sev_js),
+        pc.take(_SYSLOG_TEXT, pc.if_else(sy_ok, sev_idx, pa.nulls(len(text), pa.int32()))),
+        pc.if_else(tb_head, pa.scalar("error"), null_str),
+        pa.scalar(""))
+
+    template = _coalesce(
+        pc.if_else(ap_ok, pa.scalar("apache"), null_str),
+        pc.if_else(kv_ok, pa.scalar("kv"), null_str),
+        pc.if_else(js_ok, pa.scalar("json"), null_str),
+        pc.if_else(sy_ok, pa.scalar("syslog"), null_str),
+        pc.if_else(tb_head, pa.scalar("traceback"), null_str),
+        pc.if_else(tb_cont, pa.scalar("traceback_cont"), null_str),
+        pa.scalar("plain"))
+
+    cols = {
+        "template": template,
+        "severity_number": severity,
+        "severity_text": sev_text,
+        "http_status": status,
+        "http_method": f(ap, "method"),
+        "http_path": f(ap, "path"),
+        "log_level": f(kv, "level"),
+        "error_code": _coalesce(f(kv, "code"), f(js, "code")),
+        "latency_ms": pc.cast(f(kv, "latency"), pa.int64()),
+        "msg": f(kv, "msg"),
+        "syslog_pri": pri,
+        "syslog_host": f(sy, "host"),
+        "syslog_app": f(sy, "app"),
+        "rc": pc.cast(f(sy, "rc"), pa.int32()),
+        "tool_attr": _coalesce(f(kv, "tool"), f(sy, "tool")),
+    }
+    for name, arr in cols.items():
+        batch = batch.append_column(name, arr)
+    # keep dummy refs with fixed types for schema stability
+    _ = null_i64
+    return batch
+
+
+# --- generic operator library --------------------------------------------
+
+def regex_parser(pattern: str, parse_from: str = "text", prefix: str = "",
+                 on_error: str = "send"):
+    """stanza regex_parser (parser/regex/parser.go:34-66): named captures ->
+    new columns named ``prefix+group``. on_error='drop' removes unmatched rows,
+    'send' passes them through with nulls (helper/parser.go:98-150)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        st = pc.extract_regex(col, pattern)
+        for name in st.type.names if hasattr(st.type, "names") else [
+                st.type.field(i).name for i in range(st.type.num_fields)]:
+            batch = batch.append_column(prefix + name, pc.struct_field(st, name))
+        if on_error == "drop":
+            batch = batch.filter(st.is_valid())
+        return batch
+    return fn
+
+
+def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
+                    pair_delimiter: str = " ", keys: list[str] | None = None,
+                    prefix: str = "attr_"):
+    """stanza key_value_parser (parser/keyvalue/config.go:36-39).
+
+    With an explicit ``keys`` list the extraction is fully vectorized (one
+    RE2 pass per key). Without it, falls back to a per-row split (only for
+    small control data).
+    """
+    if keys:
+        # two passes per key: quoted value first, bare token second (a single
+        # alternation won't do — RE2 reports non-participating groups as ""
+        # through pc.extract_regex, losing the null/empty distinction)
+        pats = {k: (rf'(?:^|{pair_delimiter}){k}{delimiter}"(?P<q>[^"]*)"',
+                    rf'(?:^|{pair_delimiter}){k}{delimiter}(?P<v>[^\s"]\S*)')
+                for k in keys}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch[parse_from]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            for k, (pq_, pv_) in pats.items():
+                q = pc.struct_field(pc.extract_regex(col, pq_), "q")
+                v = pc.struct_field(pc.extract_regex(col, pv_), "v")
+                batch = batch.append_column(prefix + k, pc.coalesce(q, v))
+            return batch
+        return fn
+
+    def fn_rowwise(batch: pa.Table) -> pa.Table:
+        import collections
+        texts = batch[parse_from].to_pylist()
+        rows = []
+        for t in texts:
+            d = {}
+            if t:
+                for pair in t.split(pair_delimiter):
+                    if delimiter in pair:
+                        k, _, v = pair.partition(delimiter)
+                        d[k] = v.strip('"')
+            rows.append(d)
+        allkeys = sorted(set().union(*[r.keys() for r in rows])) if rows else []
+        for k in allkeys:
+            batch = batch.append_column(
+                prefix + k, pa.array([r.get(k) for r in rows], pa.string()))
+        _ = collections
+        return batch
+    return fn_rowwise
+
+
+def json_parser(parse_from: str = "text", fields: dict[str, str] | None = None,
+                prefix: str = "attr_"):
+    """stanza json_parser (parser/json/parser.go). ``fields`` maps output
+    column -> JSONPath (e.g. '$.error.code'); extraction runs in polars'
+    vectorized json_path_match kernel (Rust, zero-copy from Arrow). Without
+    ``fields``, the whole body is decoded to a struct column 'parsed'."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[parse_from])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        if fields:
+            for out, path in fields.items():
+                arr = s.str.json_path_match(path).to_arrow()
+                batch = batch.append_column(prefix + out, pc.cast(arr, pa.string()))
+            return batch
+        decoded = s.str.json_decode()
+        return batch.append_column("parsed", decoded.to_arrow())
+    return fn
+
+
+def csv_parser(parse_from: str = "text", header: list[str] | None = None,
+               delimiter: str = ",", prefix: str = ""):
+    """stanza csv_parser (parser/csv/config.go:36-42): split into named
+    positional fields. Vectorized via utf8_split_whitespace-free split kernel."""
+    header = header or []
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, delimiter)
+        for i, name in enumerate(header):
+            batch = batch.append_column(
+                prefix + name, pc.list_element(parts, i))
+        return batch
+    return fn
+
+
+def severity_parser(parse_from: str, mapping: dict[str, int] | None = None,
+                    out_num: str = "severity_number", out_text: str = "severity_text"):
+    """stanza severity_parser (parser/severity + helper/severity_builder.go).
+    Maps a token column through the (default or custom) mapping; unmapped
+    tokens -> 0/'default'."""
+    m = dict(default_severity_mapping())
+    if mapping:
+        m.update({k.lower(): v for k, v in mapping.items()})
+    keys = pa.array(list(m.keys()), pa.string())
+    vals = pa.array(list(m.values()), pa.int32())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.index_in(pc.utf8_lower(pc.cast(col, pa.string())), value_set=keys)
+        num = pc.coalesce(pc.take(vals, idx), pa.scalar(0, pa.int32()))
+        txt = pc.coalesce(severity_name(num), pa.scalar("default"))
+        batch = _set_column(batch, out_num, num)
+        batch = _set_column(batch, out_text, txt)
+        return batch
+    return fn
+
+
+def time_parser(parse_from: str, layout: str, layout_type: str = "strptime",
+                out: str = "ts_parsed"):
+    """stanza time_parser (helper/time.go:19-29,138-175): strptime or
+    epoch(s|ms|us|ns) -> timestamp[us]."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if layout_type == "strptime":
+            parsed = pc.strptime(col, format=layout, unit="us",
+                                 error_is_null=True)
+        elif layout_type == "epoch":
+            unit = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[layout]
+            v = pc.cast(col, pa.int64())
+            if layout == "ns":
+                v = pc.divide(v, 1000)
+            else:
+                v = pc.multiply(v, unit)
+            parsed = pc.cast(v, pa.timestamp("us"))
+        else:
+            raise ValueError(f"unknown layout_type {layout_type}")
+        return _set_column(batch, out, parsed)
+    return fn
+
+
+def _set_column(batch: pa.Table, name: str, arr) -> pa.Table:
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)

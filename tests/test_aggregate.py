@@ -1,0 +1,52 @@
+"""count/sum connector + logdedup aggregation tests (SURVEY.md §2.7)."""
+
+import datetime
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.expr import col
+from opentelemetry_collector_contrib_ray.stages.aggregate import (
+    count_by,
+    dedup_counts,
+    sum_by,
+)
+
+
+def _ds():
+    t = pa.table({
+        "k": ["a", "a", "b", None, "b", "a"],
+        "v": [1, 2, 3, 4, 5, None],
+        "ts": pa.array([datetime.datetime(2026, 1, 1, 0, 0, i)
+                        for i in range(6)], pa.timestamp("us")),
+    })
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def test_count_by_with_default_value():
+    # countconnector default_value for missing attrs (counter.go:42-73)
+    out = count_by(_ds(), ["k"], count_col="n", default_value="unknown")
+    got = {r["k"]: r["n"] for r in out.take_all()}
+    assert got == {"a": 3, "b": 2, "unknown": 1}
+
+
+def test_count_by_condition():
+    out = count_by(_ds(), ["k"], condition=col("v") >= 3, count_col="n",
+                   default_value="?")
+    got = {r["k"]: r["n"] for r in out.take_all()}
+    assert got == {"b": 2, "?": 1}
+
+
+def test_sum_by():
+    out = sum_by(_ds(), ["k"], "v", sum_col="total", default_value="?")
+    got = {r["k"]: r["total"] for r in out.take_all()}
+    assert got == {"a": 3, "b": 8, "?": 4}
+
+
+def test_dedup_counts_first_last():
+    out = dedup_counts(_ds(), ["k"], ts_col="ts")
+    rows = {r["k"]: r for r in out.take_all()}
+    assert rows["a"]["log_count"] == 3
+    assert rows["a"]["first_observed_ts"].second == 0
+    assert rows["a"]["last_observed_ts"].second == 5
+    assert rows["b"]["log_count"] == 2

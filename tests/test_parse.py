@@ -1,0 +1,100 @@
+"""Parser-stage unit tests (stanza parser semantics, SURVEY.md §2.3)."""
+
+import pyarrow as pa
+
+from opentelemetry_collector_contrib_ray import model
+from opentelemetry_collector_contrib_ray.stages.parse import (
+    csv_parser,
+    keyvalue_parser,
+    map_severity_tokens,
+    parse_transcript_batch,
+    regex_parser,
+    severity_parser,
+    time_parser,
+)
+
+
+def _t(texts, **extra):
+    cols = {"text": pa.array(texts, pa.string())}
+    cols.update({k: pa.array(v) for k, v in extra.items()})
+    return pa.table(cols)
+
+
+def test_parse_transcript_templates():
+    t = _t([
+        '203.0.113.7 - alice [11/Feb/2026:20:26:12 +0000] '
+        '"GET /api/v1/items?q=3 HTTP/1.1" 500 1534',
+        'level=warn code=E1042 latency_ms=83 msg="tool call failed" tool=bash',
+        '{"severity":"ERROR","error":{"code":"E7","retryable":false},'
+        '"dur":"1.2s","spans":[1,2]}',
+        '<34>1 2026-01-11T22:14:15.003Z host app 1234 ID47 - tool=search rc=0',
+        'Traceback (most recent call last):',
+        '  File "app.py", line 5, in run_step',
+        'no structured content here',
+    ])
+    t = t.append_column("conv_id", pa.array(["c"] * 7))
+    out = parse_transcript_batch(t)
+    assert out["template"].to_pylist() == [
+        "apache", "kv", "json", "syslog", "traceback", "traceback_cont",
+        "plain"]
+    # severity: 5xx -> ERROR(17); warn -> 13; ERROR -> 17; pri 34&7=2 ->
+    # crit=ERROR2(18); traceback -> 17; cont/plain -> 0
+    assert out["severity_number"].to_pylist() == [17, 13, 17, 18, 17, 0, 0]
+    assert out["severity_text"].to_pylist() == [
+        "error", "warn", "error", "crit", "error", "", ""]
+    assert out["http_status"].to_pylist()[0] == 500
+    assert out["error_code"].to_pylist()[1:3] == ["E1042", "E7"]
+    assert out["latency_ms"].to_pylist()[1] == 83
+    assert out["tool_attr"].to_pylist()[1] == "bash"
+    assert out["tool_attr"].to_pylist()[3] == "search"
+    assert out["syslog_pri"].to_pylist()[3] == 34
+
+
+def test_severity_token_mapping():
+    # default preset incl. warning/err aliases (severity_builder.go:73-86)
+    toks = pa.array(["WARN", "warning", "err", "error3", "info", "bogus", None])
+    got = map_severity_tokens(toks).to_pylist()
+    assert got == [model.WARN, model.WARN, model.ERROR, model.ERROR3,
+                   model.INFO, None, None]
+
+
+def test_regex_parser_on_error_modes():
+    t = _t(["x=1", "nope"])
+    send = regex_parser(r"^x=(?P<val>\d+)$", prefix="p_")(t)
+    assert send["p_val"].to_pylist() == ["1", None]
+    drop = regex_parser(r"^x=(?P<val>\d+)$", prefix="p_", on_error="drop")(t)
+    assert drop.num_rows == 1 and drop["p_val"].to_pylist() == ["1"]
+
+
+def test_keyvalue_parser_vectorized_and_rowwise():
+    t = _t(['a=1 b="two words" c=3', "a=9"])
+    vec = keyvalue_parser(keys=["a", "b"])(t)
+    assert vec["attr_a"].to_pylist() == ["1", "9"]
+    assert vec["attr_b"].to_pylist() == ["two words", None]
+    row = keyvalue_parser()(t)
+    assert row["attr_a"].to_pylist() == ["1", "9"]
+    assert row["attr_c"].to_pylist() == ["3", None]
+
+
+def test_csv_parser():
+    t = _t(["a,b,c", "1,2,3"])
+    out = csv_parser(header=["x", "y", "z"])(t)
+    assert out["y"].to_pylist() == ["b", "2"]
+
+
+def test_severity_parser_custom_mapping():
+    t = _t(["oops", "fine"])
+    out = severity_parser("text", mapping={"oops": model.ERROR2})(t)
+    assert out["severity_number"].to_pylist() == [model.ERROR2, 0]
+    assert out["severity_text"].to_pylist() == ["error2", "default"]
+
+
+def test_time_parser_strptime_and_epoch():
+    t = _t(["2026-02-11 20:26:12", "not a time"])
+    out = time_parser("text", "%Y-%m-%d %H:%M:%S")(t)
+    vals = out["ts_parsed"].to_pylist()
+    assert vals[0].year == 2026 and vals[1] is None
+
+    t2 = pa.table({"e": pa.array([1_700_000_000])})
+    out2 = time_parser("e", "s", layout_type="epoch")(t2)
+    assert out2["ts_parsed"].to_pylist()[0].year == 2023

@@ -1,0 +1,63 @@
+"""Routing (routingconnector first-match move semantics) and expression-mask
+tests (SURVEY.md §2.8, FIXTURES.md F3)."""
+
+import pyarrow as pa
+
+from opentelemetry_collector_contrib_ray.expr import col
+from opentelemetry_collector_contrib_ray.stages.route import Route, RouteTable
+
+
+def _batch():
+    return pa.table({
+        "severity_number": pa.array([20, 3, 1, 17, 5], pa.int32()),
+        "tool": ["bash", "bash", "search", "bash", None],
+        "role": ["assistant", "assistant", "user", "user", "user"],
+    })
+
+
+def test_first_match_wins_and_default():
+    rt = RouteTable([
+        Route("errors", col("severity_number") >= 17),
+        Route("tool-calls", (col("tool") == "bash") & (col("role") == "assistant")),
+        Route("user-turns", col("role") == "user"),
+    ], default="default")
+    out = rt(_batch())
+    # row0 matches errors AND tool-calls -> errors (first match wins)
+    assert out["sink"].to_pylist() == [
+        "errors", "tool-calls", "user-turns", "errors", "user-turns"]
+
+
+def test_null_condition_is_false_not_null():
+    # routingconnector error_mode=ignore: a failing condition sends the row
+    # to default rather than erroring (logs.go:95-104)
+    rt = RouteTable([Route("t", col("tool") == "bash")])
+    out = rt(pa.table({"tool": pa.array([None, "bash"], pa.string())}))
+    assert out["sink"].to_pylist() == ["default", "t"]
+
+
+def test_route_disjoint_and_complete():
+    rt = RouteTable([
+        Route("a", col("severity_number") >= 10),
+        Route("b", col("severity_number") >= 0),
+    ])
+    out = rt(_batch())
+    sinks = out["sink"].to_pylist()
+    assert all(s in ("a", "b") for s in sinks)  # complete, b catches rest
+    assert sinks.count("a") == 2
+
+
+def test_empty_batch():
+    rt = RouteTable([Route("a", col("x") == 1)])
+    out = rt(pa.table({"x": pa.array([], pa.int64())}))
+    assert out.num_rows == 0 and "sink" in out.column_names
+
+
+def test_expr_kernels():
+    b = pa.table({"s": ["foo", "bar", None], "n": [1, 2, 3]})
+    assert col("s").match_re("^f").mask(b).to_pylist() == [True, False, False]
+    assert col("s").contains("a").mask(b).to_pylist() == [False, True, False]
+    assert (col("s").is_null()).mask(b).to_pylist() == [False, False, True]
+    assert ((col("n") > 1) & col("s").starts_with("b")).mask(b).to_pylist() == \
+        [False, True, False]
+    assert col("n").isin([1, 3]).mask(b).to_pylist() == [True, False, True]
+    assert (~(col("n") == 2)).mask(b).to_pylist() == [True, False, True]
