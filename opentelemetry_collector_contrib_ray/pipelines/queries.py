@@ -230,6 +230,89 @@ def q_dedup(sf_dir: str):
                         ts_col="ts")
 
 
+def _raw_transcripts(sf_dir: str):
+    return ray.data.read_parquet(ensure_transcripts(sf_dir))
+
+
+def q_recombine(sf_dir: str):
+    """stanza recombine: merge indented continuation lines into the previous
+    entry, per conversation (general shuffled plan)."""
+    from ..stages.recombine import recombine_grouped
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text", "ts"])  # prune before the shuffle
+    return recombine_grouped(ds)
+
+
+def q_sampler(sf_dir: str):
+    """probabilisticsamplerprocessor (oracle-checkable md5 variant): keep 20%
+    of conversations, deterministically by conv_id hash."""
+    from ..stages.transform import md5_mod_sampler
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "tool"])
+    return ds.map_batches(md5_mod_sampler(20.0, "conv_id"),
+                          batch_format="pyarrow", batch_size=None)
+
+
+REDACT_PATTERNS = [r"E\d+", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"]
+
+
+def q_redact(sf_dir: str):
+    """redactionprocessor: mask error codes + IPs in text, count redactions."""
+    from ..stages.transform import redact
+
+    ds = _raw_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    return ds.map_batches(redact(["text"], REDACT_PATTERNS),
+                          batch_format="pyarrow", batch_size=None)
+
+
+USER_RE = r"- (?P<user_name>\S+) \["
+
+
+def q_attributes(sf_dir: str):
+    """attributesprocessor action chain: extract(user from apache line) ->
+    hash(sha256) -> upsert(env=prod)."""
+    from ..stages.transform import attr_extract, attr_hash, attr_upsert, chain
+
+    fn = chain(attr_extract("text", USER_RE),
+               attr_hash(["user_name"], "sha256"),
+               attr_upsert("env", value="prod"))
+    ds = _raw_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
+        .select_columns(["conv_id", "turn_idx", "user_name", "env"])
+
+
+def q_window_counts(sf_dir: str):
+    """intervalprocessor / tumbling window: per-hour counts by event_type
+    over the events stream table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "window", pc.floor_temporal(b["ts"].combine_chunks(), unit="hour"))
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow", batch_size=None)
+    return count_by(ds, ["window", "event_type"], count_col="n")
+
+
+def q_sum_events(sf_dir: str):
+    """sumconnector over events: total value by event_type. Rounded to 6
+    decimals — float sums are order-dependent in the last ulp, so exact-bit
+    equality vs a serial SQL oracle is not meaningful."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = sum_by(ds, ["event_type"], "value", sum_col="total_value")
+
+    def round6(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("total_value")
+        return b.set_column(i, "total_value",
+                            pc.round(b["total_value"], ndigits=6))
+
+    return out.map_batches(round6, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (same names, same values)
 # ---------------------------------------------------------------------------
@@ -259,7 +342,55 @@ def oracle_queries() -> dict[str, str]:
             "count(*) AS log_count, min(ts) AS first_observed_ts, "
             "max(ts) AS last_observed_ts "
             "FROM routed GROUP BY template, severity_number, error_code"),
+        "recombine": _recombine_sql(),
+        "sampler": (
+            f"SELECT conv_id, turn_idx, role, tool "
+            f"FROM read_parquet('{_transcripts_glob()}') "
+            "WHERE CAST(('0x' || substring(md5(conv_id),1,8)) AS BIGINT) "
+            "% 10000 < 2000"),
+        "redaction": _redact_sql(),
+        "attributes_chain": (
+            f"SELECT conv_id, turn_idx, "
+            f"CASE WHEN regexp_matches(text, '- (\\S+) \\[') THEN "
+            f"sha256(regexp_extract(text, '- (\\S+) \\[', 1)) END "
+            f"AS user_name, 'prod' AS env "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
+        "window_counts": (
+            "SELECT date_trunc('hour', ts) AS window, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2"),
+        "sum_events": (
+            "SELECT event_type, ROUND(sum(value), 6) AS total_value "
+            "FROM events GROUP BY event_type"),
     }
+
+
+def _recombine_sql() -> str:
+    glob = _transcripts_glob()
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text, ts FROM read_parquet('{glob}')
+), s AS (
+  SELECT *, CASE WHEN regexp_matches(text, '^\\S') THEN 1 ELSE 0 END AS isf
+  FROM t
+), g AS (
+  SELECT *, SUM(isf) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seg
+  FROM s
+)
+SELECT conv_id, MIN(turn_idx) AS turn_idx, MIN(ts) AS ts,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       COUNT(*) AS n_lines
+FROM g GROUP BY conv_id, seg
+"""
+
+
+def _redact_sql() -> str:
+    pat = "|".join(f"(?:{p})" for p in REDACT_PATTERNS)
+    return (
+        f"SELECT conv_id, turn_idx, "
+        f"regexp_replace(text, '{pat}', '****', 'g') AS text, "
+        f"CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END"
+        f"::BIGINT AS redacted_count "
+        f"FROM read_parquet('{_transcripts_glob()}')")
 
 
 def ray_queries() -> dict:
@@ -272,4 +403,10 @@ def ray_queries() -> dict:
         "sum_connector": q_sum_connector,
         "filter_errors": q_filter_errors,
         "log_dedup": q_dedup,
+        "recombine": q_recombine,
+        "sampler": q_sampler,
+        "redaction": q_redact,
+        "attributes_chain": q_attributes,
+        "window_counts": q_window_counts,
+        "sum_events": q_sum_events,
     }

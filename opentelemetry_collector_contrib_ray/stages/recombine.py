@@ -1,0 +1,101 @@
+"""Recombine: multiline/sessionized merge of log entries per source.
+
+Reference semantics (studied, not ported): stanza recombine operator
+(pkg/stanza/operator/transformer/recombine/config.go:39-54, transformer.go):
+entries buffer per source until an ``is_first_entry`` match starts a new
+logical entry; buffered lines merge via ``combine_with`` (default "\\n");
+``overwrite_with: oldest`` keeps the first entry's envelope. In batch mode
+the force-flush timeout / max_sources caps vanish — complete groups are
+available (SURVEY.md §2.11).
+
+Two physical plans:
+
+- ``recombine_blocks``: fully vectorized ``map_batches``. PARTITIONING
+  ASSUMPTION (documented per SURVEY.md §2 custom-operator rule): each block
+  holds whole conversations with rows sorted by ``turn_idx`` — guaranteed by
+  our transcript partition layout (part files split on conversation
+  boundaries, generator emits sorted). Segments never span blocks because a
+  conversation's first row always starts a segment.
+
+- ``recombine_grouped``: general plan for arbitrary layouts —
+  ``groupby(conv_id).map_groups`` (hash shuffle co-locates each
+  conversation, sort inside the group). Use when input locality is unknown.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+FIRST_ENTRY_RE = r"^\S"  # classic multiline rule: non-indented line starts an entry
+
+
+def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
+                   order_col: str = "turn_idx", body_col: str = "text",
+                   is_first_re: str = FIRST_ENTRY_RE,
+                   combine_with: str = "\n") -> pa.Table:
+    """Vectorized segment merge over one block (rows sorted per source).
+
+    Output: one row per logical entry — first row's (source, order, ts)
+    envelope, bodies joined with ``combine_with``, plus ``n_lines``.
+    """
+    if batch.num_rows == 0:
+        return pa.table({
+            source_col: pa.array([], pa.string()),
+            order_col: pa.array([], pa.int32()),
+            "ts": pa.array([], pa.timestamp("us")),
+            body_col: pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+        })
+    body = batch[body_col]
+    if isinstance(body, pa.ChunkedArray):
+        body = body.combine_chunks()
+    is_first = pc.fill_null(pc.match_substring_regex(body, is_first_re), True)
+    # conversation boundaries always start a segment (first turn is never a
+    # continuation by construction; belt-and-braces: OR with source change)
+    src = batch[source_col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    if len(src) > 1:
+        neq = pc.fill_null(
+            pc.not_equal(src.slice(1), src.slice(0, len(src) - 1)), True)
+        changed = pa.concat_arrays([pa.array([True]), neq.combine_chunks()
+                                    if isinstance(neq, pa.ChunkedArray) else neq])
+    else:
+        changed = pa.array([True])
+    starts = pc.or_(is_first, changed)
+    seg = pc.cumulative_sum(pc.cast(starts, pa.int64()))
+    work = batch.select([source_col, order_col, "ts", body_col]) \
+        .append_column("_seg", seg)
+    agg = work.group_by(["_seg"], use_threads=False).aggregate([
+        (source_col, "first"), (order_col, "first"), ("ts", "first"),
+        (body_col, "list"), (body_col, "count"),
+    ])
+    joined = pc.binary_join(agg[f"{body_col}_list"].combine_chunks(),
+                            combine_with)
+    return pa.table({
+        source_col: agg[f"{source_col}_first"],
+        order_col: agg[f"{order_col}_first"],
+        "ts": agg["ts_first"],
+        body_col: joined,
+        "n_lines": pc.cast(agg[f"{body_col}_count"], pa.int64()),
+    })
+
+
+def recombine_blocks(ds: Dataset, **kw) -> Dataset:
+    """Fast path: block-local vectorized merge (see module docstring for the
+    partitioning assumption)."""
+    return ds.map_batches(lambda b: merge_segments(b, **kw),
+                          batch_format="pyarrow", batch_size=None)
+
+
+def recombine_grouped(ds: Dataset, *, source_col: str = "conv_id",
+                      order_col: str = "turn_idx", **kw) -> Dataset:
+    """General path: shuffle each source's rows together, sort, merge."""
+    def per_group(group: pa.Table) -> pa.Table:
+        group = group.sort_by(order_col)
+        return merge_segments(group, source_col=source_col,
+                              order_col=order_col, **kw)
+
+    return ds.groupby(source_col).map_groups(per_group, batch_format="pyarrow")

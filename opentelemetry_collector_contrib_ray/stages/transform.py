@@ -1,0 +1,352 @@
+"""Per-record transformers: the stanza transformer family + attributesprocessor
+action list, re-expressed as vectorized column ops over Arrow batches.
+
+Reference semantics (studied, not ported):
+  - stanza add/remove/move/copy/retain/unquote/regex_replace/filter/noop:
+    pkg/stanza/operator/transformer/*/config.go (SURVEY.md §2.4); all gate on
+    an `if` expr and route errors per on_error (helper/transformer.go:23-70).
+  - attributesprocessor action list insert/update/upsert/delete/hash/extract/
+    convert: internal/coreinternal/attraction/attraction.go:113-139,287-342,
+    404-441.
+  - filter transformer drop_ratio (sampled dropping):
+    pkg/stanza/operator/transformer/filter/config.go:44-45.
+  - probabilisticsamplerprocessor: FNV-like hash of a key attribute vs
+    threshold (logsprocessor.go:122-141, sampler_mode.go).
+  - redactionprocessor allowed_keys/blocked_values/hash:
+    processor/redactionprocessor/processor.go:90-96,193-295.
+
+Every transformer is ``fn(config) -> (batch: pa.Table) -> pa.Table`` usable in
+``ds.map_batches(fn, batch_format='pyarrow', batch_size=None)``; the `if`
+gate appears as an optional ``where`` Expr whose False/null rows pass through
+unchanged (masked rewrite via pc.if_else), matching helper/transformer.go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..expr import Expr
+
+
+def _get(batch: pa.Table, name: str) -> pa.Array:
+    c = batch[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _set(batch: pa.Table, name: str, arr) -> pa.Table:
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+def _masked(batch: pa.Table, name: str, new, where: Expr | None) -> pa.Table:
+    """Write ``new`` into column ``name``, only where the gate holds
+    (stanza `if` expr, helper/transformer.go:40-52)."""
+    if where is None:
+        return _set(batch, name, new)
+    m = where.mask(batch)
+    old = _get(batch, name) if name in batch.column_names else \
+        pa.nulls(batch.num_rows, new.type if hasattr(new, "type") else pa.string())
+    return _set(batch, name, pc.if_else(m, new, old))
+
+
+# --- stanza transformers ---------------------------------------------------
+
+def add(field: str, value=None, expr: Expr | None = None,
+        where: Expr | None = None):
+    """add transformer (transformer/add/config.go:37-39): static value or
+    expression result into a (possibly new) column."""
+    def fn(batch: pa.Table) -> pa.Table:
+        if expr is not None:
+            out = expr.evaluate(batch)
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+        else:
+            out = pa.nulls(batch.num_rows, pa.string()) if value is None else \
+                pa.array([value] * batch.num_rows)
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def remove(fields: list[str]):
+    """remove transformer (transformer/remove/config.go:36-38)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([f for f in fields if f in batch.column_names])
+    return fn
+
+
+def move(src: str, dest: str, where: Expr | None = None):
+    """move transformer (transformer/move/config.go:36-38): rename/relocate."""
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _masked(batch, dest, _get(batch, src), where)
+        return out.drop_columns([src]) if where is None else out
+    return fn
+
+
+def copy(src: str, dest: str, where: Expr | None = None):
+    """copy transformer (transformer/copy/config.go:36-38)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return _masked(batch, dest, _get(batch, src), where)
+    return fn
+
+
+def retain(fields: list[str]):
+    """retain transformer (transformer/retain/config.go:37-38): keep only
+    the listed columns (= ds.select_columns, provided for chain symmetry)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.select([f for f in fields if f in batch.column_names])
+    return fn
+
+
+def unquote(field: str, where: Expr | None = None):
+    """unquote transformer (transformer/unquote/config.go:34-35): strip one
+    pair of surrounding double quotes (Go strconv.Unquote-ish happy path)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = _get(batch, field)
+        out = pc.replace_substring_regex(col, r'(?s)^"(.*)"$', r"\1")
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def regex_replace(field: str, pattern: str, replacement: str,
+                  where: Expr | None = None):
+    """regex_replace transformer (transformer/regexreplace/config.go:40-44).
+    ``replacement`` uses RE2 rewrite syntax (\\1 group refs)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = _get(batch, field)
+        out = pc.replace_substring_regex(col, pattern, replacement)
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def filter_drop(expr: Expr, drop_ratio: float = 1.0, seed_col: str | None = None):
+    """filter transformer (transformer/filter/config.go:44-45): DROP rows
+    matching ``expr``; with drop_ratio<1 only that fraction of matches drops.
+    The reference uses math/rand; we make it deterministic by hashing
+    ``seed_col`` (required when drop_ratio<1) so reruns are reproducible."""
+    def fn(batch: pa.Table) -> pa.Table:
+        m = expr.mask(batch)
+        if drop_ratio >= 1.0:
+            return batch.filter(pc.invert(m))
+        if seed_col is None:
+            raise ValueError("drop_ratio<1 requires seed_col for determinism")
+        frac = hash_unit_interval(_get(batch, seed_col))
+        sampled = pc.and_(m, pa.array(frac < drop_ratio))
+        return batch.filter(pc.invert(sampled))
+    return fn
+
+
+def noop():
+    """noop transformer (transformer/noop/config.go:33)."""
+    return lambda batch: batch
+
+
+# --- attributesprocessor actions ------------------------------------------
+
+def attr_insert(field: str, value, where: Expr | None = None):
+    """attraction INSERT: set only if the column is missing/null
+    (attraction.go:113-123)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        if field not in batch.column_names:
+            return _masked(batch, field, pa.array([value] * batch.num_rows), where)
+        col = _get(batch, field)
+        out = pc.fill_null(col, value)
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def attr_update(field: str, value, where: Expr | None = None):
+    """attraction UPDATE: set only if the column exists (attraction.go)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        if field not in batch.column_names:
+            return batch
+        col = _get(batch, field)
+        out = pc.if_else(pc.is_valid(col), pa.scalar(value), col)
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def attr_upsert(field: str, value=None, from_attribute: str | None = None,
+                where: Expr | None = None):
+    """attraction UPSERT: unconditional set, from literal or another column."""
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _get(batch, from_attribute) if from_attribute else \
+            pa.array([value] * batch.num_rows)
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def attr_hash(fields: list[str], algorithm: str = "sha256",
+              where: Expr | None = None):
+    """attraction HASH (attraction.go:404-424) / redaction hash_function:
+    replace values with their hex digest. Vectorized over the dictionary of
+    distinct values (hashing cost = O(cardinality), not O(rows))."""
+    def one(col: pa.Array) -> pa.Array:
+        d = pc.dictionary_encode(pc.cast(col, pa.string()))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        digests = pa.array(
+            [None if v is None else
+             hashlib.new(algorithm, v.encode()).hexdigest() for v in uniq],
+            pa.string())
+        return pc.take(digests, d.indices)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for f in fields:
+            if f in batch.column_names:
+                batch = _masked(batch, f, one(_get(batch, f)), where)
+        return batch
+    return fn
+
+
+def attr_extract(field: str, pattern: str, where: Expr | None = None):
+    """attraction EXTRACT (attraction.go:287-342): regex named groups ->
+    new columns (the processor's regexp-with-named-submatches)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = _get(batch, field)
+        st = pc.extract_regex(pc.cast(col, pa.string()), pattern)
+        for i in range(st.type.num_fields):
+            name = st.type.field(i).name
+            batch = _masked(batch, name, pc.struct_field(st, name), where)
+        return batch
+    return fn
+
+
+def attr_convert(field: str, to: str, where: Expr | None = None):
+    """attraction CONVERT (attraction.go:425-441): int/double/string cast.
+    Unconvertible values -> null (the reference leaves them unchanged for
+    string-to-int failures; we document null as the columnar divergence)."""
+    typ = {"int": pa.int64(), "double": pa.float64(), "string": pa.string()}[to]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = _get(batch, field)
+        try:
+            out = pc.cast(col, typ)
+        except pa.ArrowInvalid:
+            # per-value safe cast: strings that fail parse become null
+            out = pa.array(
+                _safe_cast_pylist(col.to_pylist(), to), typ)
+        return _masked(batch, field, out, where)
+    return fn
+
+
+def _safe_cast_pylist(vals, to):
+    out = []
+    for v in vals:
+        try:
+            out.append(None if v is None else
+                       int(v) if to == "int" else
+                       float(v) if to == "double" else str(v))
+        except (ValueError, TypeError):
+            out.append(None)
+    return out
+
+
+# --- probabilistic sampler -------------------------------------------------
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_64(col: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a string column: loop over byte POSITIONS
+    (bounded by max string length), never over rows — the hash family the
+    probabilistic sampler uses (sampler_mode.go)."""
+    s = pc.cast(col, pa.large_binary())
+    flat = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    buf = np.frombuffer(flat.buffers()[2], np.uint8) if flat.buffers()[2] else \
+        np.empty(0, np.uint8)
+    offs = np.frombuffer(flat.buffers()[1], np.int64)[flat.offset:
+                                                      flat.offset + len(flat) + 1]
+    starts, ends = offs[:-1].copy(), offs[1:].copy()
+    h = np.full(len(flat), _FNV_OFFSET, np.uint64)
+    pos = starts.copy()
+    active = pos < ends
+    with np.errstate(over="ignore"):
+        while active.any():
+            idx = np.nonzero(active)[0]
+            h[idx] = (h[idx] ^ buf[pos[idx]]) * _FNV_PRIME
+            pos[idx] += 1
+            active[idx] = pos[idx] < ends[idx]
+    null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
+    h[null_mask] = 0
+    return h
+
+
+def hash_unit_interval(col: pa.Array) -> np.ndarray:
+    """Map values to [0,1) deterministically via FNV-1a (null -> 0.0)."""
+    return (fnv1a_64(col) >> np.uint64(11)) / float(1 << 53)
+
+
+def probabilistic_sampler(percent: float, key_col: str):
+    """probabilisticsamplerprocessor for logs (logsprocessor.go:122-141):
+    keep a row iff hash(key) falls under the threshold — deterministic,
+    embarrassingly parallel, consistent across reruns and nodes."""
+    threshold = percent / 100.0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        frac = hash_unit_interval(_get(batch, key_col))
+        return batch.filter(pa.array(frac < threshold))
+    return fn
+
+
+def md5_mod_sampler(percent: float, key_col: str):
+    """Sampler variant whose identity is reproducible in ANSI SQL
+    (md5(key) hex -> first 8 hex digits -> int % 10000 < percent*100):
+    used by the oracle-checked sampler query. Hash cost is O(distinct keys)
+    via dictionary encoding."""
+    cut = int(percent * 100)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = pc.dictionary_encode(pc.cast(_get(batch, key_col), pa.string()))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        keep_uniq = pa.array(
+            [False if v is None else
+             int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % 10000 < cut
+             for v in uniq], pa.bool_())
+        keep = pc.take(keep_uniq, d.indices)
+        return batch.filter(pc.fill_null(keep, False))
+    return fn
+
+
+# --- redaction processor ---------------------------------------------------
+
+def redact(fields: list[str], blocked_values: list[str],
+           mask_text: str = "****", summary_col: str | None = "redacted_count"):
+    """redactionprocessor (processor.go:193-295): mask substrings matching any
+    blocked_values regex in the given columns; optionally add a per-row count
+    of redacted fields (the reference's redaction summary attributes)."""
+    combined = "|".join(f"(?:{p})" for p in blocked_values)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hits_total = np.zeros(batch.num_rows, np.int64)
+        for f in fields:
+            if f not in batch.column_names:
+                continue
+            col = pc.cast(_get(batch, f), pa.string())
+            hit = pc.match_substring_regex(col, combined)
+            out = pc.replace_substring_regex(col, combined, mask_text)
+            batch = _set(batch, f, out)
+            hits_total += pc.fill_null(hit, False).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        if summary_col:
+            batch = _set(batch, summary_col, pa.array(hits_total, pa.int64()))
+        return batch
+    return fn
+
+
+def chain(*fns):
+    """Compose transformers into one map_batches callable (an operator
+    sequence, like the stanza pipeline DAG's linear chains)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        for f in fns:
+            batch = f(batch)
+        return batch
+    return fn

@@ -1,0 +1,59 @@
+"""Recombine (multiline merge) tests — stanza recombine semantics
+(SURVEY.md §2.4, §2.11)."""
+
+import datetime
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.recombine import (
+    merge_segments,
+    recombine_blocks,
+    recombine_grouped,
+)
+
+
+def _batch():
+    rows = [
+        ("c1", 0, "line one"),
+        ("c1", 1, "Traceback (most recent call last):"),
+        ("c1", 2, '  File "a.py", line 1'),
+        ("c1", 3, "  ValueError: boom"),
+        ("c1", 4, "after"),
+        ("c2", 0, "  oddly indented first turn"),  # conv boundary still splits
+        ("c2", 1, "normal"),
+    ]
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows]),
+        "ts": pa.array([datetime.datetime(2026, 1, 1, 0, 0, i)
+                        for i in range(len(rows))], pa.timestamp("us")),
+    })
+
+
+def test_merge_segments_joins_continuations():
+    out = merge_segments(_batch())
+    assert out.num_rows == 5
+    texts = out["text"].to_pylist()
+    assert texts[1] == ("Traceback (most recent call last):\n"
+                        '  File "a.py", line 1\n  ValueError: boom')
+    assert out["n_lines"].to_pylist() == [1, 3, 1, 1, 1]
+    # overwrite_with oldest: envelope from first line of the segment
+    assert out["turn_idx"].to_pylist() == [0, 1, 4, 0, 1]
+    assert out["conv_id"].to_pylist() == ["c1", "c1", "c1", "c2", "c2"]
+
+
+def test_merge_segments_empty():
+    out = merge_segments(_batch().slice(0, 0))
+    assert out.num_rows == 0
+
+
+def test_recombine_grouped_equals_blocks_on_aligned_input():
+    ds = ray.data.from_arrow(_batch())
+    a = recombine_blocks(ds).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    b = recombine_grouped(ray.data.from_arrow(_batch())).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert a[["conv_id", "turn_idx", "text", "n_lines"]].equals(
+        b[["conv_id", "turn_idx", "text", "n_lines"]])

@@ -1,0 +1,137 @@
+"""Transformer / attributes-action / sampler / redaction tests
+(SURVEY.md §2.4, §2.6)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from opentelemetry_collector_contrib_ray.expr import col
+from opentelemetry_collector_contrib_ray.stages import transform as tr
+
+
+def _b():
+    return pa.table({
+        "a": ["x", None, "z"],
+        "n": ["1", "2", "oops"],
+        "sev": pa.array([5, 17, 21], pa.int32()),
+    })
+
+
+def test_add_static_and_expr_with_gate():
+    out = tr.add("flag", value="hi")(_b())
+    assert out["flag"].to_pylist() == ["hi"] * 3
+    out = tr.add("big", expr=col("sev") >= 17, where=col("a").is_null() == False)(_b())  # noqa: E712
+    assert out["big"].to_pylist() == [False, None, True]
+
+
+def test_remove_move_copy_retain():
+    b = _b()
+    assert "a" not in tr.remove(["a", "zz"])(b).column_names
+    m = tr.move("a", "renamed")(b)
+    assert "a" not in m.column_names and m["renamed"].to_pylist()[0] == "x"
+    c = tr.copy("a", "dup")(b)
+    assert c["dup"].to_pylist() == c["a"].to_pylist()
+    r = tr.retain(["sev"])(b)
+    assert r.column_names == ["sev"]
+
+
+def test_unquote():
+    b = pa.table({"t": ['"q"', 'no', '"', None, '""']})
+    out = tr.unquote("t")(b)
+    assert out["t"].to_pylist() == ["q", "no", '"', None, ""]
+
+
+def test_regex_replace():
+    b = pa.table({"t": ["id=123 ok", "id=9", "none"]})
+    out = tr.regex_replace("t", r"id=\d+", "id=***")(b)
+    assert out["t"].to_pylist() == ["id=*** ok", "id=***", "none"]
+
+
+def test_filter_drop_full_and_ratio():
+    b = _b()
+    out = tr.filter_drop(col("sev") >= 17)(b)
+    assert out["sev"].to_pylist() == [5]
+    # ratio: deterministic by key hash; 0.0 keeps all, 1.0 drops all matches
+    keep_all = tr.filter_drop(col("sev") >= 0, drop_ratio=0.0, seed_col="a")(b)
+    assert keep_all.num_rows == 3
+
+
+def test_attr_actions():
+    b = _b()
+    ins = tr.attr_insert("a", "filled")(b)
+    assert ins["a"].to_pylist() == ["x", "filled", "z"]
+    upd = tr.attr_update("a", "set")(b)
+    assert upd["a"].to_pylist() == ["set", None, "set"]
+    ups = tr.attr_upsert("b2", from_attribute="a")(b)
+    assert ups["b2"].to_pylist() == ["x", None, "z"]
+    cv = tr.attr_convert("n", "int")(b)
+    assert cv["n"].to_pylist() == [1, 2, None]
+
+
+def test_attr_hash_matches_hashlib():
+    b = _b()
+    out = tr.attr_hash(["a"], "sha256")(b)
+    assert out["a"].to_pylist()[0] == hashlib.sha256(b"x").hexdigest()
+    assert out["a"].to_pylist()[1] is None
+
+
+def test_attr_extract():
+    b = pa.table({"t": ["code=E7 n=1", "nope"]})
+    out = tr.attr_extract("t", r"code=(?P<xcode>\w+)")(b)
+    assert out["xcode"].to_pylist() == ["E7", None]
+
+
+def test_fnv1a_matches_reference_vectors():
+    # published FNV-1a 64 test vectors (public domain)
+    import pyarrow as pa
+    got = tr.fnv1a_64(pa.array(["", "a", "foobar"]))
+    assert got[0] == 0xcbf29ce484222325
+    assert got[1] == 0xaf63dc4c8601ec8c
+    assert got[2] == 0x85944171f73967e8
+
+
+def test_probabilistic_sampler_deterministic_and_proportional():
+    keys = pa.array([f"conv-{i:08d}" for i in range(20000)])
+    b = pa.table({"k": keys})
+    s25 = tr.probabilistic_sampler(25.0, "k")(b)
+    s25b = tr.probabilistic_sampler(25.0, "k")(b)
+    assert s25.num_rows == s25b.num_rows  # deterministic
+    assert abs(s25.num_rows / 20000 - 0.25) < 0.03  # proportional
+    s100 = tr.probabilistic_sampler(100.0, "k")(b)
+    assert s100.num_rows == 20000
+    # subset property: rows kept at 10% are kept at 25%
+    s10 = set(tr.probabilistic_sampler(10.0, "k")(b)["k"].to_pylist())
+    assert s10 <= set(s25["k"].to_pylist())
+
+
+def test_md5_sampler_matches_duckdb():
+    import duckdb
+    keys = [f"conv-{i:04d}" for i in range(500)]
+    b = pa.table({"k": pa.array(keys)})
+    ours = tr.md5_mod_sampler(20.0, "k")(b)["k"].to_pylist()
+    want = [r[0] for r in duckdb.sql(
+        "SELECT k FROM b WHERE CAST(('0x' || substring(md5(k),1,8)) AS BIGINT)"
+        " % 10000 < 2000").fetchall()]
+    assert ours == want
+
+
+def test_redact():
+    b = pa.table({
+        "t": ["card 4111-1111-1111-1111 used", "clean", "ssn 123-45-6789"],
+    })
+    out = tr.redact(["t"], [r"\d{4}-\d{4}-\d{4}-\d{4}", r"\d{3}-\d{2}-\d{4}"])(b)
+    assert out["t"].to_pylist() == ["card **** used", "clean", "ssn ****"]
+    assert out["redacted_count"].to_pylist() == [1, 0, 1]
+
+
+def test_chain():
+    fn = tr.chain(tr.add("x", value="1"), tr.attr_convert("x", "int"))
+    assert fn(_b())["x"].to_pylist() == [1, 1, 1]
+
+
+def test_hash_unit_interval_range():
+    v = tr.hash_unit_interval(pa.array(["a", "b", None]))
+    assert ((v >= 0) & (v < 1)).all()
+    assert v[2] == 0.0
+    assert isinstance(v, np.ndarray)
