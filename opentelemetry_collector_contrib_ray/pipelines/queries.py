@@ -297,6 +297,113 @@ def q_window_counts(sf_dir: str):
     return count_by(ds, ["window", "event_type"], count_col="n")
 
 
+# ---------------------------------------------------------------------------
+# training-data operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup over documents: surviving doc_id (min) + copy count per
+    distinct text."""
+    from ..stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shingle-join)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, k=3, threshold=0.5)
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates (jaccard_est >= 0.5). Sketch-based —
+    no SQL oracle; recall vs exact Jaccard is pinned by unit test."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3). Sketch-based — rows-only."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ann_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qm = [row for row in q["embedding"].to_pylist()]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_topk(ds, qm, q["vec_id"].to_pylist(), k=5, round_digits=4)
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine >= 0.3) within each label bucket
+    (the IVF-bucket candidate scope)."""
+    from ..stages.similarity import cosine_pairs_within
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_within(ds, threshold=0.3, round_digits=4)
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting + quality scoring over documents."""
+    from ..stages.textstats import token_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_stats(), batch_format="pyarrow",
+                          batch_size=None)
+
+
+def q_fingerprint(sf_dir: str):
+    """md5 document fingerprint over normalized text."""
+    from ..stages.textstats import fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint(), batch_format="pyarrow",
+                          batch_size=None)
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic (marker-word scoring). Model-like — rows-only."""
+    from ..stages.textstats import LanguageID
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LanguageID, batch_format="pyarrow",
+                          batch_size=None, concurrency=(1, 4))
+
+
+def q_multimodal(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media -> fake image decode via
+    actor pool (real decoder stubbed; see stages/multimodal.py)."""
+    from ..stages.multimodal import ImageDecoder, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(256))
+    return ds.map_batches(ImageDecoder, fn_constructor_args=(True,),
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=(1, 4))
+
+
 def q_sum_events(sf_dir: str):
     """sumconnector over events: total value by event_type. Rounded to 6
     decimals — float sums are order-dependent in the last ulp, so exact-bit
@@ -361,6 +468,60 @@ def oracle_queries() -> dict[str, str]:
         "sum_events": (
             "SELECT event_type, ROUND(sum(value), 6) AS total_value "
             "FROM events GROUP BY event_type"),
+        "exact_dedup": (
+            "SELECT md5(text) AS dedup_key, min(doc_id) AS doc_id, "
+            "count(*) AS n_copies FROM documents GROUP BY text"),
+        "ngram_jaccard": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') arr FROM documents),
+sh AS (SELECT DISTINCT doc_id, arr[i]||' '||arr[i+1]||' '||arr[i+2] AS sh
+       FROM d, unnest(generate_series(1, len(arr)-2)) t(i)),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+          FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, ROUND(i*1.0/(sa.n+sb.n-i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+WHERE i*1.0/(sa.n+sb.n-i) >= 0.5
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT query_id, vec_id,
+             list_cosine_similarity(qe, embedding) AS s
+      FROM q CROSS JOIN embeddings WHERE vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, vec_id) rn FROM c)
+SELECT query_id, vec_id, ROUND(CAST(s AS DOUBLE), 4) AS sim FROM r WHERE rn <= 5
+""",
+        "cosine_pairs": """
+SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+       ROUND(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 4) AS sim
+FROM embeddings x JOIN embeddings y
+  ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.3
+""",
+        "token_stats": """
+WITH p AS (SELECT doc_id, text,
+                  ' ' || replace(text, ' ', '  ') || ' ' AS padded
+           FROM documents)
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       ROUND(length(text)*1.0 / len(string_split(text, ' ')), 6)
+         AS avg_token_len,
+       ROUND((len(string_split(padded, ' the ')) - 1
+            + len(string_split(padded, ' a ')) - 1
+            + len(string_split(padded, ' of ')) - 1
+            + len(string_split(padded, ' and ')) - 1
+            + len(string_split(padded, ' to ')) - 1)*1.0
+            / len(string_split(text, ' ')), 6) AS stopword_ratio
+FROM p
+""",
+        "fingerprint": (
+            "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', "
+            "'g')))) AS fingerprint FROM documents"),
+        # minhash_lsh / simhash / langid / multimodal_decode: sketch- or
+        # model-based -> no SQL oracle (driver records rows-only checks;
+        # recall/accuracy pinned by unit tests instead)
     }
 
 
@@ -409,4 +570,14 @@ def ray_queries() -> dict:
         "attributes_chain": q_attributes,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "multimodal_decode": q_multimodal,
     }

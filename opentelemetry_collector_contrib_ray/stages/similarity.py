@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (list<float>).
+
+Brute-force cosine top-k is the baseline (numpy matmul per batch against a
+broadcast query matrix); the scale path is bucketed LSH (random hyperplanes)
+so candidate generation becomes a hash shuffle, mirroring how enrich/dedup
+stages shuffle only small intermediate rows.
+
+Scale design: the query matrix is broadcast ONCE via ray.put and fetched per
+actor in __init__ (zero-copy from each node's object store). Per-batch work
+is a single float64 GEMM. Global top-k = per-block partial top-k (k rows per
+query per block) -> single-block merge, so the shuffle moves
+O(blocks * nq * k) rows, never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _mat(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast query
+    matrix. Emits (query_id, vec_id, sim) partial candidates."""
+
+    def __init__(self, queries_ref, query_ids, k: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.q = _normalize(np.asarray(q, np.float64))
+        self.query_ids = np.asarray(query_ids, np.int64)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_mat(batch, self.vec_col))
+        sims = self.q @ m.T  # (nq, nb)
+        # exclude self-matches
+        qid_out, vid_out, sim_out = [], [], []
+        k = min(self.k, m.shape[0])
+        for qi in range(sims.shape[0]):
+            s = sims[qi].copy()
+            s[ids == self.query_ids[qi]] = -np.inf
+            # partial top-k within the block (order: sim desc, id asc)
+            idx = np.lexsort((ids, -s))[:k]
+            idx = idx[np.isfinite(s[idx])]
+            qid_out.extend([self.query_ids[qi]] * len(idx))
+            vid_out.extend(ids[idx])
+            sim_out.extend(s[idx])
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int64()),
+            self.id_col: pa.array(np.array(vid_out, np.int64)),
+            "sim": pa.array(np.array(sim_out, np.float64)),
+        })
+
+
+def ann_topk(ds: Dataset, query_vectors: np.ndarray, query_ids,
+             k: int = 5, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", round_digits: int = 6) -> Dataset:
+    """Exact cosine top-k per query over the corpus (baseline ANN oracle)."""
+    ref = ray.put(np.asarray(query_vectors, np.float64)) \
+        if ray.is_initialized() else np.asarray(query_vectors, np.float64)
+    partials = ds.map_batches(
+        BruteForceTopK, fn_constructor_args=(ref, list(query_ids), k,
+                                             vec_col, id_col),
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False)
+        vid = batch[id_col].to_numpy(zero_copy_only=False)
+        sim = batch["sim"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for q in np.unique(qid):
+            m = qid == q
+            idx = np.lexsort((vid[m], -sim[m]))[:k]
+            out_q.extend([q] * len(idx))
+            out_v.extend(vid[m][idx])
+            out_s.extend(np.round(sim[m][idx], round_digits))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(np.array(out_v, np.int64)),
+            "sim": pa.array(np.array(out_s, np.float64)),
+        })
+
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                               batch_size=None)
+
+
+def cosine_pairs_within(ds: Dataset, *, partition_col: str = "label",
+                        threshold: float = 0.3, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        round_digits: int = 6) -> Dataset:
+    """Embedding-cosine near-dup pairs, scoped within a partition key (the
+    IVF-bucket pattern: candidates only inside a coarse cluster — here the
+    given column; at scale the column is a kmeans/LSH bucket id).
+    """
+    def per_group(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        lab = group[partition_col][0].as_py()
+        m = _normalize(_mat(group, vec_col))
+        sims = m @ m.T
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[np.ix_(order, order)]
+        iu = np.triu_indices(len(ids), 1)
+        keep = sims[iu] >= threshold
+        return pa.table({
+            partition_col: pa.array([lab] * int(keep.sum()),
+                                    type=group[partition_col].type),
+            "a": pa.array(ids[iu[0][keep]], pa.int64()),
+            "b": pa.array(ids[iu[1][keep]], pa.int64()),
+            "sim": pa.array(np.round(sims[iu][keep], round_digits)),
+        })
+
+    return ds.groupby(partition_col).map_groups(per_group,
+                                                batch_format="pyarrow")
+
+
+class HyperplaneLSH:
+    """Scale-path ANN candidate generator: sign-random-projection bucket id
+    per vector (Charikar SRP). Vectors sharing a bucket are candidate
+    neighbors; probing multiple tables raises recall."""
+
+    def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 4,
+                 seed: int = 42, vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = [rng.standard_normal((n_bits, dim)) for _ in range(n_tables)]
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _mat(batch, self.vec_col)
+        cols = {n: batch[n] for n in batch.column_names}
+        for t, planes in enumerate(self.planes):
+            bits = (m @ planes.T) >= 0
+            key = np.packbits(bits, axis=1, bitorder="little")[:, :2]
+            vals = key[:, 0].astype(np.int64) | (key[:, 1].astype(np.int64) << 8)
+            cols[f"bucket_{t}"] = pa.array(vals, pa.int64())
+        return pa.table(cols)

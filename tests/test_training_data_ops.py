@@ -1,0 +1,180 @@
+"""Training-data operator tests: dedup family recall, similarity search,
+text stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.dedup import (
+    _word_shingles,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from opentelemetry_collector_contrib_ray.stages.multimodal import (
+    AudioFrameSampler,
+    ImageDecoder,
+    media_batch_size,
+    synth_media_table,
+)
+from opentelemetry_collector_contrib_ray.stages.similarity import (
+    HyperplaneLSH,
+    ann_topk,
+    cosine_pairs_within,
+)
+from opentelemetry_collector_contrib_ray.stages.textstats import (
+    LanguageID,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _brute_jaccard_pairs(threshold, k=3):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sets = _word_shingles(t["text"].to_pylist(), k)
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            if not inter:
+                continue
+            jac = inter / (len(sets[i] | sets[j]))
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = jac
+    return out
+
+
+def test_exact_dedup_counts():
+    out = exact_dedup(_docs_ds()).to_pandas()
+    assert out["n_copies"].sum() == 500  # every row accounted for
+    assert out["doc_id"].is_unique
+
+
+def test_ngram_jaccard_matches_bruteforce():
+    want = _brute_jaccard_pairs(0.5)
+    got = ngram_jaccard_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["a"], got["b"], got["jaccard"])}
+    assert set(got_pairs) == set(want)
+    for k, v in want.items():
+        assert abs(got_pairs[k] - v) < 1e-6
+
+
+def test_minhash_lsh_recall_and_precision_proxy():
+    want = _brute_jaccard_pairs(0.5)
+    got = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    # recall: banding with 32 bands of 4 rows catches virtually all
+    # pairs at j>=0.8; our planted dups are j~1.0 -> must all be found
+    high = {k for k, v in want.items() if v >= 0.8}
+    assert high <= got_pairs
+    # estimates close to truth for found true pairs
+    est = {(a, b): e for a, b, e in zip(got["a"], got["b"],
+                                        got["jaccard_est"])}
+    for k in high:
+        assert est[k] > 0.7
+
+
+def test_simhash_finds_exact_dups():
+    want = _brute_jaccard_pairs(0.99)
+    got = simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert set(want) <= got_pairs  # identical docs have identical simhash
+    assert (got["hamming"] <= 3).all()
+
+
+def test_ann_topk_matches_numpy_bruteforce():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.array(t["embedding"].to_pylist(), np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    q = vecs[:3]
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ norm.T
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = ann_topk(ds, q, [0, 1, 2], k=4).to_pandas()
+    for qi in range(3):
+        s = sims[qi].copy()
+        s[ids == qi] = -np.inf
+        want_ids = ids[np.lexsort((ids, -s))[:4]]
+        got_ids = got[got.query_id == qi]["vec_id"].to_numpy()
+        assert list(got_ids) == list(want_ids)
+
+
+def test_cosine_pairs_symmetric_scope():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = cosine_pairs_within(ds, threshold=0.3).to_pandas()
+    assert (got["a"] < got["b"]).all()
+    assert (got["sim"] >= 0.3).all()
+
+
+def test_hyperplane_lsh_buckets_deterministic():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    lsh = HyperplaneLSH(dim=64)
+    out1, out2 = lsh(t), HyperplaneLSH(dim=64)(t)
+    assert out1["bucket_0"].equals(out2["bucket_0"])
+    assert "bucket_3" in out1.column_names
+    # similar vectors (cos ~1) land in the same bucket
+    v = np.array(t["embedding"].to_pylist()[0], np.float64)
+    t2 = pa.table({"embedding": pa.array([list(v), list(v * 1.01)])})
+    b = HyperplaneLSH(dim=64)(t2)
+    assert b["bucket_0"][0].as_py() == b["bucket_0"][1].as_py()
+
+
+def test_token_stats_basics():
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["the cat sat", "a a b"]})
+    out = token_stats()(b)
+    assert out["n_tokens"].to_pylist() == [3, 3]
+    assert out["stopword_ratio"].to_pylist()[1] == pytest.approx(2 / 3)
+
+
+def test_langid_on_marker_text():
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["the cat and the dog is here",
+                           "der hund und die katze ist da",
+                           "xyz qqq www"]})
+    out = LanguageID()(b)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "unknown"]
+    assert out["lang_conf"].to_pylist()[0] == 1.0
+
+
+def test_multimodal_decode_plumbing():
+    media = synth_media_table(32)
+    ds = ray.data.from_arrow(media)
+    out = ds.map_batches(ImageDecoder, fn_constructor_args=(True,),
+                         batch_format="pyarrow", batch_size=8,
+                         concurrency=(1, 2)).to_pandas()
+    assert len(out) == 32
+    assert len(out["feature"].iloc[0]) == ImageDecoder.FEATURE_DIM
+    # deterministic: same payload -> same feature
+    again = ImageDecoder(True)(media.slice(0, 4))
+    assert again["feature"].to_pylist() == out["feature"].iloc[:4].apply(list).tolist()
+    # real mode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(False)(media.slice(0, 1))
+
+
+def test_audio_frame_sampler():
+    media = synth_media_table(6)
+    out = AudioFrameSampler(n_frames=4)(media)
+    assert len(out["frames"][0].as_py()) == 4
+
+
+def test_media_batch_size_bounds():
+    assert media_batch_size(10 << 20) >= 1
+    assert media_batch_size(100) > 1000
