@@ -83,3 +83,35 @@ def flagship_enrich_spec(use_object_store: bool = True):
         ("role", "service", role_map, "unknown"),
         ("tool", "resource", tool_map, "none"),
     ]
+
+
+def spec_state_bytes(spec) -> int:
+    """Rough in-line size of a spec's lookup state (ObjectRefs count as big —
+    they were put in the object store precisely because they are)."""
+    total = 0
+    for _, _, mapping, _ in spec:
+        if isinstance(mapping, ray.ObjectRef):
+            return 1 << 30
+        total += sum(len(str(k)) + len(str(v)) for k, v in mapping.items())
+    return total
+
+
+def enrich_stage(ds, spec, *, concurrency=None,
+                 task_threshold_bytes: int = 1 << 20):
+    """Plan the enrichment stage: small lookup state ships in the task
+    closure (full task parallelism, no pool cap — fusion with neighboring
+    task stages keeps one seamless pipeline); big state (the real
+    k8sattributes/geoip case) becomes an actor pool that fetches the
+    broadcast once per actor.
+    """
+    if spec_state_bytes(spec) <= task_threshold_bytes:
+        enricher = BroadcastLookupEnricher(spec)  # compiled once, tiny
+        return ds.map_batches(enricher, batch_format="pyarrow",
+                              batch_size=None)
+    # big state: broadcast once, fetch per actor in __init__
+    spec = [(i, o, ray.put(m) if not isinstance(m, ray.ObjectRef)
+             and ray.is_initialized() else m, d) for i, o, m, d in spec]
+    return ds.map_batches(
+        BroadcastLookupEnricher, fn_constructor_args=(spec,),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency or (2, 8))
