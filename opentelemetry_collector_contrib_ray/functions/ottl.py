@@ -1,0 +1,395 @@
+"""OTTL converter/editor library re-expressed as vectorized Arrow kernels.
+
+Reference: pkg/ottl/ottlfuncs/func_*.go (92 function files — SURVEY.md §2.5).
+We do NOT port the participle grammar (pkg/ottl/grammar.go); statements are
+composed in Python: each function here maps Arrow array(s) -> Arrow array,
+usable inside any map_batches stage, and the REGISTRY mirrors the collector's
+function-factory map (ottlfuncs/functions.go) as the user-extension surface.
+
+Conventions:
+  - null in -> null out (OTTL converters propagate pcommon empty similarly)
+  - string kernels are pyarrow.compute (zero-copy); hashes vectorize over the
+    DICTIONARY of distinct values (cost O(cardinality), not O(rows))
+  - time functions take/return timestamp[us] arrays
+
+Functions whose semantics need per-row dynamic typing (is_list on a variant
+column etc.) operate on the declared Arrow column type instead — the flat
+schema makes most is_* checks compile-time constants, documented divergence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid as _uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _arr(x) -> pa.Array:
+    if isinstance(x, pa.ChunkedArray):
+        return x.combine_chunks()
+    return x
+
+
+def _dict_apply(col, fn, out_type=pa.string()):
+    """Apply a python fn over DISTINCT values only (dictionary-encode trick:
+    per-unique cost, vectorized take back)."""
+    d = pc.dictionary_encode(pc.cast(_arr(col), pa.string()))
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    vals = [None if v is None else fn(v) for v in d.dictionary.to_pylist()]
+    return pc.take(pa.array(vals, out_type), d.indices)
+
+
+# --- string (func_convert_case.go, func_split.go, func_substring.go, ...) --
+
+def to_upper_case(col):
+    return pc.utf8_upper(_arr(col))
+
+
+def to_lower_case(col):
+    return pc.utf8_lower(_arr(col))
+
+
+def to_snake_case(col):
+    """func_to_snake_case.go: camel/pascal -> snake."""
+    s = pc.replace_substring_regex(_arr(col), r"(\p{Ll})(\p{Lu})", r"\1_\2")
+    s = pc.replace_substring_regex(s, r"[\s-]+", "_")
+    return pc.utf8_lower(s)
+
+
+def to_camel_case(col):
+    """func_to_camel_case.go: snake/space -> UpperCamel."""
+    def one(v: str) -> str:
+        return "".join(w[:1].upper() + w[1:] for w in v.replace("-", "_")
+                       .replace(" ", "_").split("_") if w)
+    return _dict_apply(col, one)
+
+
+def convert_case(col, to: str):
+    return {"upper": to_upper_case, "lower": to_lower_case,
+            "snake": to_snake_case, "camel": to_camel_case}[to](col)
+
+
+def trim(col, chars: str | None = None):
+    a = _arr(col)
+    return pc.utf8_trim_whitespace(a) if chars is None else pc.utf8_trim(a, chars)
+
+
+def split(col, delimiter: str):
+    return pc.split_pattern(_arr(col), delimiter)
+
+
+def substring(col, start: int, length: int):
+    return pc.utf8_slice_codeunits(_arr(col), start, start + length)
+
+
+def concat(delimiter: str, *cols):
+    """func_concat.go: join operands with delimiter (null -> '')."""
+    parts = [pc.fill_null(pc.cast(_arr(c), pa.string()), "")
+             if isinstance(c, (pa.Array, pa.ChunkedArray)) else c
+             for c in cols]
+    return pc.binary_join_element_wise(*parts, delimiter)
+
+
+def format_str(fmt: str, cols):
+    """func_format.go: %-style sprintf per row (row loop over pylists —
+    Format is control-plane, not a hot-path kernel)."""
+    n = max(len(_arr(c)) for c in cols
+            if isinstance(c, (pa.Array, pa.ChunkedArray)))
+    cols_py = [(_arr(c).to_pylist() if isinstance(c, (pa.Array, pa.ChunkedArray))
+                else [c] * n) for c in cols]
+    return pa.array([fmt % tuple(vals) for vals in zip(*cols_py)], pa.string())
+
+
+def str_len(col):
+    return pc.cast(pc.utf8_length(_arr(col)), pa.int64())
+
+
+def truncate_all(col, limit: int):
+    """func_truncate_all.go: cap string length at limit."""
+    return pc.utf8_slice_codeunits(_arr(col), 0, limit)
+
+
+def replace_pattern(col, pattern: str, replacement: str):
+    """func_replace_pattern.go ($$n group refs -> RE2 \\n)."""
+    return pc.replace_substring_regex(_arr(col), pattern,
+                                      replacement.replace("$$", "\\"))
+
+
+def replace_match(col, glob: str, replacement: str):
+    """func_replace_match.go: glob full-match -> literal replacement."""
+    import fnmatch
+    # RE2 lacks \Z; anchor the translated glob with ^...$ instead
+    rx = "^" + fnmatch.translate(glob).replace("\\Z", "") + "$"
+    m = pc.match_substring_regex(_arr(col), rx)
+    return pc.if_else(pc.fill_null(m, False), pa.scalar(replacement), _arr(col))
+
+
+def is_match(col, pattern: str):
+    """func_is_match.go: RE2 partial match -> bool."""
+    return pc.match_substring_regex(_arr(col), pattern)
+
+
+# --- hash / crypto (func_md5.go, func_sha*.go, func_fnv.go, ...) -----------
+
+def _hashlib_fn(name):
+    def f(col):
+        return _dict_apply(col, lambda v: hashlib.new(name, v.encode())
+                           .hexdigest())
+    f.__name__ = name
+    return f
+
+
+md5 = _hashlib_fn("md5")
+sha1 = _hashlib_fn("sha1")
+sha256 = _hashlib_fn("sha256")
+sha512 = _hashlib_fn("sha512")
+
+
+def fnv(col):
+    """func_fnv.go: FNV-1a 64 -> int64 (Go casts the uint64)."""
+    from ..stages.transform import fnv1a_64
+    h = fnv1a_64(_arr(col)).astype(np.int64)
+    out = pa.array(h, pa.int64())
+    return pc.if_else(pc.is_valid(_arr(col)), out, pa.nulls(len(out), pa.int64()))
+
+
+def hex_encode(col):
+    """func_hex.go: bytes/string -> lowercase hex."""
+    return _dict_apply(col, lambda v: v.encode().hex())
+
+
+def uuid_v4(n: int):
+    """func_uuid.go — nondeterministic by design; provide seeded variant for
+    reproducible pipelines."""
+    return pa.array([str(_uuid.uuid4()) for _ in range(n)], pa.string())
+
+
+def deterministic_uuid(col):
+    """Seeded uuid5 from value (our reproducibility-friendly variant)."""
+    return _dict_apply(col, lambda v: str(_uuid.uuid5(_uuid.NAMESPACE_OID, v)))
+
+
+# --- base64 / decode (func_base64decode.go, func_decode.go) ----------------
+
+def base64_decode(col):
+    import base64
+    return _dict_apply(col, lambda v: base64.b64decode(v).decode("utf-8",
+                                                                "replace"))
+
+
+def base64_encode(col):
+    import base64
+    return _dict_apply(col, lambda v: base64.b64encode(v.encode()).decode())
+
+
+# --- time (func_time.go, func_unix*.go, func_truncate_time.go, ...) --------
+
+def time_parse(col, layout: str):
+    """func_time.go: strptime layout -> timestamp[us] (unparseable -> null)."""
+    return pc.strptime(_arr(col), format=layout, unit="us", error_is_null=True)
+
+
+def format_time(col, layout: str):
+    """func_formattime.go."""
+    return pc.strftime(_arr(col), format=layout)
+
+
+def truncate_time(col, unit: str):
+    """func_truncate_time.go: floor to second/minute/hour/day."""
+    return pc.floor_temporal(_arr(col), unit=unit)
+
+
+def unix_seconds(col):
+    return pc.divide(pc.cast(_arr(col), pa.int64()), 1_000_000)
+
+
+def unix_milli(col):
+    return pc.divide(pc.cast(_arr(col), pa.int64()), 1_000)
+
+
+def unix_micro(col):
+    return pc.cast(_arr(col), pa.int64())
+
+
+def unix_nano(col):
+    return pc.multiply(pc.cast(_arr(col), pa.int64()), 1_000)
+
+
+def year(col):
+    return pc.cast(pc.year(_arr(col)), pa.int64())
+
+
+def month(col):
+    return pc.cast(pc.month(_arr(col)), pa.int64())
+
+
+def day(col):
+    return pc.cast(pc.day(_arr(col)), pa.int64())
+
+
+def weekday(col):
+    """func_weekday.go: Go Sunday=0; Arrow day_of_week Monday=0."""
+    return pc.cast(pc.add(pc.day_of_week(_arr(col), count_from_zero=True,
+                                         week_start=7), 0), pa.int64())
+
+
+def hour(col):
+    return pc.cast(pc.hour(_arr(col)), pa.int64())
+
+
+def minute(col):
+    return pc.cast(pc.minute(_arr(col)), pa.int64())
+
+
+def second(col):
+    return pc.cast(pc.second(_arr(col)), pa.int64())
+
+
+def duration_seconds(col):
+    """func_duration.go equivalent on '1.2s'/'83ms'-style strings -> float
+    seconds."""
+    a = _arr(col)
+    st = pc.extract_regex(a, r"^(?P<num>[0-9.]+)(?P<unit>ns|us|ms|s|m|h)$")
+    num = pc.cast(pc.struct_field(st, "num"), pa.float64())
+    unit = pc.struct_field(st, "unit")
+    factors = pa.array(["ns", "us", "ms", "s", "m", "h"], pa.string())
+    mult = pa.array([1e-9, 1e-6, 1e-3, 1.0, 60.0, 3600.0], pa.float64())
+    f = pc.take(mult, pc.index_in(unit, value_set=factors))
+    return pc.multiply(num, f)
+
+
+# --- type conversion (func_int.go, func_double.go, func_string.go, is_*) ---
+
+def to_int(col):
+    try:
+        return pc.cast(_arr(col), pa.int64())
+    except pa.ArrowInvalid:
+        return _dict_apply(col, _try_int, pa.int64())
+
+
+def _try_int(v):
+    try:
+        return int(float(v))
+    except (ValueError, TypeError):
+        return None
+
+
+def to_double(col):
+    try:
+        return pc.cast(_arr(col), pa.float64())
+    except pa.ArrowInvalid:
+        return _dict_apply(col, _try_float, pa.float64())
+
+
+def _try_float(v):
+    try:
+        return float(v)
+    except (ValueError, TypeError):
+        return None
+
+
+def to_string(col):
+    return pc.cast(_arr(col), pa.string())
+
+
+def is_string(col):
+    t = _arr(col).type
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def is_int(col):
+    return pa.types.is_integer(_arr(col).type)
+
+
+def is_double(col):
+    return pa.types.is_floating(_arr(col).type)
+
+
+def is_bool(col):
+    return pa.types.is_boolean(_arr(col).type)
+
+
+def is_list(col):
+    t = _arr(col).type
+    return pa.types.is_list(t) or pa.types.is_fixed_size_list(t) or \
+        pa.types.is_large_list(t)
+
+
+def is_map(col):
+    t = _arr(col).type
+    return pa.types.is_map(t) or pa.types.is_struct(t)
+
+
+# --- url / useragent (func_url.go, func_useragent.go) ----------------------
+
+URL_RE = (r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
+          r"(?:(?P<userinfo>[^@/]*)@)?"
+          r"(?P<host>[^:/?#]*)(?::(?P<port>\d+))?"
+          r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$")
+
+
+def url_parse(col):
+    """func_url.go semconv fields as a struct column (url.scheme/domain/...)."""
+    return pc.extract_regex(_arr(col), URL_RE)
+
+
+UA_PATTERNS = [
+    ("Firefox", r"Firefox/(?P<version>[\d.]+)"),
+    ("Chrome", r"Chrome/(?P<version>[\d.]+)"),
+    ("Safari", r"Version/(?P<version>[\d.]+).*Safari"),
+    ("curl", r"curl/(?P<version>[\d.]+)"),
+]
+
+
+def useragent_parse(col):
+    """func_useragent.go (ua-parser lite): browser name + version columns."""
+    a = _arr(col)
+    name = pa.nulls(len(a), pa.string())
+    version = pa.nulls(len(a), pa.string())
+    for nm, rx in reversed(UA_PATTERNS):
+        st = pc.extract_regex(a, rx)
+        hit = st.is_valid()
+        name = pc.if_else(hit, pa.scalar(nm), name)
+        version = pc.if_else(hit, pc.struct_field(st, "version"), version)
+    return pa.StructArray.from_arrays(
+        [pc.fill_null(name, "Other"), version], ["name", "version"])
+
+
+# --- registry (the function-factory map, ottlfuncs/functions.go) -----------
+
+REGISTRY = {
+    "ConvertCase": convert_case, "ToUpperCase": to_upper_case,
+    "ToLowerCase": to_lower_case, "ToSnakeCase": to_snake_case,
+    "ToCamelCase": to_camel_case, "Trim": trim, "Split": split,
+    "Substring": substring, "Concat": concat, "Format": format_str,
+    "Len": str_len, "TruncateAll": truncate_all,
+    "ReplacePattern": replace_pattern, "ReplaceMatch": replace_match,
+    "IsMatch": is_match,
+    "MD5": md5, "SHA1": sha1, "SHA256": sha256, "SHA512": sha512,
+    "FNV": fnv, "Hex": hex_encode, "UUID": uuid_v4,
+    "Base64Decode": base64_decode, "Decode": base64_decode,
+    "Time": time_parse, "FormatTime": format_time,
+    "TruncateTime": truncate_time, "UnixSeconds": unix_seconds,
+    "UnixMilli": unix_milli, "UnixMicro": unix_micro, "UnixNano": unix_nano,
+    "Year": year, "Month": month, "Day": day, "Weekday": weekday,
+    "Hour": hour, "Minute": minute, "Second": second,
+    "Duration": duration_seconds,
+    "Int": to_int, "Double": to_double, "String": to_string,
+    "IsString": is_string, "IsInt": is_int, "IsDouble": is_double,
+    "IsBool": is_bool, "IsList": is_list, "IsMap": is_map,
+    "URL": url_parse, "UserAgent": useragent_parse,
+}
+
+
+def register(name: str, fn) -> None:
+    """User-extension surface (mirrors operator.Register /
+    ottl function factories)."""
+    REGISTRY[name] = fn

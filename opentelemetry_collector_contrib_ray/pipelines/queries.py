@@ -404,6 +404,47 @@ def q_multimodal(sf_dir: str):
                           concurrency=(1, 4))
 
 
+def q_otlpjson(sf_dir: str):
+    """otlpjsonconnector: re-parse JSON payload column into typed columns
+    (events.props carries a JSON object)."""
+    from ..stages.connectors import otlpjson_parser
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    fn = otlpjson_parser("props", {"k": ("$.k", "int")})
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
+        .select_columns(["event_id", "k"])
+
+
+def q_uri_parse(sf_dir: str):
+    """stanza uri parser over URLs reconstructed from apache-parsed paths."""
+    from ..stages.connectors import uri_parser
+
+    ds = build_parsed(sf_dir)
+
+    def mk_url(b: pa.Table) -> pa.Table:
+        path = b["http_path"]
+        if isinstance(path, pa.ChunkedArray):
+            path = path.combine_chunks()
+        url = pc.binary_join_element_wise(
+            "https://api.example.com:8443", path, "")
+        return b.append_column("url", url)
+
+    ds = ds.map_batches(mk_url, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(uri_parser("url"), batch_format="pyarrow",
+                        batch_size=None)
+
+    def only_parsed(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["uri_scheme"].combine_chunks()
+                                    if isinstance(b["uri_scheme"],
+                                                  pa.ChunkedArray)
+                                    else b["uri_scheme"]))
+
+    ds = ds.map_batches(only_parsed, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "uri_scheme", "uri_host",
+                              "uri_port", "uri_path", "uri_query"])
+
+
 def q_sum_events(sf_dir: str):
     """sumconnector over events: total value by event_type. Rounded to 6
     decimals — float sums are order-dependent in the last ulp, so exact-bit
@@ -468,6 +509,10 @@ def oracle_queries() -> dict[str, str]:
         "sum_events": (
             "SELECT event_type, ROUND(sum(value), 6) AS total_value "
             "FROM events GROUP BY event_type"),
+        "otlpjson": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) AS k FROM events"),
+        "uri_parse": _uri_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS dedup_key, min(doc_id) AS doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY text"),
@@ -544,6 +589,18 @@ FROM g GROUP BY conv_id, seg
 """
 
 
+def _uri_sql() -> str:
+    v = parsed_view_sql()
+    return v + """
+SELECT conv_id, turn_idx, 'https' AS uri_scheme,
+       'api.example.com' AS uri_host, '8443' AS uri_port,
+       regexp_extract(http_path, '^([^?]*)', 1) AS uri_path,
+       CASE WHEN http_path LIKE '%?%' THEN
+         regexp_extract(http_path, '\\?(.*)$', 1) END AS uri_query
+FROM routed WHERE http_path IS NOT NULL
+"""
+
+
 def _redact_sql() -> str:
     pat = "|".join(f"(?:{p})" for p in REDACT_PATTERNS)
     return (
@@ -570,6 +627,8 @@ def ray_queries() -> dict:
         "attributes_chain": q_attributes,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,
+        "otlpjson": q_otlpjson,
+        "uri_parse": q_uri_parse,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,

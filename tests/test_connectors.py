@@ -1,0 +1,76 @@
+"""Connector-family + remaining parser tests (SURVEY.md §2.7-2.8)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.connectors import (
+    container_parser,
+    failover_sink,
+    groupbyattrs,
+    otlpjson_parser,
+    roundrobin,
+    uri_parser,
+)
+
+
+def test_otlpjson_parser():
+    b = pa.table({"props": ['{"k": 87, "s": "x"}', '{"k": 1}', "not json"]})
+    out = otlpjson_parser("props", {"k": ("$.k", "int"),
+                                    "s": ("$.s", "string")})(b)
+    assert out["k"].to_pylist() == [87, 1, None]
+    assert out["s"].to_pylist() == ["x", None, None]
+
+
+def test_uri_parser():
+    b = pa.table({"u": ["https://example.com:8443/a/b?x=1", "garbage"]})
+    out = uri_parser("u")(b)
+    assert out["uri_scheme"].to_pylist() == ["https", None]
+    assert out["uri_host"].to_pylist()[0] == "example.com"
+    assert out["uri_port"].to_pylist()[0] == "8443"
+    assert out["uri_path"].to_pylist()[0] == "/a/b"
+    assert out["uri_query"].to_pylist()[0] == "x=1"
+
+
+def test_container_parser():
+    line = "2026-01-01T00:00:00.000Z stdout F hello from app"
+    path = ("/var/log/pods/ns1_mypod_abc-123/app/0.log")
+    b = pa.table({"text": [line, "free text"], "path": [path, path]})
+    out = container_parser("text", path_col="path")(b)
+    assert out["cri_stream"].to_pylist() == ["stdout", None]
+    assert out["cri_log"].to_pylist()[0] == "hello from app"
+    assert out["k8s_namespace"].to_pylist()[0] == "ns1"
+    assert out["k8s_pod_name"].to_pylist()[0] == "mypod"
+    assert out["k8s_container_name"].to_pylist()[0] == "app"
+
+
+def test_groupbyattrs_identity():
+    b = pa.table({"svc": ["a", "a", "b"], "env": ["p", "p", "p"]})
+    out = groupbyattrs(["svc", "env"])(b)
+    ids = out["resource_id"].to_pylist()
+    assert ids[0] == ids[1] != ids[2]
+
+
+def test_roundrobin_split():
+    ds = ray.data.range(10)
+    parts = roundrobin(ds, 2)
+    assert len(parts) == 2
+    assert sum(p.count() for p in parts) == 10
+
+
+def test_failover_sink():
+    calls = []
+
+    def bad(batch):
+        calls.append("bad")
+        raise OSError("sink down")
+
+    def good(batch):
+        calls.append("good")
+        return batch
+
+    b = pa.table({"x": [1]})
+    out = failover_sink(bad, good)(b)
+    assert out == b and calls == ["bad", "good"]
+    with pytest.raises(OSError):
+        failover_sink(bad, bad)(b)

@@ -1,0 +1,129 @@
+"""OTTL function-library conformance tests — mirrors the shape of the
+reference's e2e statement corpus (pkg/ottl/e2e/e2e_test.go, SURVEY.md §5.3):
+each case = (function application, expected output) over a canonical fixture.
+"""
+
+import datetime
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.functions import ottl
+
+S = pa.array(["operationA", "Hello World", "snake_case_str", None])
+TS = pa.array([datetime.datetime(2020, 2, 11, 20, 26, 12, 321)], pa.timestamp("us"))
+
+
+def test_case_conversions():
+    assert ottl.to_upper_case(S).to_pylist() == [
+        "OPERATIONA", "HELLO WORLD", "SNAKE_CASE_STR", None]
+    assert ottl.to_lower_case(S).to_pylist()[0] == "operationa"
+    assert ottl.to_snake_case(pa.array(["fooBarBaz", "Hello World"])) \
+        .to_pylist() == ["foo_bar_baz", "hello_world"]
+    assert ottl.to_camel_case(pa.array(["foo_bar", "hello world"])) \
+        .to_pylist() == ["FooBar", "HelloWorld"]
+    assert ottl.convert_case(pa.array(["aB"]), "snake").to_pylist() == ["a_b"]
+
+
+def test_string_functions():
+    assert ottl.trim(pa.array(["  x  "])).to_pylist() == ["x"]
+    assert ottl.split(pa.array(["a,b,c"]), ",").to_pylist() == [["a", "b", "c"]]
+    assert ottl.substring(pa.array(["abcdef"]), 1, 3).to_pylist() == ["bcd"]
+    assert ottl.concat("-", pa.array(["a", None]), pa.array(["b", "c"])) \
+        .to_pylist() == ["a-b", "-c"]
+    assert ottl.str_len(S).to_pylist() == [10, 11, 14, None]
+    assert ottl.truncate_all(pa.array(["abcdef"]), 3).to_pylist() == ["abc"]
+    assert ottl.format_str("%s=%d", [pa.array(["x"]), pa.array([7])]) \
+        .to_pylist() == ["x=7"]
+
+
+def test_replace_functions():
+    assert ottl.replace_pattern(
+        pa.array(["id=123"]), r"id=(\d+)", "num=$$1").to_pylist() == ["num=123"]
+    assert ottl.replace_match(
+        pa.array(["hello world", "nope"]), "hello*", "greeting") \
+        .to_pylist() == ["greeting", "nope"]
+    assert ottl.is_match(pa.array(["operationA"]), "^op").to_pylist() == [True]
+
+
+def test_hash_functions():
+    assert ottl.md5(pa.array(["x"])).to_pylist()[0] == \
+        hashlib.md5(b"x").hexdigest()
+    assert ottl.sha256(pa.array(["x", None])).to_pylist() == [
+        hashlib.sha256(b"x").hexdigest(), None]
+    # FNV-1a 64 reference vector, as int64 two's complement (Go cast)
+    got = ottl.fnv(pa.array(["foobar"])).to_pylist()[0]
+    assert got == (0x85944171f73967e8 - (1 << 64))
+    assert ottl.hex_encode(pa.array(["AB"])).to_pylist() == ["4142"]
+    u = ottl.deterministic_uuid(pa.array(["a", "a", "b"])).to_pylist()
+    assert u[0] == u[1] != u[2]
+    assert len(ottl.uuid_v4(3)) == 3
+
+
+def test_base64():
+    assert ottl.base64_decode(pa.array(["aGVsbG8="])).to_pylist() == ["hello"]
+    assert ottl.base64_encode(pa.array(["hello"])).to_pylist() == ["aGVsbG8="]
+
+
+def test_time_functions():
+    t = ottl.time_parse(pa.array(["2020-02-11 20:26:12"]), "%Y-%m-%d %H:%M:%S")
+    assert t.to_pylist()[0].hour == 20
+    assert ottl.format_time(TS, "%Y-%m-%d").to_pylist() == ["2020-02-11"]
+    assert ottl.truncate_time(TS, "hour").to_pylist()[0].minute == 0
+    assert ottl.unix_seconds(TS).to_pylist()[0] == 1581452772
+    assert ottl.unix_milli(TS).to_pylist()[0] == 1581452772000
+    assert ottl.unix_micro(TS).to_pylist()[0] == 1581452772000321
+    assert ottl.unix_nano(TS).to_pylist()[0] == 1581452772000321000
+    assert ottl.year(TS).to_pylist() == [2020]
+    assert ottl.month(TS).to_pylist() == [2]
+    assert ottl.day(TS).to_pylist() == [11]
+    assert ottl.hour(TS).to_pylist() == [20]
+    assert ottl.minute(TS).to_pylist() == [26]
+    assert ottl.second(TS).to_pylist() == [12]
+    # 2020-02-11 is a Tuesday; Go Weekday: Sunday=0 -> 2
+    assert ottl.weekday(TS).to_pylist() == [2]
+
+
+def test_duration():
+    got = ottl.duration_seconds(pa.array(["1.2s", "83ms", "2m", "bad"]))
+    assert got.to_pylist()[:3] == pytest.approx([1.2, 0.083, 120.0])
+    assert got.to_pylist()[3] is None
+
+
+def test_type_conversions():
+    assert ottl.to_int(pa.array(["12", "x"])).to_pylist() == [12, None]
+    assert ottl.to_double(pa.array(["1.5"])).to_pylist() == [1.5]
+    assert ottl.to_string(pa.array([1, 2])).to_pylist() == ["1", "2"]
+    assert ottl.is_string(S) and not ottl.is_int(S)
+    assert ottl.is_int(pa.array([1]))
+    assert ottl.is_double(pa.array([1.0]))
+    assert ottl.is_bool(pa.array([True]))
+    assert ottl.is_list(pa.array([[1]]))
+
+
+def test_url_parse():
+    st = ottl.url_parse(pa.array(["http://localhost:8080/health?q=1#frag"]))
+    assert st.is_valid()[0].as_py() if hasattr(st.is_valid()[0], 'as_py') else st.is_valid()[0]
+    import pyarrow.compute as pc
+    assert pc.struct_field(st, "scheme").to_pylist() == ["http"]
+    assert pc.struct_field(st, "host").to_pylist() == ["localhost"]
+    assert pc.struct_field(st, "port").to_pylist() == ["8080"]
+    assert pc.struct_field(st, "path").to_pylist() == ["/health"]
+    assert pc.struct_field(st, "query").to_pylist() == ["q=1"]
+
+
+def test_useragent():
+    ua = ottl.useragent_parse(pa.array([
+        "Mozilla/5.0 Chrome/120.0.0.0 Safari/537.36",
+        "curl/8.4.0", "weird-bot/1.0"]))
+    import pyarrow.compute as pc
+    assert pc.struct_field(ua, "name").to_pylist() == ["Chrome", "curl", "Other"]
+    assert pc.struct_field(ua, "version").to_pylist()[:2] == ["120.0.0.0", "8.4.0"]
+
+
+def test_registry_and_extension():
+    assert "SHA256" in ottl.REGISTRY and callable(ottl.REGISTRY["SHA256"])
+    assert len(ottl.REGISTRY) >= 45
+    ottl.register("MyFunc", lambda c: c)
+    assert "MyFunc" in ottl.REGISTRY
