@@ -96,6 +96,7 @@ WITH raw AS (
   SELECT conv_id, turn_idx, role, text, tool, ts, tb_head, tb_cont,
     len(g_ap)>0 AS ap_ok, len(g_kv)>0 AS kv_ok,
     len(g_js)>0 AS js_ok, len(g_sy)>0 AS sy_ok,
+    m_ap_s.ip AS ap_ip,
     m_ap_s.method AS ap_method, m_ap_s.path AS ap_path,
     CAST(m_ap_s.status AS INTEGER) AS ap_status,
     [m_kv_s.level, m_kv_s.code, m_kv_s.latency, m_kv_s.msg, m_kv_s.tool] AS m_kv,
@@ -122,6 +123,7 @@ WITH raw AS (
          WHEN sy_ok THEN 'syslog' WHEN tb_head THEN 'traceback'
          WHEN tb_cont THEN 'traceback_cont' ELSE 'plain' END AS template,
     COALESCE(sev_ap, sev_kv, sev_js, sev_sy, sev_tb, 0) AS severity_number,
+    ap_ip AS client_ip,
     ap_status AS http_status, ap_method AS http_method, ap_path AS http_path,
     m_kv[1] AS log_level, COALESCE(m_kv[2], m_js[2]) AS error_code,
     CAST(m_kv[3] AS BIGINT) AS latency_ms, m_kv[4] AS msg,
@@ -404,6 +406,36 @@ def q_multimodal(sf_dir: str):
                           concurrency=(1, 4))
 
 
+# 203.0.113.x split into two synthetic "networks" for the geoip analogue
+GEO_RANGES = [
+    ((203 << 24) | (0 << 16) | (113 << 8) | 0,
+     (203 << 24) | (0 << 16) | (113 << 8) | 99, "zoneA"),
+    ((203 << 24) | (0 << 16) | (113 << 8) | 100,
+     (203 << 24) | (0 << 16) | (113 << 8) | 255, "zoneB"),
+]
+
+
+def q_geoip(sf_dir: str):
+    """geoipprocessor analogue: range-lookup enrichment of apache client IPs
+    (sorted-interval binary search held by an actor pool)."""
+    from ..stages.enrich import RangeLookupEnricher
+
+    ds = build_parsed(sf_dir)
+    ds = ds.map_batches(
+        RangeLookupEnricher,
+        fn_constructor_args=(GEO_RANGES, "client_ip", "net", True, "other"),
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+
+    def only_apache(b: pa.Table) -> pa.Table:
+        t = b["template"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return b.filter(pc.equal(t, "apache"))
+
+    ds = ds.map_batches(only_apache, batch_format="pyarrow", batch_size=None)
+    return count_by(ds, ["net"], count_col="n")
+
+
 def q_otlpjson(sf_dir: str):
     """otlpjsonconnector: re-parse JSON payload column into typed columns
     (events.props carries a JSON object)."""
@@ -509,6 +541,10 @@ def oracle_queries() -> dict[str, str]:
         "sum_events": (
             "SELECT event_type, ROUND(sum(value), 6) AS total_value "
             "FROM events GROUP BY event_type"),
+        "geoip_ranges": parsed_view_sql() + (
+            "SELECT CASE WHEN CAST(split_part(client_ip,'.',4) AS BIGINT) "
+            "<= 99 THEN 'zoneA' ELSE 'zoneB' END AS net, count(*) AS n "
+            "FROM routed WHERE template = 'apache' GROUP BY 1"),
         "otlpjson": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') "
             "AS BIGINT) AS k FROM events"),
@@ -627,6 +663,7 @@ def ray_queries() -> dict:
         "attributes_chain": q_attributes,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,
+        "geoip_ranges": q_geoip,
         "otlpjson": q_otlpjson,
         "uri_parse": q_uri_parse,
         "exact_dedup": q_exact_dedup,

@@ -115,3 +115,64 @@ def enrich_stage(ds, spec, *, concurrency=None,
         BroadcastLookupEnricher, fn_constructor_args=(spec,),
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency or (2, 8))
+
+
+class RangeLookupEnricher:
+    """Actor-pool stage for interval lookups — the geoipprocessor pattern
+    (maxmind db opened once per actor; per-record range query, SURVEY.md
+    §2.6). State: sorted, non-overlapping [start, end] -> value intervals,
+    broadcast once via ray.put and fetched in __init__; per batch the probe
+    is one vectorized np.searchsorted.
+
+    Works on any orderable key; ``ip_to_int`` vectorizes dotted-quad IPv4
+    strings for the classic geo case.
+    """
+
+    def __init__(self, ranges_ref, key_col: str, out_col: str,
+                 key_is_ip: bool = False, default=None):
+        import numpy as np
+
+        r = ray.get(ranges_ref) if isinstance(ranges_ref, ray.ObjectRef) \
+            else ranges_ref
+        starts, ends, values = zip(*sorted(r)) if r else ((), (), ())
+        self.starts = np.asarray(starts, np.uint64)
+        self.ends = np.asarray(ends, np.uint64)
+        self.values = pa.array(values, pa.string())
+        self.key_col, self.out_col = key_col, out_col
+        self.key_is_ip, self.default = key_is_ip, default
+
+    @staticmethod
+    def ip_to_int(col: pa.Array):
+        """Vectorized dotted-quad IPv4 -> uint32 (no per-row Python)."""
+        import numpy as np
+
+        st = pc.extract_regex(
+            col, r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$")
+        parts = [pc.cast(pc.struct_field(st, g), pa.uint64())
+                 for g in ("a", "b", "c", "d")]
+        out = pc.add(pc.add(pc.multiply(parts[0], pa.scalar(1 << 24, pa.uint64())),
+                            pc.multiply(parts[1], pa.scalar(1 << 16, pa.uint64()))),
+                     pc.add(pc.multiply(parts[2], pa.scalar(1 << 8, pa.uint64())),
+                            parts[3]))
+        _ = np
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = batch[self.key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys = self.ip_to_int(col) if self.key_is_ip else pc.cast(col, pa.uint64())
+        valid = pc.is_valid(keys)
+        k = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.searchsorted(self.starts, k, side="right") - 1
+        in_range = (idx >= 0) & (k <= self.ends[np.clip(idx, 0, None)]) \
+            if len(self.starts) else np.zeros(len(k), bool)
+        take_idx = pa.array(np.where(in_range, np.clip(idx, 0, None), -1),
+                            pa.int64())
+        out = pc.take(self.values, pc.if_else(
+            pc.and_(pa.array(in_range), valid), take_idx, pa.scalar(None, pa.int64())))
+        if self.default is not None:
+            out = pc.coalesce(out, pa.scalar(self.default, pa.string()))
+        return batch.append_column(self.out_col, out)

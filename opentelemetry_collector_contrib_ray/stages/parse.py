@@ -131,6 +131,7 @@ def parse_transcript_batch(batch: pa.Table) -> pa.Table:
         "template": template,
         "severity_number": severity,
         "severity_text": sev_text,
+        "client_ip": f(ap, "ip"),
         "http_status": status,
         "http_method": f(ap, "method"),
         "http_path": f(ap, "path"),
@@ -314,3 +315,36 @@ def _set_column(batch: pa.Table, name: str, arr) -> pa.Table:
     if name in batch.column_names:
         return batch.set_column(batch.column_names.index(name), name, arr)
     return batch.append_column(name, arr)
+
+
+# --- syslog RFC3164 (parser/syslog/parser.go BSD format path) -------------
+
+RFC3164_RE = (r'^<(?P<pri>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d '
+              r'\d{2}:\d{2}:\d{2}) (?P<host>\S+) '
+              r'(?P<app>[^\[:]+)(?:\[(?P<pid>\d+)\])?: (?P<msg>.*)$')
+
+
+def syslog_rfc3164_parser(parse_from: str = "text", prefix: str = "syslog_"):
+    """RFC3164 (BSD) syslog: `<pri>Mmm dd hh:mm:ss host app[pid]: msg` ->
+    pri/host/app/pid/msg columns + severity from pri&7 (parser.go:239-260).
+    Unmatched rows pass through with nulls (on_error=send)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        st = pc.extract_regex(col, RFC3164_RE)
+        pri = pc.cast(pc.struct_field(st, "pri"), pa.int32())
+        sev_idx = pc.bit_wise_and(pri, 7)
+        for name in ("host", "app", "pid", "msg"):
+            batch = _set_column(batch, prefix + name, pc.struct_field(st, name))
+        batch = _set_column(batch, prefix + "pri", pri)
+        batch = _set_column(batch, prefix + "facility",
+                            pc.cast(pc.divide(pri, 8), pa.int32()))
+        batch = _set_column(batch, "severity_number",
+                            pc.coalesce(pc.take(_SYSLOG_SEV, sev_idx),
+                                        pa.scalar(0, pa.int32())))
+        batch = _set_column(batch, "severity_text",
+                            pc.coalesce(pc.take(_SYSLOG_TEXT, sev_idx),
+                                        pa.scalar("")))
+        return batch
+    return fn

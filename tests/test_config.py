@@ -1,0 +1,88 @@
+"""Config-driven pipeline builder + condition grammar tests (the YAML
+surface: stanza operators list / route table / expr conditions)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.pipelines.config import (
+    build_from_config,
+    compile_operators,
+    parse_condition,
+    register_operator,
+)
+
+
+def _b():
+    return pa.table({
+        "text": ['level=error code=E1 latency_ms=5 msg="x" tool=bash',
+                 "plain line"],
+        "sev": pa.array([17, 0], pa.int32()),
+        "role": ["user", "assistant"],
+    })
+
+
+def test_condition_grammar():
+    b = _b()
+    assert parse_condition('sev >= 17').mask(b).to_pylist() == [True, False]
+    assert parse_condition('role == "user" or sev > 10').mask(b).to_pylist() \
+        == [True, False]
+    assert parse_condition('not (sev == 17)').mask(b).to_pylist() == \
+        [False, True]
+    assert parse_condition('text matches "^level="').mask(b).to_pylist() == \
+        [True, False]
+    assert parse_condition('text contains "plain"').mask(b).to_pylist() == \
+        [False, True]
+    assert parse_condition('role in ["user", "system"]').mask(b).to_pylist() \
+        == [True, False]
+    assert parse_condition('sev != 17 and role == "assistant"') \
+        .mask(b).to_pylist() == [False, True]
+
+
+def test_condition_errors():
+    with pytest.raises(ValueError):
+        parse_condition('sev >=')
+    with pytest.raises(ValueError):
+        parse_condition('sev ~~ 3')
+
+
+def test_compile_operator_chain():
+    fn = compile_operators([
+        {"type": "key_value_parser", "keys": ["level", "code"]},
+        {"type": "severity_parser", "parse_from": "attr_level"},
+        {"type": "add", "field": "env", "value": "prod"},
+        {"type": "copy", "from": "env", "to": "env2"},
+        {"type": "remove", "fields": ["env"]},
+    ])
+    out = fn(_b())
+    assert out["attr_code"].to_pylist() == ["E1", None]
+    assert out["severity_number"].to_pylist() == [17, 0]
+    assert "env" not in out.column_names and out["env2"].to_pylist() == \
+        ["prod", "prod"]
+
+
+def test_full_config_pipeline():
+    cfg = {
+        "operators": [
+            {"type": "key_value_parser", "keys": ["level"]},
+            {"type": "severity_parser", "parse_from": "attr_level"},
+            {"type": "filter", "expr": 'text contains "never-matches"'},
+        ],
+        "routes": [
+            {"condition": "severity_number >= 17", "sink": "errors"},
+            {"condition": 'role == "assistant"', "sink": "agent"},
+        ],
+        "default_sink": "rest",
+    }
+    ds = ray.data.from_arrow(_b())
+    out = build_from_config(ds, cfg).to_pandas()
+    assert list(out["sink"]) == ["errors", "agent"]
+
+
+def test_register_operator_extension():
+    register_operator("exclaim", lambda cfg: lambda b: b.append_column(
+        "bang", pa.array(["!"] * b.num_rows)))
+    fn = compile_operators([{"type": "exclaim"}])
+    assert fn(_b())["bang"].to_pylist() == ["!", "!"]
+    with pytest.raises(ValueError):
+        compile_operators([{"type": "nope"}])

@@ -98,3 +98,18 @@ def test_time_parser_strptime_and_epoch():
     t2 = pa.table({"e": pa.array([1_700_000_000])})
     out2 = time_parser("e", "s", layout_type="epoch")(t2)
     assert out2["ts_parsed"].to_pylist()[0].year == 2023
+
+
+def test_syslog_rfc3164():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        syslog_rfc3164_parser,
+    )
+    t = _t(["<34>Jan 11 22:14:15 myhost app[123]: something failed",
+            "<13>Feb  3 01:02:03 h2 cron: run", "nope"])
+    out = syslog_rfc3164_parser()(t)
+    assert out["syslog_host"].to_pylist() == ["myhost", "h2", None]
+    assert out["syslog_app"].to_pylist()[:2] == ["app", "cron"]
+    # pri 34 -> facility 4, sev idx 2 -> crit(ERROR2=18); 13 -> notice(10)
+    assert out["severity_number"].to_pylist() == [18, 10, 0]
+    assert out["severity_text"].to_pylist() == ["crit", "notice", ""]
+    assert out["syslog_facility"].to_pylist() == [4, 1, None]

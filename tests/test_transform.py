@@ -135,3 +135,16 @@ def test_hash_unit_interval_range():
     assert ((v >= 0) & (v < 1)).all()
     assert v[2] == 0.0
     assert isinstance(v, np.ndarray)
+
+
+def test_range_lookup_enricher():
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        RangeLookupEnricher,
+    )
+    ranges = [(0xCB007100, 0xCB0071FF, "testnet"),
+              (0x0A000000, 0x0AFFFFFF, "private")]
+    e = RangeLookupEnricher(ranges, "ip", "net", key_is_ip=True,
+                            default="unknown")
+    b = pa.table({"ip": ["203.0.113.7", "10.1.2.3", "8.8.8.8", "bad", None]})
+    assert e(b)["net"].to_pylist() == [
+        "testnet", "private", "unknown", "unknown", "unknown"]
