@@ -1,0 +1,153 @@
+"""Grok pattern compiler: %{PATTERN:name:type} -> RE2 named-capture regex.
+
+Reference: OTTL ExtractGrokPatterns (pkg/ottl/ottlfuncs/
+func_extract_grok_patterns.go:38-90) wraps elastic/go-grok: a grok expression
+references a library of named sub-patterns, compiles to one regex with named
+captures, and optionally types captures (int/long/float/bool).
+
+We compile grok -> RE2 source text (pure string expansion, recursive with a
+depth cap) and execute via pyarrow.compute.extract_regex — the same zero-copy
+vectorized path as every other parser. Default pattern library mirrors the
+commonly-used core of the grok ecosystem (logstash-patterns; public corpus).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Core pattern library (subset of the public logstash/go-grok base set).
+BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?(?:[0-9]+)",
+    "NUMBER": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?)",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?)",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "BOOL": r"true|false",
+    "QUOTEDSTRING": r'"(?:[^"\\]*(?:\\.[^"\\]*)*)"',
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": (r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\.(?:25[0-5]"
+             r"|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}"),
+    "IP": (r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\.(?:25[0-5]"
+           r"|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}"),
+    "HOSTNAME": (r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z]"
+                 r"[0-9A-Za-z-]{0,62}))*\.?\b"),
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "MONTH": (r"\bJan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
+              r"Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|"
+              r"Nov(?:ember)?|Dec(?:ember)?\b"),
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"2[0123]|[01]?[0-9]",
+    "MINUTE": r"[0-5][0-9]",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIMESTAMP_ISO8601": (r"(?:\d\d){1,2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]"
+                          r"|3[01])[T ](?:2[0123]|[01]?[0-9]):?(?:[0-5][0-9])"
+                          r"(?::?(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?))?"
+                          r"(?:Z|[+-](?:2[0123]|[01]?[0-9])(?::?(?:[0-5][0-9])))?"),
+    "HTTPDATE": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])/\w{3}/(?:\d\d){1,2}:(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:[0-5][0-9]) [+-][0-9]{4}",
+    "LOGLEVEL": (r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|"
+                 r"NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?"
+                 r"(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|"
+                 r"[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|"
+                 r"SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?"),
+    "SYSLOGTIMESTAMP": (r"\bJan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?"
+                        r"|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?"
+                        r"|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?\b +"
+                        r"(?:0[1-9]|[12][0-9]|3[01]|[1-9]) "
+                        r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:[0-5][0-9])"),
+}
+
+# COMMONAPACHELOG built from the pieces (classic combined/common log format)
+BASE_PATTERNS["COMMONAPACHELOG"] = (
+    r'%{IPV4:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+    r'\[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}'
+    r'(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+    r'%{NONNEGINT:response:int} (?:%{NONNEGINT:bytes:int}|-)')
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")
+
+_TYPE_CASTS = {
+    "int": pa.int64(), "long": pa.int64(),
+    "float": pa.float64(), "double": pa.float64(),
+    "bool": pa.bool_(),
+}
+
+
+class GrokCompiler:
+    """Compile grok expressions against a pattern library. Extend via
+    ``GrokCompiler(extra={"MYPAT": r"..."})`` — the custom-definitions knob
+    of ExtractGrokPatterns."""
+
+    def __init__(self, extra: dict[str, str] | None = None,
+                 max_depth: int = 16):
+        self.patterns = dict(BASE_PATTERNS)
+        if extra:
+            self.patterns.update(extra)
+        self.max_depth = max_depth
+
+    def compile(self, expression: str) -> tuple[str, dict[str, pa.DataType]]:
+        """-> (RE2 source with named captures, {capture: arrow type})."""
+        types: dict[str, pa.DataType] = {}
+        seen_names: set[str] = set()
+
+        def expand(expr: str, depth: int) -> str:
+            if depth > self.max_depth:
+                raise ValueError("grok recursion depth exceeded")
+
+            def sub(m: re.Match) -> str:
+                pat, name, typ = m.group(1), m.group(2), m.group(3)
+                if pat not in self.patterns:
+                    raise ValueError(f"unknown grok pattern %{{{pat}}}")
+                body = expand(self.patterns[pat], depth + 1)
+                if not name:
+                    return f"(?:{body})"
+                safe = re.sub(r"\W", "_", name)
+                if safe in seen_names:  # RE2 rejects duplicate group names
+                    return f"(?:{body})"
+                seen_names.add(safe)
+                if typ:
+                    types[safe] = _TYPE_CASTS.get(typ, pa.string())
+                return f"(?P<{safe}>{body})"
+
+            return _GROK_REF.sub(sub, expr)
+
+        return expand(expression, 0), types
+
+
+def extract_grok_patterns(expression: str, parse_from: str = "text",
+                          prefix: str = "", extra: dict[str, str] | None = None,
+                          on_error: str = "send"):
+    """OTTL ExtractGrokPatterns as a map_batches stage: named captures ->
+    columns (typed captures cast per the :type suffix)."""
+    regex, types = GrokCompiler(extra).compile(expression)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        st = pc.extract_regex(col, regex)
+        for i in range(st.type.num_fields):
+            name = st.type.field(i).name
+            arr = pc.struct_field(st, name)
+            if name in types and not pa.types.is_string(types[name]):
+                if pa.types.is_boolean(types[name]):
+                    arr = pc.equal(arr, "true")
+                else:
+                    arr = pc.cast(arr, types[name])
+            batch = batch.append_column(prefix + name, arr)
+        if on_error == "drop":
+            batch = batch.filter(st.is_valid())
+        return batch
+
+    return fn

@@ -1,0 +1,225 @@
+"""OTTL map/list editors over Arrow map<string,string> columns.
+
+Reference: the editor family operating on pcommon.Map attributes —
+func_keep_keys.go, func_delete_key.go, func_delete_matching_keys.go,
+func_keep_matching_keys.go, func_merge_maps.go, func_limit.go,
+func_flatten.go, func_sort.go, func_to_key_value_string.go,
+func_slice_to_map.go (SURVEY.md §2.5 map/list row).
+
+The flat-table engine promotes hot attributes to first-class columns, but
+open maps remain first-class for the long tail: these kernels rebuild the
+map child arrays vectorized (numpy over flattened keys/items + offset
+arithmetic) — no Python per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _map_parts(arr: pa.Array):
+    """-> (offsets int64[n+1], keys, items, validity bool[n])."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets)
+    keys = arr.keys
+    items = arr.items
+    valid = ~np.asarray(pc.is_null(arr))
+    return arr, offsets, keys, items, valid
+
+
+def _offsets_arr(new_offsets: np.ndarray, valid: np.ndarray) -> pa.Array:
+    """Offsets with None at invalid rows (Arrow: a null offset nulls the
+    row)."""
+    if valid.all():
+        return pa.array(new_offsets, pa.int32())
+    vals = [int(v) for v in new_offsets]
+    out = [vals[i] if (i >= len(valid) or valid[i]) else None
+           for i in range(len(vals))]
+    return pa.array(out, pa.int32())
+
+
+def _rebuild(offsets, keys, items, keep_mask: np.ndarray,
+             valid: np.ndarray) -> pa.MapArray:
+    """Filter entries by keep_mask (over the flattened children), recompute
+    offsets vectorized, preserve row validity."""
+    kept_per_row = np.add.reduceat(
+        keep_mask.astype(np.int64), offsets[:-1]) if len(offsets) > 1 else \
+        np.array([], np.int64)
+    # reduceat quirk: empty row slices copy the next value — zero them
+    row_len = offsets[1:] - offsets[:-1]
+    kept_per_row = np.where(row_len == 0, 0, kept_per_row)
+    new_offsets = np.concatenate([[0], np.cumsum(kept_per_row)])
+    new_keys = keys.filter(pa.array(keep_mask))
+    new_items = items.filter(pa.array(keep_mask))
+    return pa.MapArray.from_arrays(
+        _offsets_arr(new_offsets, valid), new_keys, new_items)
+
+
+def keep_keys(col, keys_to_keep: list[str]) -> pa.MapArray:
+    """func_keep_keys.go: retain only the listed keys."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    keep = np.asarray(pc.is_in(keys, value_set=pa.array(keys_to_keep)))
+    return _rebuild(offsets, keys, items, keep, valid)
+
+
+def delete_key(col, key: str) -> pa.MapArray:
+    """func_delete_key.go."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    keep = ~np.asarray(pc.equal(keys, key)).astype(bool)
+    return _rebuild(offsets, keys, items, keep, valid)
+
+
+def delete_matching_keys(col, pattern: str) -> pa.MapArray:
+    """func_delete_matching_keys.go: drop keys matching the RE2 pattern."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    keep = ~np.asarray(pc.match_substring_regex(keys, pattern)).astype(bool)
+    return _rebuild(offsets, keys, items, keep, valid)
+
+
+def keep_matching_keys(col, pattern: str) -> pa.MapArray:
+    """func_keep_matching_keys.go."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    keep = np.asarray(pc.match_substring_regex(keys, pattern)).astype(bool)
+    return _rebuild(offsets, keys, items, keep, valid)
+
+
+def limit_map(col, n: int) -> pa.MapArray:
+    """func_limit.go: cap entries per map (keeps the first n, map order)."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    idx = np.arange(len(keys))
+    row_of = np.searchsorted(offsets[1:], idx, side="right")
+    keep = (idx - offsets[row_of]) < n
+    return _rebuild(offsets, keys, items, keep, valid)
+
+
+def map_get(col, key: str) -> pa.Array:
+    """attributes["key"] accessor: first value for the key per row."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    hit = np.asarray(pc.equal(keys, key)).astype(bool)
+    idx = np.arange(len(keys))
+    row_of = np.searchsorted(offsets[1:], idx, side="right")
+    n_rows = len(offsets) - 1
+    first = np.full(n_rows, -1, np.int64)
+    # reverse order so earlier entries win
+    for i in idx[hit][::-1]:
+        first[row_of[i]] = i
+    take = pa.array(np.where(first >= 0, first, 0), pa.int64())
+    vals = pc.take(items, take)
+    return pc.if_else(pa.array(first >= 0), vals,
+                      pa.nulls(n_rows, items.type))
+
+
+def map_set(col, key: str, values) -> pa.MapArray:
+    """set(attributes["key"], v): upsert one key per row (vectorized:
+    delete-then-append at row end)."""
+    arr, offsets, keys, items, valid = _map_parts(col)
+    without = delete_key(arr, key)
+    _, offs2, keys2, items2, valid2 = _map_parts(without)
+    n_rows = len(offs2) - 1
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array([values] * n_rows, items2.type)
+    elif isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    # interleave: for each row, existing entries then the new (key, value)
+    new_counts = (offs2[1:] - offs2[:-1]) + 1
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
+    total = int(new_offsets[-1])
+    pos = np.zeros(total, np.int64)  # source index into old children or -1
+    is_new = np.zeros(total, bool)
+    for r in range(n_rows):
+        s, e = offs2[r], offs2[r + 1]
+        ns = new_offsets[r]
+        pos[ns:ns + (e - s)] = np.arange(s, e)
+        is_new[ns + (e - s)] = True
+    old_take = pa.array(np.where(is_new, 0, pos), pa.int64())
+    row_take = pa.array(np.searchsorted(new_offsets[1:],
+                                        np.arange(total), side="right"),
+                        pa.int64())
+    out_keys = pc.if_else(pa.array(is_new), pa.scalar(key),
+                          pc.take(keys2, old_take))
+    out_items = pc.if_else(pa.array(is_new), pc.take(values, row_take),
+                           pc.take(items2, old_take))
+    return pa.MapArray.from_arrays(
+        _offsets_arr(new_offsets, valid2), out_keys, out_items)
+
+
+def merge_maps(target, source) -> pa.MapArray:
+    """func_merge_maps.go (upsert strategy): source entries override target."""
+    t, t_off, t_keys, t_items, t_valid = _map_parts(target)
+    s, s_off, s_keys, s_items, s_valid = _map_parts(source)
+    out = t
+    # per distinct source key: set into target (source maps are small)
+    for k in pc.unique(s_keys).to_pylist():
+        vals = map_get(s, k)
+        has = pc.is_valid(vals)
+        cur = map_get(out, k)
+        merged = pc.if_else(has, vals, cur)
+        # only set where source has the key OR target already had it
+        out = map_set(out, k, pc.if_else(pc.or_(has, pc.is_valid(cur)),
+                                         merged, merged))
+        # rows where neither had the key now carry a null item; drop those
+        _, offs, ks, its, vld = _map_parts(out)
+        keep = ~(np.asarray(pc.equal(ks, k)).astype(bool) &
+                 np.asarray(pc.is_null(its)))
+        out = _rebuild(offs, ks, its, keep, vld)
+    return out
+
+
+def to_key_value_string(col, delimiter: str = "=",
+                        pair_delimiter: str = " ") -> pa.Array:
+    """func_to_key_value_string.go: map -> 'k=v k2=v2' string per row."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    pairs = pc.binary_join_element_wise(keys, pc.cast(items, pa.string()),
+                                        delimiter)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pairs)
+    out = pc.binary_join(lists, pair_delimiter)
+    return pc.if_else(pa.array(valid), out, pa.nulls(len(valid), pa.string()))
+
+
+def slice_to_map(col, keys_for_positions: list[str]) -> pa.MapArray:
+    """func_slice_to_map.go: list column -> map with positional keys."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.asarray(col.offsets)
+    values = col.values
+    n = len(keys_for_positions)
+    idx = np.arange(len(values))
+    pos_in_row = idx - offsets[np.searchsorted(offsets[1:], idx, side="right")]
+    keep = pos_in_row < n
+    key_arr = pa.array([keys_for_positions[p] for p in pos_in_row[keep]],
+                       pa.string())
+    row_len = np.minimum(offsets[1:] - offsets[:-1], n)
+    new_offsets = np.concatenate([[0], np.cumsum(row_len)])
+    valid = ~np.asarray(pc.is_null(col))
+    return pa.MapArray.from_arrays(
+        _offsets_arr(new_offsets, valid), key_arr,
+        values.filter(pa.array(keep)))
+
+
+def flatten_struct(batch: pa.Table, col: str, prefix: str = "",
+                   resolve_conflicts: bool = False, drop: bool = True
+                   ) -> pa.Table:
+    """func_flatten.go applied to a struct column: promote fields to
+    top-level columns ``prefix + name`` (suffix numbering on conflicts when
+    resolve_conflicts, reference's resolveConflicts knob)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    for i in range(arr.type.num_fields):
+        name = prefix + arr.type.field(i).name
+        if name in batch.column_names:
+            if not resolve_conflicts:
+                raise ValueError(f"flatten conflict on {name!r}")
+            k = 0
+            while f"{name}.{k}" in batch.column_names:
+                k += 1
+            name = f"{name}.{k}"
+        batch = batch.append_column(name, pc.struct_field(arr, i))
+    if drop:
+        batch = batch.drop_columns([col])
+    return batch

@@ -436,6 +436,27 @@ def q_geoip(sf_dir: str):
     return count_by(ds, ["net"], count_col="n")
 
 
+def q_grok(sf_dir: str):
+    """OTTL ExtractGrokPatterns: %{COMMONAPACHELOG} over transcript text
+    (the canonical grok parse of the north rule)."""
+    from ..functions.grok import extract_grok_patterns
+
+    ds = _raw_transcripts(sf_dir).select_columns(["conv_id", "turn_idx",
+                                                  "text"])
+    fn = extract_grok_patterns("%{COMMONAPACHELOG}")
+    ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    def only_matched(b: pa.Table) -> pa.Table:
+        c = b["clientip"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return b.filter(pc.is_valid(c))
+
+    ds = ds.map_batches(only_matched, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "clientip", "auth",
+                              "verb", "request", "response", "bytes"])
+
+
 def q_otlpjson(sf_dir: str):
     """otlpjsonconnector: re-parse JSON payload column into typed columns
     (events.props carries a JSON object)."""
@@ -541,6 +562,19 @@ def oracle_queries() -> dict[str, str]:
         "sum_events": (
             "SELECT event_type, ROUND(sum(value), 6) AS total_value "
             "FROM events GROUP BY event_type"),
+        "grok_apache": f"""
+WITH t AS (SELECT conv_id, turn_idx, text
+           FROM read_parquet('{_transcripts_glob()}')),
+m AS (SELECT conv_id, turn_idx,
+        CASE WHEN len(regexp_extract_all(text, '{_AP}')) > 0 THEN
+          regexp_extract(text, '{_AP}',
+            ['ip','m_user','ats','method','path','status','bytes']) END AS s
+      FROM t)
+SELECT conv_id, turn_idx, s.ip AS clientip, s.m_user AS auth,
+       s.method AS verb, s.path AS request,
+       CAST(s.status AS BIGINT) AS response, CAST(s.bytes AS BIGINT) AS bytes
+FROM m WHERE s IS NOT NULL
+""",
         "geoip_ranges": parsed_view_sql() + (
             "SELECT CASE WHEN CAST(split_part(client_ip,'.',4) AS BIGINT) "
             "<= 99 THEN 'zoneA' ELSE 'zoneB' END AS net, count(*) AS n "
@@ -663,6 +697,7 @@ def ray_queries() -> dict:
         "attributes_chain": q_attributes,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,
+        "grok_apache": q_grok,
         "geoip_ranges": q_geoip,
         "otlpjson": q_otlpjson,
         "uri_parse": q_uri_parse,

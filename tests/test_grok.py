@@ -1,0 +1,61 @@
+"""Grok compiler tests (OTTL ExtractGrokPatterns semantics)."""
+
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.functions.grok import (
+    GrokCompiler,
+    extract_grok_patterns,
+)
+
+
+def test_compile_simple():
+    rx, types = GrokCompiler().compile("%{INT:n:int} %{WORD:w}")
+    assert "(?P<n>" in rx and "(?P<w>" in rx
+    assert types == {"n": pa.int64()}
+
+
+def test_apache_common_log():
+    line = ('203.0.113.7 - alice [11/Feb/2026:20:26:12 +0000] '
+            '"GET /api/v1/items?q=3 HTTP/1.1" 500 1534')
+    fn = extract_grok_patterns("%{COMMONAPACHELOG}")
+    out = fn(pa.table({"text": [line, "no match"]}))
+    assert out["clientip"].to_pylist() == ["203.0.113.7", None]
+    assert out["auth"].to_pylist()[0] == "alice"
+    assert out["verb"].to_pylist()[0] == "GET"
+    assert out["response"].to_pylist() == [500, None]  # typed capture -> int
+    assert out["bytes"].to_pylist()[0] == 1534
+
+
+def test_custom_patterns_and_types():
+    fn = extract_grok_patterns(
+        "%{ERRCODE:code} ok=%{BOOL:ok:bool} v=%{NUMBER:v:float}",
+        extra={"ERRCODE": r"E\d+"})
+    out = fn(pa.table({"text": ["E42 ok=true v=1.5", "E7 ok=false v=2"]}))
+    assert out["code"].to_pylist() == ["E42", "E7"]
+    assert out["ok"].to_pylist() == [True, False]
+    assert out["v"].to_pylist() == [1.5, 2.0]
+
+
+def test_unknown_pattern_raises():
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        GrokCompiler().compile("%{NOPE:x}")
+
+
+def test_recursion_cap():
+    c = GrokCompiler(extra={"A": "%{B}", "B": "%{A}"})
+    with pytest.raises(ValueError, match="depth"):
+        c.compile("%{A}")
+
+
+def test_on_error_drop():
+    fn = extract_grok_patterns("%{INT:n:int}$", on_error="drop")
+    out = fn(pa.table({"text": ["42", "xx"]}))
+    assert out.num_rows == 1 and out["n"].to_pylist() == [42]
+
+
+def test_duplicate_capture_names_skipped():
+    rx, _ = GrokCompiler().compile("%{INT:x} %{INT:x}")
+    import re as _re
+    assert rx.count("(?P<x>") == 1  # RE2 rejects dup names; second is anon
+    _ = _re
