@@ -356,6 +356,23 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(ds, qm, q["vec_id"].to_pylist(), k=5, round_digits=4)
 
 
+def q_ann_lsh(sf_dir: str):
+    """Scale-path ANN: hyperplane-LSH candidate pruning + exact re-rank
+    (approximate by design -> rows-only; recall vs brute force pinned in
+    tests/test_training_data_ops.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ann_lsh_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_lsh_topk(ds, q["embedding"].to_pylist(),
+                        q["vec_id"].to_pylist(), k=5, n_bits=6, n_tables=12)
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine >= 0.3) within each label bucket
     (the IVF-bucket candidate scope)."""
@@ -706,6 +723,7 @@ def ray_queries() -> dict:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
         "cosine_pairs": q_cosine_pairs,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,

@@ -147,7 +147,43 @@ class HyperplaneLSH:
         cols = {n: batch[n] for n in batch.column_names}
         for t, planes in enumerate(self.planes):
             bits = (m @ planes.T) >= 0
-            key = np.packbits(bits, axis=1, bitorder="little")[:, :2]
-            vals = key[:, 0].astype(np.int64) | (key[:, 1].astype(np.int64) << 8)
+            powers = (1 << np.arange(bits.shape[1], dtype=np.int64))
+            vals = bits.astype(np.int64) @ powers
             cols[f"bucket_{t}"] = pa.array(vals, pa.int64())
         return pa.table(cols)
+
+
+def ann_lsh_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
+                 n_bits: int = 10, n_tables: int = 8, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_digits: int = 6):
+    """Scale-path ANN: hyperplane-LSH candidate pruning + exact re-rank.
+
+    The corpus is bucketed per table (vectorized sign projections); a row is
+    a candidate iff it shares >= 1 bucket with >= 1 query in any table. Only
+    candidates reach the exact top-k stage, so per-batch work drops from
+    O(corpus x queries) to O(candidates x queries) — the recall/cost dial is
+    (n_bits, n_tables). Returns (topk_dataset, stats_dict)."""
+    q = np.asarray(query_vectors, np.float64)
+    dim = q.shape[1]
+    lsh = HyperplaneLSH(dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
+                        vec_col=vec_col)
+    # query buckets with the SAME planes
+    q_tagged = lsh(pa.table({vec_col: pa.array(list(map(list, q)),
+                                               pa.list_(pa.float64()))}))
+    q_buckets = [set(q_tagged[f"bucket_{t}"].to_pylist())
+                 for t in range(n_tables)]
+    bucket_sets = [pa.array(sorted(b), pa.int64()) for b in q_buckets]
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        tagged = lsh(batch)
+        import pyarrow.compute as pc
+        keep = None
+        for t in range(n_tables):
+            m = pc.is_in(tagged[f"bucket_{t}"], value_set=bucket_sets[t])
+            keep = m if keep is None else pc.or_(keep, m)
+        return batch.filter(pc.fill_null(keep, False))
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=None)
+    return ann_topk(cand, q, query_ids, k=k, vec_col=vec_col, id_col=id_col,
+                    round_digits=round_digits)

@@ -1,0 +1,66 @@
+"""Skew handling tests: hot-key detection + salted map_groups (SURVEY.md §4;
+the generator plants 3 hot conversations on purpose)."""
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.sources.transcripts import (
+    ensure_transcripts,
+)
+from opentelemetry_collector_contrib_ray.state.skew import (
+    add_salt,
+    detect_hot_keys,
+    salted_map_groups,
+)
+
+
+def _ds():
+    return ray.data.read_parquet(ensure_transcripts("/root/testdata/sf0.001"))
+
+
+def test_detect_hot_keys_finds_planted_conversations():
+    hot = detect_hot_keys(_ds(), "conv_id", threshold_fraction=0.01)
+    # generator forces conv 0..2 hot at ~2% of all turns each
+    assert {"conv-00000000", "conv-00000001", "conv-00000002"} <= set(hot)
+    # small sf: the geometric-length tail crosses 1% too; still a short list
+    assert len(hot) < 50
+
+
+def test_add_salt_splits_only_hot_keys():
+    ds = _ds()
+    hot = {"conv-00000000": 120}
+    out = add_salt(ds, "conv_id", hot, rows_per_salt=40,
+                   order_col="turn_idx").to_pandas()
+    hot_salts = out[out.conv_id == "conv-00000000"]["_salt"].nunique()
+    cold_salts = out[out.conv_id == "conv-00000010"]["_salt"].nunique()
+    assert hot_salts == 3 and cold_salts == 1
+    # range-bucket salting: salt is monotone in turn_idx per conversation
+    sub = out[out.conv_id == "conv-00000000"].sort_values("turn_idx")
+    assert (sub["_salt"].diff().fillna(0) >= 0).all()
+
+
+def test_salted_map_groups_equals_unsalted():
+    ds = _ds()
+    hot = detect_hot_keys(ds, "conv_id", threshold_fraction=0.01)
+
+    def count_group(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": [g["conv_id"][0].as_py()],
+            "n": pa.array([g.num_rows], pa.int64()),
+        })
+
+    def merge_counts(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "conv_id": [g["conv_id"][0].as_py()],
+            "n": pa.array([pc.sum(g["n"]).as_py()], pa.int64()),
+        })
+
+    salted = salted_map_groups(
+        ds.select_columns(["conv_id", "turn_idx"]), "conv_id",
+        count_group, merge_counts, hot_keys=hot, rows_per_salt=50,
+        order_col="turn_idx").to_pandas()
+    plain = _ds().groupby("conv_id").count().to_pandas() \
+        .rename(columns={"count()": "n"})
+    m = salted.merge(plain, on="conv_id", suffixes=("_s", "_p"))
+    assert (m["n_s"] == m["n_p"]).all() and len(m) == len(plain)

@@ -178,3 +178,33 @@ def test_audio_frame_sampler():
 def test_media_batch_size_bounds():
     assert media_batch_size(10 << 20) >= 1
     assert media_batch_size(100) > 1000
+
+
+def test_ann_lsh_recall_vs_bruteforce():
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        ann_lsh_topk,
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.array(t["embedding"].to_pylist(), np.float64)
+    q = vecs[:5]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = ann_topk(ds, q, list(range(5)), k=5).to_pandas()
+    ds2 = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    approx = ann_lsh_topk(ds2, q, list(range(5)), k=5,
+                          n_bits=6, n_tables=12).to_pandas()
+    hits = 0
+    for qi in range(5):
+        want = set(exact[exact.query_id == qi].vec_id)
+        got = set(approx[approx.query_id == qi].vec_id)
+        hits += len(want & got)
+    recall = hits / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # determinism
+    approx2 = ann_lsh_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]),
+        q, list(range(5)), k=5, n_bits=6, n_tables=12).to_pandas()
+    assert approx.equals(approx2)
