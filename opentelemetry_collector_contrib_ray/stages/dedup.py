@@ -97,6 +97,8 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
     """
     import ray
 
+    n_parts = 32
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         shs = _word_shingles(batch[text_col].to_pylist(), k)
@@ -104,7 +106,11 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
         for i, s in zip(ids, shs):
             out_id.extend([i] * len(s))
             out_sh.extend(s)
-        return pa.table({"sh": pa.array(out_sh, pa.string()),
+        # shingle md5-64 as the join key: stable across workers (Python's
+        # hash() is per-process randomized), 64-bit collision ~2^-64
+        h = _shingle_hashes(out_sh).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+        return pa.table({"sh": pa.array(h),
+                         "sh_part": pa.array(h % n_parts),
                          id_col: pa.array(out_id, pa.int64())})
 
     def sizes_partial(batch: pa.Table) -> pa.Table:
@@ -123,21 +129,36 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
-    def pairs_per_shingle(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
-        if max_df is not None and len(ids) > max_df:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64())})
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """All shingles of one coarse partition: sort by shingle, emit the
+        per-shingle id-pair cross products vectorized."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [n]])
+        a_out, b_out = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            bids = ids[s:e]
+            iu = np.triu_indices(m, 1)
+            a_out.append(bids[iu[0]])
+            b_out.append(bids[iu[1]])
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64())})
 
-    pair_counts = exploded.groupby("sh").map_groups(
-        pairs_per_shingle, batch_format="pyarrow")
+    pair_counts = exploded.groupby("sh_part").map_groups(
+        partition_pairs, batch_format="pyarrow")
 
     # count co-occurrences per (a,b): partial count per block, merge
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -215,7 +236,42 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         shs = _word_shingles(batch[self.text_col].to_pylist(), self.k)
-        sigs = np.stack([minhash_signature(s, self.a, self.b) for s in shs])
+        # batch-vectorized: hash each DISTINCT shingle once, one (num_perm x
+        # total_shingles) permutation matmul, then per-doc minima via
+        # np.minimum.reduceat — no per-doc Python loop
+        uniq: dict[str, int] = {}
+        doc_idx = []
+        counts = np.empty(len(shs), np.int64)
+        for i, s in enumerate(shs):
+            counts[i] = len(s)
+            for sh in s:
+                j = uniq.get(sh)
+                if j is None:
+                    j = len(uniq)
+                    uniq[sh] = j
+                doc_idx.append(j)
+        maxv = np.iinfo(np.uint64).max
+        if uniq:
+            h_uniq = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                 for s in uniq), np.uint64, len(uniq))
+            h = h_uniq[np.asarray(doc_idx, np.int64)]
+            with np.errstate(over="ignore"):
+                vals = (h[None, :] * self.a[:, None] +
+                        self.b[:, None]) % _MERSENNE
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            nonempty = counts > 0
+            sigs = np.full((len(shs), self.num_perm), maxv, np.uint64)
+            if nonempty.any():
+                # reduceat over the offsets of nonempty docs only: empty
+                # docs contribute no elements, so consecutive selected
+                # offsets strictly increase and each segment is exactly one
+                # doc's shingle hashes
+                seg_min = np.minimum.reduceat(vals.T, offsets[nonempty],
+                                              axis=0)
+                sigs[nonempty] = seg_min
+        else:
+            sigs = np.full((len(shs), self.num_perm), maxv, np.uint64)
         flat = pa.array(sigs.astype(np.int64).ravel(), pa.int64())
         return pa.table({
             self.id_col: batch[self.id_col],
@@ -223,16 +279,31 @@ class MinHasher:
         })
 
 
+def _mix64(mat: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized 64-bit mixing hash of each ROW of a small uint64 matrix
+    (splitmix-style multiply-xor chain). Collision probability ~2^-64 per
+    bucket — fine for LSH candidate grouping."""
+    with np.errstate(over="ignore"):
+        init = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF)
+        h = np.full(mat.shape[0], init, np.uint64)
+        for c in range(mat.shape[1]):
+            h = (h ^ mat[:, c]) * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(31)
+    return h
+
+
 def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
                       k: int = 3, threshold: float = 0.5,
-                      text_col: str = "text",
-                      id_col: str = "doc_id") -> Dataset:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_parts: int = 32) -> Dataset:
     """Near-dup pairs via MinHash signatures + LSH banding.
 
-    Plan: sign (actor pool) -> explode (band_id, bucket_hash) rows ->
-    groupby bucket (hash shuffle; only id+signature move) -> pairs within
-    bucket -> dedup pairs -> estimate Jaccard from signature agreement ->
-    filter >= threshold. Output: (a, b, jaccard_est).
+    Plan: sign (actor pool) -> explode (bucket, id, sig) rows (bucket =
+    vectorized 64-bit band hash) -> groupby COARSE bucket_part (hash shuffle
+    of n_parts groups — per-group scheduling cost is per PARTITION, not per
+    bucket; buckets are grouped vectorized inside each partition) -> pairs
+    within bucket -> dedup pairs -> jaccard estimate from signature
+    agreement -> filter >= threshold. Output: (a, b, jaccard_est).
     """
     rows_per_band = num_perm // bands
     signed = ds.map_batches(
@@ -241,53 +312,63 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
         sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(
-            len(ids), num_perm)
-        out_bucket, out_id, out_sig = [], [], []
+            n, num_perm).astype(np.uint64)
+        buckets = np.empty(bands * n, np.uint64)
         for bi in range(bands):
             band = sig[:, bi * rows_per_band:(bi + 1) * rows_per_band]
-            # bucket key: band index + md5 of band bytes
-            for r in range(len(ids)):
-                key = f"{bi}:" + hashlib.md5(band[r].tobytes()).hexdigest()[:16]
-                out_bucket.append(key)
-                out_id.append(ids[r])
-                out_sig.append(sig[r])
-        flat = pa.array(np.concatenate(out_sig).astype(np.int64)
-                        if out_sig else np.array([], np.int64))
+            buckets[bi * n:(bi + 1) * n] = _mix64(band, bi)
+        out_ids = np.tile(ids, bands)
+        sig_rep = np.tile(sig.astype(np.int64), (bands, 1))
         return pa.table({
-            "bucket": pa.array(out_bucket, pa.string()),
-            id_col: pa.array(out_id, pa.int64()),
-            "sig": pa.FixedSizeListArray.from_arrays(flat, num_perm),
+            "bucket": pa.array(buckets.astype(np.int64)),
+            "bucket_part": pa.array((buckets % n_parts).astype(np.int64)),
+            id_col: pa.array(out_ids, pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_rep.ravel(), pa.int64()), num_perm),
         })
 
     exploded = signed.map_batches(explode_bands, batch_format="pyarrow",
                                   batch_size=None)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """All buckets of one coarse partition, grouped vectorized."""
         n = group.num_rows
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard_est": pa.array([], pa.float64())})
         if n < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "jaccard_est": pa.array([], pa.float64())})
+            return empty
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
         ids = group[id_col].to_numpy(zero_copy_only=False)
         sig = np.asarray(group["sig"].combine_chunks().flatten()).reshape(
             n, num_perm)
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
-        a, b, est = [], [], []
-        for i in range(n):
-            agree = (sig[i + 1:] == sig[i][None, :]).mean(axis=1)
-            for off, e in enumerate(agree):
-                if ids[i] != ids[i + 1 + off]:
-                    a.append(ids[i])
-                    b.append(ids[i + 1 + off])
-                    est.append(float(e))
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64()),
-                         "jaccard_est": pa.array(est, pa.float64())})
+        order = np.lexsort((ids, bucket))
+        bucket, ids, sig = bucket[order], ids[order], sig[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(bucket[1:] != bucket[:-1])[0] + 1, [n]])
+        a_out, b_out, e_out = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            bids, bsig = ids[s:e], sig[s:e]
+            for i in range(m - 1):
+                agree = (bsig[i + 1:] == bsig[i][None, :]).mean(axis=1)
+                neq = bids[i + 1:] != bids[i]
+                a_out.append(np.full(neq.sum(), bids[i]))
+                b_out.append(bids[i + 1:][neq])
+                e_out.append(agree[neq])
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64()),
+                         "jaccard_est": pa.array(
+                             np.concatenate(e_out), pa.float64())})
 
-    pairs = exploded.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
+    pairs = exploded.groupby("bucket_part").map_groups(
+        partition_pairs, batch_format="pyarrow")
 
     # same pair surfaces from multiple bands -> keep one, filter by estimate
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -339,44 +420,63 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
 
     signed = ds.map_batches(sign, batch_format="pyarrow", batch_size=None)
 
+    n_parts = 16
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
         sig = batch["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        buckets, oid, osig = [], [], []
+        buckets = np.empty(4 * n, np.uint64)
         for c in range(4):
             chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            for r in range(len(ids)):
-                buckets.append(f"{c}:{chunk[r]}")
-                oid.append(ids[r])
-                osig.append(sig[r])
-        return pa.table({"bucket": pa.array(buckets, pa.string()),
-                         id_col: pa.array(oid, pa.int64()),
-                         "sig": pa.array(np.array(osig, np.uint64)
-                                         .astype(np.int64))})
+            buckets[c * n:(c + 1) * n] = chunk | (np.uint64(c) << np.uint64(17))
+        return pa.table({
+            "bucket": pa.array(buckets.astype(np.int64)),
+            "bucket_part": pa.array((buckets % n_parts).astype(np.int64)),
+            id_col: pa.array(np.tile(ids, 4), pa.int64()),
+            "sig": pa.array(np.tile(sig, 4).astype(np.int64)),
+        })
 
     exploded = signed.map_batches(explode, batch_format="pyarrow",
                                   batch_size=None)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    _POP = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
         ids = group[id_col].to_numpy(zero_copy_only=False)
         sig = group["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
+        order = np.lexsort((ids, bucket))
+        bucket, ids, sig = bucket[order], ids[order], sig[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(bucket[1:] != bucket[:-1])[0] + 1, [n]])
         a, b, d = [], [], []
-        for i in range(len(ids)):
-            x = sig[i] ^ sig[i + 1:]
-            ham = np.array([bin(v).count("1") for v in x])
-            for off in np.nonzero(ham <= max_hamming)[0]:
-                if ids[i] != ids[i + 1 + off]:
-                    a.append(ids[i])
-                    b.append(ids[i + 1 + off])
-                    d.append(int(ham[off]))
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(d, pa.int64())})
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            bids, bsig = ids[s:e], sig[s:e]
+            for i in range(len(bids) - 1):
+                x = (bsig[i] ^ bsig[i + 1:]).view(np.uint8) \
+                    .reshape(-1, 8)
+                ham = _POP[x].sum(axis=1).astype(np.int64)
+                keep = (ham <= max_hamming) & (bids[i + 1:] != bids[i])
+                a.append(np.full(keep.sum(), bids[i]))
+                b.append(bids[i + 1:][keep])
+                d.append(ham[keep])
+        if not a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a), pa.int64()),
+                         "b": pa.array(np.concatenate(b), pa.int64()),
+                         "hamming": pa.array(np.concatenate(d), pa.int64())})
 
-    pairs = exploded.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
+    pairs = exploded.groupby("bucket_part").map_groups(
+        partition_pairs, batch_format="pyarrow")
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["a", "b"]).aggregate([("hamming", "min")])

@@ -91,11 +91,37 @@ def recombine_blocks(ds: Dataset, **kw) -> Dataset:
 
 
 def recombine_grouped(ds: Dataset, *, source_col: str = "conv_id",
-                      order_col: str = "turn_idx", **kw) -> Dataset:
-    """General path: shuffle each source's rows together, sort, merge."""
-    def per_group(group: pa.Table) -> pa.Table:
-        group = group.sort_by(order_col)
+                      order_col: str = "turn_idx", n_parts: int = 32,
+                      **kw) -> Dataset:
+    """General path: hash-co-locate sources, sort, merge.
+
+    Shuffles on a COARSE partition key (hash(source) % n_parts) rather than
+    the source itself: one map_groups call processes a whole partition of
+    sources vectorized (merge_segments handles multiple sources per table),
+    so per-group scheduling cost is per partition — thousands of small
+    conversations don't pay per-conversation task overhead.
+    """
+    import zlib
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        src = batch[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        # deterministic cross-worker hash, computed once per DISTINCT source
+        d = pc.dictionary_encode(src)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        per_uniq = pa.array(
+            [zlib.crc32(v.encode()) % n_parts if v is not None else 0
+             for v in d.dictionary.to_pylist()], pa.int64())
+        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_part"]).sort_by(
+            [(source_col, "ascending"), (order_col, "ascending")])
         return merge_segments(group, source_col=source_col,
                               order_col=order_col, **kw)
 
-    return ds.groupby(source_col).map_groups(per_group, batch_format="pyarrow")
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_part").map_groups(per_partition,
+                                              batch_format="pyarrow")
