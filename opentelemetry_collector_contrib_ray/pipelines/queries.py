@@ -515,6 +515,16 @@ def q_uri_parse(sf_dir: str):
                               "uri_port", "uri_path", "uri_query"])
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions per user over the events stream (the batch
+    analogue of groupbytrace/tailsampling's buffered gather)."""
+    from ..stages.sessionize import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return sessionize(ds, key_col="user_id", gap="30m")
+
+
 def q_sum_events(sf_dir: str):
     """sumconnector over events: total value by event_type. Rounded to 6
     decimals — float sums are order-dependent in the last ulp, so exact-bit
@@ -573,6 +583,22 @@ def oracle_queries() -> dict[str, str]:
             f"sha256(regexp_extract(text, '- (\\S+) \\[', 1)) END "
             f"AS user_name, 'prod' AS env "
             f"FROM read_parquet('{_transcripts_glob()}')"),
+        "sessionize": """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+  FROM s
+)
+SELECT user_id, sidx AS session_idx, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM g GROUP BY user_id, sidx
+""",
         "window_counts": (
             "SELECT date_trunc('hour', ts) AS window, event_type, "
             "count(*) AS n FROM events GROUP BY 1, 2"),
@@ -712,6 +738,7 @@ def ray_queries() -> dict:
         "sampler": q_sampler,
         "redaction": q_redact,
         "attributes_chain": q_attributes,
+        "sessionize": q_sessionize,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,
         "grok_apache": q_grok,

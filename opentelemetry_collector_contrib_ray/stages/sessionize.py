@@ -1,0 +1,86 @@
+"""Gap-based sessionization — the batch analogue of the trace-grouping
+family (groupbytraceprocessor's wait_duration gather, tailsampling's
+decision_wait buffering — SURVEY.md §2.6, §2.11): in batch mode complete
+groups are available, so "wait for the trace to finish" becomes "group by
+key, order by time, split where the gap exceeds the timeout".
+
+Plan shape mirrors recombine: coarse hash partition on the key, per
+partition one vectorized sort + boundary scan. Output: one row per session
+with start/end, duration, and event count.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
+               gap: str = "30m", n_parts: int = 32) -> Dataset:
+    """Sessions = maximal runs of a key's events where consecutive gaps are
+    <= ``gap`` ('30m', '90s', '1h'). Returns per-session rows:
+    (key, session_idx, session_start, session_end, n_events)."""
+    unit = gap[-1]
+    mult = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000}[unit]
+    gap_us = int(float(gap[:-1]) * mult)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        d = pc.dictionary_encode(pc.cast(k, pa.string()))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        per_uniq = pa.array(
+            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
+             for v in d.dictionary.to_pylist()], pa.int64())
+        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending")])
+        n = group.num_rows
+        key_t = group[key_col].type
+        empty = pa.table({
+            key_col: pa.array([], key_t),
+            "session_idx": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "session_end": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        keys = group[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        key_change = np.concatenate(
+            [[True], np.asarray(pc.not_equal(keys.slice(1),
+                                             keys.slice(0, n - 1)))])
+        key_change = np.where(np.isnan(key_change.astype(np.float64)),
+                              True, key_change).astype(bool)
+        gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        new_session = key_change | gap_break
+        sess_id = np.cumsum(new_session) - 1
+        starts = np.nonzero(new_session)[0]
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        # session_idx: running index within each key
+        key_start_flag = key_change[starts]
+        sidx = np.arange(len(starts)) - np.maximum.accumulate(
+            np.where(key_start_flag, np.arange(len(starts)), 0))
+        out_keys = keys.take(pa.array(starts.astype(np.int64)))
+        return pa.table({
+            key_col: out_keys,
+            "session_idx": pa.array(sidx, pa.int64()),
+            "session_start": pa.array(ts[starts], pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.timestamp("us")),
+            "n_events": pa.array((ends - starts + 1), pa.int64()),
+        })
+
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_part").map_groups(per_partition,
+                                              batch_format="pyarrow")

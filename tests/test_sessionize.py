@@ -1,0 +1,43 @@
+"""Gap-based sessionization tests (groupbytrace/tailsampling batch
+analogue, SURVEY.md §2.11)."""
+
+import datetime
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.sessionize import sessionize
+
+
+def _t(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([datetime.datetime(2026, 1, 1) +
+                        datetime.timedelta(minutes=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+
+
+def test_sessions_split_on_gap():
+    t = _t([(1, 0), (1, 10), (1, 20), (1, 120), (1, 125), (2, 5), (2, 200)])
+    out = sessionize(ray.data.from_arrow(t), key_col="user_id",
+                     gap="30m").to_pandas().sort_values(
+        ["user_id", "session_idx"], ignore_index=True)
+    assert out["n_events"].tolist() == [3, 2, 1, 1]
+    assert out["session_idx"].tolist() == [0, 1, 0, 1]
+    assert out.loc[0, "session_end"].minute == 20
+
+
+def test_exact_gap_boundary_included():
+    # gap == threshold stays in the session (strict > splits)
+    t = _t([(1, 0), (1, 30), (1, 61)])
+    out = sessionize(ray.data.from_arrow(t), key_col="user_id",
+                     gap="30m").to_pandas()
+    assert sorted(out["n_events"].tolist()) == [1, 2]
+
+
+def test_single_event_sessions_and_unordered_input():
+    t = _t([(1, 100), (1, 0)])  # out of order
+    out = sessionize(ray.data.from_arrow(t), key_col="user_id",
+                     gap="10m").to_pandas()
+    assert len(out) == 2 and (out["n_events"] == 1).all()
