@@ -515,6 +515,51 @@ def q_uri_parse(sf_dir: str):
                               "uri_port", "uri_path", "uri_query"])
 
 
+LATENCY_BOUNDS = [10.0, 50.0, 100.0, 500.0, 1000.0, 5000.0]
+
+
+def q_latency_histogram(sf_dir: str):
+    """spanmetricsconnector: explicit-bucket latency histogram by (service,
+    severity_bucket) over kv-parsed turns."""
+    from ..stages.metrics import histogram_by
+
+    ds = build_parsed(sf_dir)
+    return histogram_by(ds, ["service", "severity_bucket"], "latency_ms",
+                        LATENCY_BOUNDS)
+
+
+def q_service_graph(sf_dir: str):
+    """servicegraphconnector: consecutive-turn service->service edge counts
+    per conversation."""
+    from ..stages.metrics import transition_edges
+
+    ds = build_parsed(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "service"])
+    return transition_edges(ds)
+
+
+def q_delta_to_cumulative(sf_dir: str):
+    """deltatocumulativeprocessor: running per-user sum of event values."""
+    from ..stages.metrics import cumulative_per_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    out = cumulative_per_key(ds, key_col="user_id", order_col="ts",
+                             value_col="value")
+
+    def shape(b: pa.Table) -> pa.Table:
+        # fixed-point cents: float running sums differ in the last ulp
+        # between engines even after rounding — integers compare exactly
+        c = pc.cast(pc.round(pc.multiply(b["cumulative"], 100.0)), pa.int64())
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "cumulative_x100": c,
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow", batch_size=None)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user over the events stream (the batch
     analogue of groupbytrace/tailsampling's buffered gather)."""
@@ -583,6 +628,34 @@ def oracle_queries() -> dict[str, str]:
             f"sha256(regexp_extract(text, '- (\\S+) \\[', 1)) END "
             f"AS user_name, 'prod' AS env "
             f"FROM read_parquet('{_transcripts_glob()}')"),
+        "latency_histogram": parsed_view_sql() + """
+SELECT service, severity_bucket,
+       CASE WHEN latency_ms <= 10 THEN '<=10'
+            WHEN latency_ms <= 50 THEN '<=50'
+            WHEN latency_ms <= 100 THEN '<=100'
+            WHEN latency_ms <= 500 THEN '<=500'
+            WHEN latency_ms <= 1000 THEN '<=1000'
+            WHEN latency_ms <= 5000 THEN '<=5000'
+            ELSE '>5000' END AS bucket,
+       count(*) AS n
+FROM routed WHERE latency_ms IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+        "service_graph": parsed_view_sql() + """
+, edges AS (
+  SELECT service AS from_node,
+         lead(service) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS to_node
+  FROM routed
+)
+SELECT from_node, to_node, count(*) AS n FROM edges
+WHERE to_node IS NOT NULL GROUP BY 1, 2
+""",
+        "delta_to_cumulative": (
+            "SELECT event_id, user_id, "
+            "CAST(ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) * 100) AS BIGINT) "
+            "AS cumulative_x100 FROM events"),
         "sessionize": """
 WITH s AS (
   SELECT user_id, ts,
@@ -738,6 +811,9 @@ def ray_queries() -> dict:
         "sampler": q_sampler,
         "redaction": q_redact,
         "attributes_chain": q_attributes,
+        "latency_histogram": q_latency_histogram,
+        "service_graph": q_service_graph,
+        "delta_to_cumulative": q_delta_to_cumulative,
         "sessionize": q_sessionize,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,

@@ -1,0 +1,150 @@
+"""Metrics-connector family re-expressed (SURVEY.md §2.6-2.7):
+
+- histogram_by: spanmetricsconnector's explicit-bucket duration histogram
+  keyed by dimensions (connector/spanmetricsconnector) — vectorized bucket
+  assignment + the count_by partial/merge plan.
+- transition_edges: servicegraphconnector's client->server edge metrics —
+  in transcript form, consecutive-turn (service -> service) transitions per
+  conversation (the batch analogue of pairing client/server spans by id:
+  complete conversations are available, so the TTL pair-store collapses to
+  an ordered scan).
+- cumulative_per_key: deltatocumulativeprocessor — per-series running sum
+  ordered by time (coarse-partition scan, same plan as sessionize).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .aggregate import _merge_partials
+
+
+def histogram_by(ds: Dataset, keys: list[str], value_col: str,
+                 bounds: list[float], *, count_col: str = "n") -> Dataset:
+    """Explicit-bucket histogram: one output row per (keys..., bucket) with
+    counts; bucket label = '<=X' / '>last'. Null values are skipped (the
+    reference counts only recorded durations)."""
+    bounds_arr = np.asarray(bounds, np.float64)
+    labels = [f"<={b:g}" for b in bounds] + [f">{bounds[-1]:g}"]
+    labels_arr = pa.array(labels, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        valid = pc.is_valid(v)
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return pa.table({**{k: pa.array([], batch[k].type) for k in keys},
+                             "bucket": pa.array([], pa.string()),
+                             "_partial": pa.array([], pa.int64())})
+        vv = pc.cast(batch[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds_arr, vv, side="left")
+        b = pc.take(labels_arr, pa.array(idx.astype(np.int64)))
+        t = batch.select(keys).append_column("bucket", b)
+        out = t.group_by(keys + ["bucket"]).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["bucket", "_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _merge_partials(partials, keys + ["bucket"],
+                           [("_partial", "sum")], [count_col])
+
+
+def transition_edges(ds: Dataset, *, key_col: str = "conv_id",
+                     order_col: str = "turn_idx", node_col: str = "service",
+                     n_parts: int = 32, count_col: str = "n") -> Dataset:
+    """Edges (from_node -> to_node) between consecutive rows of each key,
+    counted globally — servicegraph's client/server pairing in batch form."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        d = pc.dictionary_encode(pc.cast(k, pa.string()))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        per_uniq = pa.array(
+            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
+             for v in d.dictionary.to_pylist()], pa.int64())
+        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        group = group.sort_by([(key_col, "ascending"),
+                               (order_col, "ascending")])
+        n = group.num_rows
+        empty = pa.table({"from_node": pa.array([], pa.string()),
+                          "to_node": pa.array([], pa.string()),
+                          "_partial": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        keys = group[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        nodes = group[node_col]
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        same_key = pc.equal(keys.slice(1), keys.slice(0, n - 1))
+        frm = nodes.slice(0, n - 1).filter(same_key)
+        to = nodes.slice(1).filter(same_key)
+        t = pa.table({"from_node": frm, "to_node": to})
+        out = t.group_by(["from_node", "to_node"]).aggregate([([], "count_all")])
+        return out.rename_columns(["from_node", "to_node", "_partial"])
+
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    partials = tagged.groupby("_part").map_groups(per_partition,
+                                                  batch_format="pyarrow")
+    return _merge_partials(partials, ["from_node", "to_node"],
+                           [("_partial", "sum")], [count_col])
+
+
+def cumulative_per_key(ds: Dataset, *, key_col: str, order_col: str,
+                       value_col: str, out_col: str = "cumulative",
+                       n_parts: int = 32) -> Dataset:
+    """deltatocumulative: running per-key sum in order — one coarse-
+    partitioned sort + vectorized segmented cumsum."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        d = pc.dictionary_encode(pc.cast(k, pa.string()))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        per_uniq = pa.array(
+            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
+             for v in d.dictionary.to_pylist()], pa.int64())
+        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return group.append_column(out_col, pa.array([], pa.float64()))
+        keys = group[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        v = pc.cast(group[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = np.nan_to_num(v, nan=0.0)
+        change = np.concatenate(
+            [[True], np.asarray(pc.not_equal(keys.slice(1),
+                                             keys.slice(0, n - 1)))])
+        change = np.where(np.isnan(change.astype(np.float64)), True,
+                          change).astype(bool)
+        cs = np.cumsum(v)
+        # forward-fill each segment's base (cumsum before the segment) by
+        # index so negative values can't break the fill
+        idx = np.arange(n)
+        start_idx = np.maximum.accumulate(np.where(change, idx, 0))
+        base = (cs - v)[start_idx]
+        out = cs - base
+        return group.append_column(out_col, pa.array(out, pa.float64()))
+
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_part").map_groups(per_partition,
+                                              batch_format="pyarrow")

@@ -1,0 +1,49 @@
+"""Metrics-connector family tests: histogram, service graph edges,
+delta->cumulative (SURVEY.md §2.6-2.7)."""
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.metrics import (
+    cumulative_per_key,
+    histogram_by,
+    transition_edges,
+)
+
+
+def test_histogram_buckets_and_null_skip():
+    t = pa.table({
+        "svc": ["a", "a", "a", "b", "b"],
+        "v": pa.array([5, 10, 11, 9999, None], pa.int64()),
+    })
+    out = histogram_by(ray.data.from_arrow(t), ["svc"], "v",
+                       [10.0, 100.0]).to_pandas()
+    got = {(r.svc, r.bucket): r.n for r in out.itertuples()}
+    # 5 and 10 both <=10 (searchsorted left == CASE <=); 11 -> <=100;
+    # 9999 -> >100; null skipped entirely
+    assert got == {("a", "<=10"): 2, ("a", "<=100"): 1, ("b", ">100"): 1}
+
+
+def test_transition_edges():
+    t = pa.table({
+        "conv_id": ["c1"] * 4 + ["c2"] * 2,
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "service": ["client", "agent", "client", "agent", "client", "client"],
+    })
+    out = transition_edges(ray.data.from_arrow(t)).to_pandas()
+    got = {(r.from_node, r.to_node): r.n for r in out.itertuples()}
+    # c1: client->agent, agent->client, client->agent; c2: client->client
+    assert got == {("client", "agent"): 2, ("agent", "client"): 1,
+                   ("client", "client"): 1}
+
+
+def test_cumulative_per_key_with_negatives():
+    t = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "o": pa.array([0, 1, 2, 0], pa.int64()),
+        "v": pa.array([1.0, -2.0, 3.0, 7.0], pa.float64()),
+    })
+    out = cumulative_per_key(ray.data.from_arrow(t), key_col="k",
+                             order_col="o", value_col="v").to_pandas() \
+        .sort_values(["k", "o"], ignore_index=True)
+    assert out["cumulative"].tolist() == [1.0, -1.0, 2.0, 7.0]
