@@ -13,6 +13,8 @@ cache exists before returning.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -515,6 +517,22 @@ def q_uri_parse(sf_dir: str):
                               "uri_port", "uri_path", "uri_query"])
 
 
+def q_text_source(sf_dir: str):
+    """filelog-style raw text source: the same lines read from plain .log
+    files through read_text, parsed, counted by template. The oracle
+    classifies the identical text column from the Parquet side — equality
+    proves the text path loses nothing."""
+    from ..sources.textlogs import read_text_logs, write_text_fixture
+    from ..stages.parse import parse_transcript_batch
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = write_text_fixture(sf_dir, f"/tmp/otelray_textlogs/{base}")
+    ds = read_text_logs(d)
+    ds = ds.map_batches(parse_transcript_batch, batch_format="pyarrow",
+                        batch_size=None)
+    return count_by(ds, ["template"], count_col="n")
+
+
 LATENCY_BOUNDS = [10.0, 50.0, 100.0, 500.0, 1000.0, 5000.0]
 
 
@@ -628,6 +646,8 @@ def oracle_queries() -> dict[str, str]:
             f"sha256(regexp_extract(text, '- (\\S+) \\[', 1)) END "
             f"AS user_name, 'prod' AS env "
             f"FROM read_parquet('{_transcripts_glob()}')"),
+        "text_source": parsed_view_sql() + (
+            "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_histogram": parsed_view_sql() + """
 SELECT service, severity_bucket,
        CASE WHEN latency_ms <= 10 THEN '<=10'
@@ -811,6 +831,7 @@ def ray_queries() -> dict:
         "sampler": q_sampler,
         "redaction": q_redact,
         "attributes_chain": q_attributes,
+        "text_source": q_text_source,
         "latency_histogram": q_latency_histogram,
         "service_graph": q_service_graph,
         "delta_to_cumulative": q_delta_to_cumulative,
