@@ -79,6 +79,26 @@ def run_once(num_cpus: int) -> dict:
                  ts_col="ts").to_pandas()
     queries["log_dedup"] = time.time() - t0
 
+    t0 = time.time()
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        transcripts_path)
+    from opentelemetry_collector_contrib_ray.stages.recombine import (
+        recombine_blocks)
+    import ray.data as rd
+    tds = rd.read_parquet(transcripts_path(SF_DIR)) \
+        .select_columns(["conv_id", "turn_idx", "text", "ts"])
+    recombine_blocks(tds).count()
+    queries["recombine"] = time.time() - t0
+
+    events = os.path.join(SF_DIR, "events.parquet")
+    if os.path.exists(events):
+        t0 = time.time()
+        from opentelemetry_collector_contrib_ray.stages.sessionize import (
+            sessionize)
+        sessionize(rd.read_parquet(events, columns=["user_id", "ts"]),
+                   key_col="user_id", gap="30m").count()
+        queries["sessionize"] = time.time() - t0
+
     shutil.rmtree(out_root, ignore_errors=True)
     headline = queries["flagship_e2e"]
     return {
