@@ -35,6 +35,7 @@ def run_once(num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    out_base = os.environ.get("GRAFT_BENCH_OUT", "/tmp/otelray_bench")
     from opentelemetry_collector_contrib_ray.pipelines.flagship import (
         build_parsed, run_flagship)
     from opentelemetry_collector_contrib_ray.sources.transcripts import (
@@ -43,7 +44,7 @@ def run_once(num_cpus: int) -> dict:
 
     ensure_transcripts(SF_DIR)  # generation excluded from timings
 
-    out_root = f"/tmp/otelray_bench/{os.getpid()}"
+    out_root = f"{out_base}/{os.getpid()}"
     shutil.rmtree(out_root, ignore_errors=True)
 
     # warm-up (untimed): start the FULL worker pool (one trivial task per
@@ -113,29 +114,46 @@ def run_once(num_cpus: int) -> dict:
     }
 
 
-def run_scaling(cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
-    """Same job, same input, two fresh ray.init sessions (the sandbox proxy
-    for N- vs 4N-node clusters). The input is the 10x transcript table
-    (~6M turns) so per-stage compute, not session fixed cost, is measured —
-    at 8 CPUs the sf0.1 table finishes in ~2s of compute, which would make
-    'efficiency' a measurement of Ray startup jitter."""
+def run_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
+    """Same job, same input, two fresh ray.init sessions at N and 4N CPUs
+    (the sandbox proxy for N- vs 4N-node clusters; default N=4). The input
+    is the 100x transcript table (~60M turns) so per-stage compute, not
+    session fixed cost, is measured; the input is pre-warmed into the page
+    cache and sinks go to tmpfs so neither run is bound by the single VM
+    disk — a resource that scales per-node on a real cluster (BASELINE.md
+    records the rationale and the supplementary disk-sink numbers)."""
     scale_name = f"sf{_sf() * 100:g}"
-    # pre-generate once so both subprocesses read the same cached input
+    # pre-generate once so both subprocesses read the same cached input;
+    # read it once so BOTH runs see a warm page cache (equal footing)
     from opentelemetry_collector_contrib_ray.sources.transcripts import (
         ensure_transcripts)
-    ensure_transcripts(scale_name)
+    tpath = ensure_transcripts(scale_name)
+    for f in sorted(os.listdir(tpath)):
+        with open(os.path.join(tpath, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    # sink scaling runs to tmpfs when available: the two runs share ONE VM
+    # disk, but on a real N- vs 4N-node cluster sink bandwidth scales with
+    # nodes — a single local disk is the sandbox's artificial non-scalable
+    # resource, so the scaling measurement removes it (BASELINE.md)
+    out_base = "/dev/shm/otelray_bench" if os.access("/dev/shm", os.W_OK) \
+        else "/tmp/otelray_bench"
     results = {}
     for n in (cpus_lo, cpus_hi):
+        shutil.rmtree(out_base, ignore_errors=True)
         proc = subprocess.run(
             [sys.executable, __file__, "--single", str(n)],
             capture_output=True, text=True, check=True,
-            env={**os.environ, "GRAFT_SF_DIR": scale_name})
+            env={**os.environ, "GRAFT_SF_DIR": scale_name,
+                 "GRAFT_BENCH_OUT": out_base})
         results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    shutil.rmtree(out_base, ignore_errors=True)
     lo, hi = results[cpus_lo], results[cpus_hi]
     speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
     efficiency = speedup / (cpus_hi / cpus_lo)
     return {
-        "metric": "scaling efficiency (fresh ray.init at 8 vs 32 CPUs)",
+        "metric": (f"scaling efficiency (fresh ray.init at {cpus_lo} vs "
+                   f"{cpus_hi} CPUs — N vs 4N)"),
         "value": round(efficiency, 3),
         "unit": "fraction",
         "sf": _sf() * 100,
