@@ -47,9 +47,13 @@ def _rebuild(offsets, keys, items, keep_mask: np.ndarray,
              valid: np.ndarray) -> pa.MapArray:
     """Filter entries by keep_mask (over the flattened children), recompute
     offsets vectorized, preserve row validity."""
-    kept_per_row = np.add.reduceat(
-        keep_mask.astype(np.int64), offsets[:-1]) if len(offsets) > 1 else \
-        np.array([], np.int64)
+    if len(keep_mask) == 0:  # no entries at all (all maps empty/null)
+        kept_per_row = np.zeros(max(0, len(offsets) - 1), np.int64)
+    elif len(offsets) > 1:
+        kept_per_row = np.add.reduceat(keep_mask.astype(np.int64),
+                                       offsets[:-1])
+    else:
+        kept_per_row = np.array([], np.int64)
     # reduceat quirk: empty row slices copy the next value — zero them
     row_len = offsets[1:] - offsets[:-1]
     kept_per_row = np.where(row_len == 0, 0, kept_per_row)

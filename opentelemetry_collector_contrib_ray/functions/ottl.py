@@ -20,6 +20,7 @@ schema makes most is_* checks compile-time constants, documented divergence.
 from __future__ import annotations
 
 import hashlib
+import re
 import uuid as _uuid
 
 import numpy as np
@@ -393,3 +394,95 @@ def register(name: str, fn) -> None:
     """User-extension surface (mirrors operator.Register /
     ottl function factories)."""
     REGISTRY[name] = fn
+
+
+# --- list ops (func_append.go, func_sort.go) -------------------------------
+
+def list_append(col, value):
+    """func_append.go: append a scalar (or per-row values) to a list column."""
+    a = _arr(col)
+    offsets = np.asarray(a.offsets)
+    n = len(a)
+    vals = a.values
+    if isinstance(value, (pa.Array, pa.ChunkedArray)):
+        value = _arr(value)
+    else:
+        value = pa.array([value] * n, vals.type)
+    new_counts = (offsets[1:] - offsets[:-1]) + 1
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
+    total = int(new_offsets[-1])
+    pos = np.zeros(total, np.int64)
+    is_new = np.zeros(total, bool)
+    for r in range(n):
+        s, e = offsets[r], offsets[r + 1]
+        ns = new_offsets[r]
+        pos[ns:ns + (e - s)] = np.arange(s, e)
+        is_new[ns + (e - s)] = True
+    row_take = np.searchsorted(new_offsets[1:], np.arange(total),
+                               side="right")
+    out_vals = pc.if_else(pa.array(is_new),
+                          pc.take(value, pa.array(row_take, pa.int64())),
+                          pc.take(vals, pa.array(np.where(is_new, 0, pos),
+                                                 pa.int64())))
+    return pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
+                                    out_vals)
+
+
+def list_sort(col, order: str = "asc"):
+    """func_sort.go: sort each list's elements."""
+    a = _arr(col)
+    lists = a.to_pylist()
+    out = [None if v is None else sorted(v, reverse=(order == "desc"))
+           for v in lists]
+    return pa.array(out, a.type)
+
+
+# --- XML (func_parse_xml.go, func_parse_simplified_xml.go) -----------------
+
+_XML_ELEM = re.compile(r"<(?P<tag>[A-Za-z_][\w.-]*)(?:\s[^>]*)?>"
+                       r"(?P<body>[^<]*)</(?P=tag)>")
+
+
+def parse_simplified_xml(col):
+    """func_parse_simplified_xml.go: flat <tag>text</tag> elements -> map
+    column (nested structure flattened to leaf text, matching the
+    'simplified' contract: character data only)."""
+    a = _arr(col)
+    out = []
+    for v in a.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        out.append([(m.group("tag"), m.group("body"))
+                    for m in _XML_ELEM.finditer(v)])
+    return pa.array(out, pa.map_(pa.string(), pa.string()))
+
+
+def get_xml(col, tag: str):
+    """func_get_xml.go (element-text subset): first <tag>...</tag> body."""
+    st = pc.extract_regex(_arr(col),
+                          rf"<{tag}(?:\s[^>]*)?>(?P<body>[^<]*)</{tag}>")
+    return pc.struct_field(st, "body")
+
+
+# wire the map/list/parse editors into the registry (the remaining names
+# from the 92-function inventory that operate on map/list columns live in
+# functions/maps.py; parse_* stages live in stages/parse.py)
+def _late_registry():
+    from ..stages.parse import csv_parser, json_parser, keyvalue_parser
+    from . import maps as _m
+    REGISTRY.update({
+        "Append": list_append, "SortList": list_sort,
+        "ParseSimplifiedXML": parse_simplified_xml, "GetXML": get_xml,
+        "KeepKeys": _m.keep_keys, "DeleteKey": _m.delete_key,
+        "DeleteMatchingKeys": _m.delete_matching_keys,
+        "KeepMatchingKeys": _m.keep_matching_keys, "Limit": _m.limit_map,
+        "MergeMaps": _m.merge_maps, "Flatten": _m.flatten_struct,
+        "ToKeyValueString": _m.to_key_value_string,
+        "SliceToMap": _m.slice_to_map,
+        "ParseJSON": json_parser, "ParseCSV": csv_parser,
+        "ParseKeyValue": keyvalue_parser,
+    })
+
+
+_late_registry()

@@ -127,3 +127,33 @@ def test_registry_and_extension():
     assert len(ottl.REGISTRY) >= 45
     ottl.register("MyFunc", lambda c: c)
     assert "MyFunc" in ottl.REGISTRY
+
+
+def test_list_append_and_sort():
+    lst = pa.array([[1, 2], [], None], pa.list_(pa.int64()))
+    out = ottl.list_append(lst, 9)
+    assert out.to_pylist() == [[1, 2, 9], [9], [9]]
+    s = ottl.list_sort(pa.array([[3, 1, 2], None], pa.list_(pa.int64())))
+    assert s.to_pylist() == [[1, 2, 3], None]
+    d = ottl.list_sort(pa.array([[3, 1]], pa.list_(pa.int64())), "desc")
+    assert d.to_pylist() == [[3, 1]]
+
+
+def test_parse_simplified_xml_and_get_xml():
+    x = pa.array(["<a>1</a><b attr='z'>two</b>", "no xml", None])
+    m = ottl.parse_simplified_xml(x)
+    assert dict(m.to_pylist()[0]) == {"a": "1", "b": "two"}
+    assert m.to_pylist()[1] == []
+    assert m.to_pylist()[2] is None
+    assert ottl.get_xml(x, "b").to_pylist() == ["two", None, None]
+
+
+def test_registry_completeness():
+    # every SURVEY §2.5 category has registry coverage
+    for name in ["KeepKeys", "DeleteKey", "MergeMaps", "Flatten",
+                 "ToKeyValueString", "SliceToMap", "Append", "SortList",
+                 "ParseSimplifiedXML", "ParseJSON", "ParseCSV",
+                 "ParseKeyValue", "SHA256", "Time", "Duration", "URL",
+                 "UserAgent", "IsMatch", "ConvertCase"]:
+        assert name in ottl.REGISTRY, name
+    assert len(ottl.REGISTRY) >= 60
