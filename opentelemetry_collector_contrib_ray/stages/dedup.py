@@ -296,14 +296,14 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
                       k: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_parts: int = 32) -> Dataset:
-    """Near-dup pairs via MinHash signatures + LSH banding.
+    """Near-dup pairs via MinHash signatures + LSH banding (small/medium
+    corpora: the signature rides along the band explosion, so the estimate
+    is computed where the candidates are found — simplest plan, but the
+    shuffle carries bands x signature bytes per doc).
 
-    Plan: sign (actor pool) -> explode (bucket, id, sig) rows (bucket =
-    vectorized 64-bit band hash) -> groupby COARSE bucket_part (hash shuffle
-    of n_parts groups — per-group scheduling cost is per PARTITION, not per
-    bucket; buckets are grouped vectorized inside each partition) -> pairs
-    within bucket -> dedup pairs -> jaccard estimate from signature
-    agreement -> filter >= threshold. Output: (a, b, jaccard_est).
+    For large corpora use :func:`minhash_lsh_pairs_scale`, which explodes
+    only (bucket, id) 16-byte rows and joins signatures back onto the
+    candidate pairs. Output: (a, b, jaccard_est).
     """
     rows_per_band = num_perm // bands
     signed = ds.map_batches(
@@ -485,3 +485,145 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
     partials = pairs.map_batches(dedup_pairs, batch_format="pyarrow",
                                  batch_size=None)
     return _merge_partials(partials, ["a", "b"], [("_h", "min")], ["hamming"])
+
+
+def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
+                            bands: int = 32, k: int = 3,
+                            threshold: float = 0.5, text_col: str = "text",
+                            id_col: str = "doc_id", n_parts: int = 64,
+                            join_partitions: int = 32) -> Dataset:
+    """Scale plan for MinHash+LSH: the band explosion carries ONLY
+    (bucket:int64, id:int64) — 16 bytes/row instead of bands x 1KB
+    signatures — and the Jaccard estimate is computed by JOINING the
+    signature table onto the (deduplicated, small) candidate pair set.
+
+    Shuffle volumes at N docs: explode = N x bands x 16B; candidate pairs =
+    O(near-dup pairs); signature join = 2 hash joins on the pair set
+    against the N x (num_perm x 8B) signature table. This is the plan that
+    survives 10^9-doc corpora.
+
+    Requires >= 8 cluster CPUs: Ray 2.49's (experimental) Dataset.join
+    deadlocks on smaller clusters — its aggregator actors plus the chained
+    second join starve upstream stages regardless of fractional num_cpus
+    (verified empirically; use minhash_lsh_pairs below that scale)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 0)) \
+        if _ray.is_initialized() else 0
+    if cpus and cpus < 8:
+        raise RuntimeError(
+            f"minhash_lsh_pairs_scale needs >=8 CPUs (cluster has {cpus}); "
+            "Ray's experimental join deadlocks below that — use "
+            "minhash_lsh_pairs for small clusters/corpora")
+    rows_per_band = num_perm // bands
+    signed = ds.map_batches(
+        MinHasher, fn_constructor_args=(num_perm, k, 42, text_col, id_col),
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+
+    def explode_min(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(
+            n, num_perm).astype(np.uint64)
+        buckets = np.empty(bands * n, np.uint64)
+        for bi in range(bands):
+            band = sig[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            buckets[bi * n:(bi + 1) * n] = _mix64(band, bi)
+        return pa.table({
+            "bucket": pa.array(buckets.astype(np.int64)),
+            "bucket_part": pa.array((buckets % n_parts).astype(np.int64)),
+            id_col: pa.array(np.tile(ids, bands), pa.int64()),
+        })
+
+    exploded = signed.map_batches(explode_min, batch_format="pyarrow",
+                                  batch_size=None)
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bucket))
+        bucket, ids = bucket[order], ids[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(bucket[1:] != bucket[:-1])[0] + 1, [n]])
+        a_out, b_out = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            bids = np.unique(ids[s:e])
+            if len(bids) < 2:
+                continue
+            iu = np.triu_indices(len(bids), 1)
+            a_out.append(bids[iu[0]])
+            b_out.append(bids[iu[1]])
+        if not a_out:
+            return empty
+        t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                      "b": pa.array(np.concatenate(b_out), pa.int64())})
+        # in-stage dedupe before the global one
+        return t.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    cand = exploded.groupby("bucket_part").map_groups(
+        partition_pairs, batch_format="pyarrow")
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["a", "b", "_c"])
+
+    partials = cand.map_batches(pair_partial, batch_format="pyarrow",
+                                batch_size=None)
+    pairs = _merge_partials(partials, ["a", "b"], [("_c", "max")], ["_c"]) \
+        .drop_columns(["_c"])
+
+    # join the signatures back (hash join on id) and estimate. Acero can't
+    # carry fixed_size_list payloads through a join -> pack each signature
+    # as fixed-size binary, zero-copy from the int64 buffer.
+    sig_bytes = pa.binary(num_perm * 8)
+
+    def pack(batch: pa.Table, out_name: str, id_name: str) -> pa.Table:
+        n = batch.num_rows
+        flat = batch["sig"].combine_chunks().flatten()
+        packed = pa.Array.from_buffers(sig_bytes, n, [None, pa.py_buffer(
+            np.asarray(flat).astype(np.int64).tobytes())])
+        return pa.table({id_name: batch[id_col], out_name: packed})
+
+    sig_a = signed.map_batches(lambda b: pack(b, "sig_a", "a"),
+                               batch_format="pyarrow", batch_size=None)
+    sig_b = signed.map_batches(lambda b: pack(b, "sig_b", "b"),
+                               batch_format="pyarrow", batch_size=None)
+    # fractional-CPU aggregators: the join's hash aggregator actors would
+    # otherwise reserve a full CPU each and can starve upstream stages into
+    # deadlock on small clusters
+    agg_args = {"num_cpus": 0.25}
+    joined = pairs.join(sig_a, "inner", join_partitions, on=("a",),
+                        aggregator_ray_remote_args=agg_args)
+    joined = joined.join(sig_b, "inner", join_partitions, on=("b",),
+                         aggregator_ray_remote_args=agg_args)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard_est": pa.array([], pa.float64())})
+
+        def unpack(col):
+            c = batch[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return np.frombuffer(
+                b"".join(c.to_pylist()), np.int64).reshape(n, num_perm)
+
+        sa, sb = unpack("sig_a"), unpack("sig_b")
+        est = (sa == sb).mean(axis=1)
+        out = pa.table({"a": batch["a"], "b": batch["b"],
+                        "jaccard_est": pa.array(est, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard_est"], threshold))
+
+    return joined.map_batches(estimate, batch_format="pyarrow",
+                              batch_size=None)
