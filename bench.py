@@ -91,6 +91,33 @@ def run_once(num_cpus: int) -> dict:
     recombine_blocks(tds).count()
     queries["recombine"] = time.time() - t0
 
+    # training-data dedup family over the same transcript text (doc corpus
+    # proxy: one doc per turn)
+    import numpy as np
+    import pyarrow as pa
+
+    def add_id(b):
+        return pa.table({
+            "doc_id": pa.array(np.arange(b.num_rows, dtype=np.int64)),
+            "text": b["text"]})
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        MinHasher, exact_dedup)
+    docs = rd.read_parquet(transcripts_path(SF_DIR)) \
+        .map_batches(add_id, batch_format="pyarrow", batch_size=None)
+    t0 = time.time()
+    docs.map_batches(MinHasher, fn_constructor_args=(128, 3, 42, "text",
+                                                     "doc_id"),
+                     batch_format="pyarrow", batch_size=None,
+                     concurrency=(2, 16)).count()
+    queries["minhash_sign"] = time.time() - t0
+
+    docs2 = rd.read_parquet(transcripts_path(SF_DIR)) \
+        .map_batches(add_id, batch_format="pyarrow", batch_size=None)
+    t0 = time.time()
+    exact_dedup(docs2).to_pandas()
+    queries["exact_dedup"] = time.time() - t0
+
     events = os.path.join(SF_DIR, "events.parquet")
     if os.path.exists(events):
         t0 = time.time()
