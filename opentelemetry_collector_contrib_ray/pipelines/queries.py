@@ -384,6 +384,22 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_pairs_within(ds, threshold=0.3, round_digits=4)
 
 
+def q_kmeans(sf_dir: str):
+    """Spherical k-means over embeddings (iterative combiner pattern) +
+    cluster assignment — the trained IVF coarse quantizer. Iterative and
+    model-like -> rows-only (determinism + separation pinned by tests)."""
+    from ..stages.cluster import kmeans_assign, kmeans_fit
+
+    cols = ["vec_id", "embedding"]
+    fit = kmeans_fit(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols),
+        k=8, max_iters=5)
+    out = kmeans_assign(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols),
+        fit["centroids"])
+    return out.select_columns(["vec_id", "cluster"])
+
+
 def q_token_stats(sf_dir: str):
     """Token counting + quality scoring over documents."""
     from ..stages.textstats import token_stats
@@ -849,6 +865,7 @@ def ray_queries() -> dict:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "cosine_pairs": q_cosine_pairs,
+        "kmeans_ivf": q_kmeans,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
