@@ -134,3 +134,67 @@ def test_e2e_statement_cases():
     import pyarrow.compute as pc
     second = pc.list_element(things, 1)
     assert pc.struct_field(second, "value").to_pylist() == [5]
+
+
+def test_e2e_statement_cases_block2():
+    """Second block of e2e-style statements over the F2 fixture — editors
+    combined with conditions (the `editor(...) where <expr>` shape)."""
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages import transform as tr
+
+    t = fixture()
+    # set(body, "pass") where body == "operationA"
+    out = tr.add("body", value="pass", where=col("body") == "operationA")(t)
+    assert out["body"].to_pylist() == ["pass"]
+    # set(body, "pass") where body == "operationB" -> unchanged
+    out = tr.add("body", value="pass", where=col("body") == "operationB")(t)
+    assert out["body"].to_pylist() == ["operationA"]
+    # delete_key(attributes, "http.url") where severity_number == 1
+    masked = M.delete_key(t["attributes"], "http.url")
+    assert "http.url" not in dict(masked.to_pylist()[0])
+    # keep_keys + to_key_value_string chain
+    kept = M.keep_keys(t["attributes"], ["http.method", "http.path"])
+    assert M.to_key_value_string(kept).to_pylist() == \
+        ["http.method=get http.path=/health"]
+    # IsMatch(attributes["http.url"], "http://.*") -> true
+    url = M.map_get(t["attributes"], "http.url")
+    assert ottl.is_match(url, r"http://.*").to_pylist() == [True]
+    # set(attributes["test"], Concat([attributes["http.method"], body], "-"))
+    method = M.map_get(t["attributes"], "http.method")
+    joined = ottl.concat("-", method, t["body"].combine_chunks()
+                         if hasattr(t["body"], "combine_chunks")
+                         else t["body"])
+    assert joined.to_pylist() == ["get-operationA"]
+    # SHA256(attributes["http.method"]) prefix check (e2e hash cases)
+    import hashlib as hl
+    assert ottl.sha256(method).to_pylist()[0] == \
+        hl.sha256(b"get").hexdigest()
+    # Int(attributes["total.string"]) -> 123456789
+    total = M.map_get(t["attributes"], "total.string")
+    assert ottl.to_int(total).to_pylist() == [123456789]
+    # Substring + Len + truncate_all combination
+    assert ottl.str_len(total).to_pylist() == [9]
+    assert ottl.truncate_all(total, 3).to_pylist() == ["123"]
+    # Time/unix family over the fixture ts
+    assert ottl.year(t["ts"]).to_pylist() == [2020]
+    assert ottl.unix_seconds(t["ts"]).to_pylist() == [1581452772]
+    # severity gate via expr mask (filterprocessor shape)
+    keep = (col("severity_number") >= 1).mask(t)
+    assert t.filter(keep).num_rows == 1
+    keep0 = (col("severity_number") > 1).mask(t)
+    assert t.filter(keep0).num_rows == 0
+    # attributes flags split -> slice_to_map positional keys
+    flags = ottl.split(M.map_get(t["attributes"], "flags"), "|")
+    stm = M.slice_to_map(flags, ["f0", "f1"])
+    assert dict(stm.to_pylist()[0]) == {"f0": "A", "f1": "B"}
+    # things list length (Len on list column via value_length)
+    things = t["things"].combine_chunks() if hasattr(
+        t["things"], "combine_chunks") else t["things"]
+    assert pc.list_value_length(things).to_pylist() == [2]
+    # nested struct access foo.nested.test == "pass"
+    foo = t["foo"].combine_chunks() if hasattr(t["foo"], "combine_chunks") \
+        else t["foo"]
+    nested = pc.struct_field(foo, "nested")
+    assert pc.struct_field(nested, "test").to_pylist() == ["pass"]
