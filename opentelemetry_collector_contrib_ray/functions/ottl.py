@@ -486,3 +486,14 @@ def _late_registry():
 
 
 _late_registry()
+
+
+def log_fn(col):
+    """func_log.go: natural log of a numeric value (<=0 -> null, the
+    error-per-row becomes null in columnar form)."""
+    a = pc.cast(_arr(col), pa.float64())
+    safe = pc.if_else(pc.greater(a, 0.0), a, pa.nulls(len(a), pa.float64()))
+    return pc.ln(safe)
+
+
+REGISTRY["Log"] = log_fn

@@ -350,3 +350,25 @@ def chain(*fns):
             batch = f(batch)
         return batch
     return fn
+
+
+def assign_keys(src: str, keys: list[str], dest_prefix: str = "",
+                where: Expr | None = None):
+    """assign_keys transformer (transformer/assignkeys/config.go:45-47):
+    zip a list column's values with the configured key list -> named
+    columns (positional list -> struct-with-names, flattened)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = _get(batch, src)
+        # pc.list_element raises on ragged lists; positional access with
+        # null for missing positions via offset arithmetic instead
+        offsets = np.asarray(col.offsets)
+        lengths = offsets[1:] - offsets[:-1]
+        values = col.values
+        for i, k in enumerate(keys):
+            has = lengths > i
+            take = pa.array(np.where(has, offsets[:-1] + i, 0), pa.int64())
+            val = pc.if_else(pa.array(has), pc.take(values, take),
+                             pa.nulls(batch.num_rows, values.type))
+            batch = _masked(batch, dest_prefix + k, val, where)
+        return batch
+    return fn

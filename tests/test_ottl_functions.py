@@ -157,3 +157,11 @@ def test_registry_completeness():
                  "UserAgent", "IsMatch", "ConvertCase"]:
         assert name in ottl.REGISTRY, name
     assert len(ottl.REGISTRY) >= 60
+
+
+def test_log_fn():
+    import math
+    got = ottl.REGISTRY["Log"](pa.array([math.e, 1.0, 0.0, -3.0, None]))
+    vals = got.to_pylist()
+    assert vals[0] == pytest.approx(1.0) and vals[1] == 0.0
+    assert vals[2] is None and vals[3] is None and vals[4] is None

@@ -148,3 +148,11 @@ def test_range_lookup_enricher():
     b = pa.table({"ip": ["203.0.113.7", "10.1.2.3", "8.8.8.8", "bad", None]})
     assert e(b)["net"].to_pylist() == [
         "testnet", "private", "unknown", "unknown", "unknown"]
+
+
+def test_assign_keys():
+    b = pa.table({"parts": pa.array([["a", "b", "c"], ["x"]],
+                                    pa.list_(pa.string()))})
+    out = tr.assign_keys("parts", ["first", "second"])(b)
+    assert out["first"].to_pylist() == ["a", "x"]
+    assert out["second"].to_pylist() == ["b", None]
