@@ -42,9 +42,9 @@ BASE_PATTERNS: dict[str, str] = {
     "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
     "USER": r"[a-zA-Z0-9._-]+",
     "USERNAME": r"[a-zA-Z0-9._-]+",
-    "MONTH": (r"\bJan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
+    "MONTH": (r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
               r"Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|"
-              r"Nov(?:ember)?|Dec(?:ember)?\b"),
+              r"Nov(?:ember)?|Dec(?:ember)?)\b"),
     "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
     "YEAR": r"(?:\d\d){1,2}",
     "HOUR": r"2[0123]|[01]?[0-9]",
@@ -56,14 +56,14 @@ BASE_PATTERNS: dict[str, str] = {
                           r"(?::?(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?))?"
                           r"(?:Z|[+-](?:2[0123]|[01]?[0-9])(?::?(?:[0-5][0-9])))?"),
     "HTTPDATE": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])/\w{3}/(?:\d\d){1,2}:(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:[0-5][0-9]) [+-][0-9]{4}",
-    "LOGLEVEL": (r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|"
+    "LOGLEVEL": (r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|"
                  r"NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?"
                  r"(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|"
                  r"[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|"
-                 r"SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?"),
-    "SYSLOGTIMESTAMP": (r"\bJan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?"
+                 r"SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"),
+    "SYSLOGTIMESTAMP": (r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?"
                         r"|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?"
-                        r"|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?\b +"
+                        r"|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b +"
                         r"(?:0[1-9]|[12][0-9]|3[01]|[1-9]) "
                         r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:[0-5][0-9])"),
 }

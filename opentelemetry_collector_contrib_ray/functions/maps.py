@@ -104,10 +104,12 @@ def limit_map(col, n: int) -> pa.MapArray:
 def map_get(col, key: str) -> pa.Array:
     """attributes["key"] accessor: first value for the key per row."""
     _, offsets, keys, items, valid = _map_parts(col)
+    n_rows = len(offsets) - 1
+    if len(keys) == 0:  # all maps empty/null: pc.take(items, 0) would raise
+        return pa.nulls(n_rows, items.type)
     hit = np.asarray(pc.equal(keys, key)).astype(bool)
     idx = np.arange(len(keys))
     row_of = np.searchsorted(offsets[1:], idx, side="right")
-    n_rows = len(offsets) - 1
     first = np.full(n_rows, -1, np.int64)
     # reverse order so earlier entries win
     for i in idx[hit][::-1]:
@@ -120,7 +122,9 @@ def map_get(col, key: str) -> pa.Array:
 
 def map_set(col, key: str, values) -> pa.MapArray:
     """set(attributes["key"], v): upsert one key per row (vectorized:
-    delete-then-append at row end)."""
+    delete-then-append at row end). Null rows become single-entry maps —
+    pdata maps are never nil, so `set` always creates the entry
+    (pcommon.Map.PutStr semantics)."""
     arr, offsets, keys, items, valid = _map_parts(col)
     without = delete_key(arr, key)
     _, offs2, keys2, items2, valid2 = _map_parts(without)
@@ -140,16 +144,20 @@ def map_set(col, key: str, values) -> pa.MapArray:
         ns = new_offsets[r]
         pos[ns:ns + (e - s)] = np.arange(s, e)
         is_new[ns + (e - s)] = True
-    old_take = pa.array(np.where(is_new, 0, pos), pa.int64())
     row_take = pa.array(np.searchsorted(new_offsets[1:],
                                         np.arange(total), side="right"),
                         pa.int64())
-    out_keys = pc.if_else(pa.array(is_new), pa.scalar(key),
-                          pc.take(keys2, old_take))
-    out_items = pc.if_else(pa.array(is_new), pc.take(values, row_take),
-                           pc.take(items2, old_take))
+    if len(keys2) == 0:  # all maps empty/null: every entry is the new one
+        out_keys = pa.array([key] * total, pa.string())
+        out_items = pc.take(values, row_take)
+    else:
+        old_take = pa.array(np.where(is_new, 0, pos), pa.int64())
+        out_keys = pc.if_else(pa.array(is_new), pa.scalar(key),
+                              pc.take(keys2, old_take))
+        out_items = pc.if_else(pa.array(is_new), pc.take(values, row_take),
+                               pc.take(items2, old_take))
     return pa.MapArray.from_arrays(
-        _offsets_arr(new_offsets, valid2), out_keys, out_items)
+        pa.array(new_offsets, pa.int32()), out_keys, out_items)
 
 
 def merge_maps(target, source) -> pa.MapArray:

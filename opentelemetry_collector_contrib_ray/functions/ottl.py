@@ -420,10 +420,13 @@ def list_append(col, value):
         is_new[ns + (e - s)] = True
     row_take = np.searchsorted(new_offsets[1:], np.arange(total),
                                side="right")
-    out_vals = pc.if_else(pa.array(is_new),
-                          pc.take(value, pa.array(row_take, pa.int64())),
-                          pc.take(vals, pa.array(np.where(is_new, 0, pos),
-                                                 pa.int64())))
+    if len(vals) == 0:  # all lists empty/null: every entry is the appended one
+        out_vals = pc.take(value, pa.array(row_take, pa.int64()))
+    else:
+        out_vals = pc.if_else(pa.array(is_new),
+                              pc.take(value, pa.array(row_take, pa.int64())),
+                              pc.take(vals, pa.array(np.where(is_new, 0, pos),
+                                                     pa.int64())))
     return pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
                                     out_vals)
 

@@ -242,10 +242,12 @@ def q_recombine(sf_dir: str):
     """stanza recombine: merge indented continuation lines into the previous
     entry, per conversation (general shuffled plan)."""
     from ..stages.recombine import recombine_grouped
+    from ..stages.shuffle import dir_size_bytes
 
     ds = _raw_transcripts(sf_dir).select_columns(
         ["conv_id", "turn_idx", "text", "ts"])  # prune before the shuffle
-    return recombine_grouped(ds)
+    return recombine_grouped(
+        ds, size_bytes=dir_size_bytes(ensure_transcripts(sf_dir)))
 
 
 def q_sampler(sf_dir: str):
@@ -598,10 +600,12 @@ def q_sessionize(sf_dir: str):
     """Gap-based sessions per user over the events stream (the batch
     analogue of groupbytrace/tailsampling's buffered gather)."""
     from ..stages.sessionize import sessionize
+    from ..stages.shuffle import dir_size_bytes
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
-    return sessionize(ds, key_col="user_id", gap="30m")
+    return sessionize(ds, key_col="user_id", gap="30m",
+                      size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
 
 
 def q_sum_events(sf_dir: str):
@@ -700,8 +704,8 @@ WITH s AS (
               THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), g AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS sidx
   FROM s
 )
 SELECT user_id, sidx AS session_idx, min(ts) AS session_start,

@@ -29,22 +29,37 @@ from ..expr import Expr
 
 def _merge_partials(partials: Dataset, keys: list[str],
                     aggs: list[tuple[str, str]],
-                    out_names: list[str]) -> Dataset:
-    """Final combine of per-block partial aggregates.
+                    out_names: list[str],
+                    part_col: str | None = None) -> Dataset:
+    """Final combine of per-block partial aggregates — cardinality-aware.
 
-    Partial tables are tiny (blocks x key-cardinality rows), so a full Ray
-    sort-shuffle groupby is pure overhead (~10s fixed cost at any size).
-    Instead: repartition the partials to one block and merge with a single
-    vectorized pyarrow group_by task. For key cardinalities that don't fit
-    one block (rare for telemetry-count shapes), callers can insert an extra
-    repartition(k)+merge tree level.
+    Telemetry-count shapes (``part_col=None``): partial tables are tiny
+    (blocks × key-cardinality rows), so a full Ray sort-shuffle groupby is
+    pure overhead (~10s fixed cost at any size); repartition to one block
+    and merge with a single vectorized pyarrow group_by task.
+
+    High-cardinality keys (exact-dedup digests, near-dup pair sets — key
+    cardinality O(N)): the caller's partial stage emits an int64 hash
+    partition column (``part_col``, = hash(key) % adaptive_n_parts) and the
+    merge runs per partition via groupby(part_col).map_groups. Keys are
+    disjoint across partitions, so there is NO single-block fan-in — each
+    merge task sees 1/n_parts of the distinct keys, bounded regardless of
+    input scale.
     """
-    def merge(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(keys).aggregate(aggs)
+    if part_col is None:
+        def merge(batch: pa.Table) -> pa.Table:
+            out = batch.group_by(keys).aggregate(aggs)
+            return out.rename_columns(keys + out_names)
+
+        return partials.repartition(1).map_batches(
+            merge, batch_format="pyarrow", batch_size=None)
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        out = group.drop_columns([part_col]).group_by(keys).aggregate(aggs)
         return out.rename_columns(keys + out_names)
 
-    return partials.repartition(1).map_batches(
-        merge, batch_format="pyarrow", batch_size=None)
+    return partials.groupby(part_col).map_groups(
+        merge_group, batch_format="pyarrow")
 
 
 def _fill_defaults(batch: pa.Table, keys: list[str], default: str) -> pa.Table:

@@ -31,21 +31,31 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .aggregate import _merge_partials
+from .shuffle import adaptive_n_parts, int_partition_ids, mix64_rows, \
+    partitioned_attach
 
 # ---------------------------------------------------------------------------
 # tokenize / shingle helpers (shared, vectorized via numpy over object arrays)
 # ---------------------------------------------------------------------------
 
 
-def _word_shingles(texts: list[str | None], k: int) -> list[set[str]]:
+def _word_shingles(texts: list[str | None], k: int,
+                   short_fallback: bool = True) -> list[set[str]]:
+    """Distinct word-k-grams per doc. ``short_fallback`` controls docs with
+    fewer than k words: True -> {whole text} (sketch ops: short dups still
+    collide); False -> empty set (exact ngram-jaccard: matches the SQL
+    oracle, which generates no shingles for short docs — see
+    DIVERGENCES.md)."""
     out = []
     for t in texts:
         if not t:
             out.append(set())
             continue
         w = t.split(" ")
-        out.append({" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
-                   if len(w) >= k else {t})
+        if len(w) >= k:
+            out.append({" ".join(w[i:i + k]) for i in range(len(w) - k + 1)})
+        else:
+            out.append({t} if short_fallback else set())
     return out
 
 
@@ -60,25 +70,51 @@ def md5_hex(texts: pa.Array) -> pa.Array:
     return pc.take(dig, d.indices)
 
 
+def md5_hex_u64(texts: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(hex digest, int64 from the first 8 digest bytes) per string — the
+    int64 doubles as a deterministic merge-partition hash of the digest, so
+    the dedup merge can hash-partition without re-hashing strings."""
+    d = pc.dictionary_encode(pc.cast(texts, pa.string()))
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    digs = [None if v is None else hashlib.md5(v.encode()).digest()
+            for v in d.dictionary.to_pylist()]
+    hexes = pa.array([None if b is None else b.hex() for b in digs],
+                     pa.string())
+    u64 = pa.array(
+        [0 if b is None else
+         int.from_bytes(b[:8], "little") & 0x7FFFFFFFFFFFFFFF
+         for b in digs], pa.int64())
+    return pc.take(hexes, d.indices), pc.take(u64, d.indices)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds: Dataset, text_col: str = "text",
-                id_col: str = "doc_id") -> Dataset:
+                id_col: str = "doc_id",
+                n_parts: int | None = None) -> Dataset:
     """Exact dedup: one surviving row (min id) per distinct text, with copy
-    count. Shuffle moves only (digest, min_id, n) partials."""
+    count. Shuffle moves only (digest, min_id, n) partials, and the final
+    merge is hash-partitioned on the digest (distinct-key cardinality is
+    O(N) — a single-block fan-in would hold the whole distinct set in one
+    task at 10^9 docs)."""
+    n_parts = n_parts or adaptive_n_parts()
+
     def partial(batch: pa.Table) -> pa.Table:
-        key = md5_hex(batch[text_col])
-        t = pa.table({"dedup_key": key, id_col: batch[id_col]})
+        key, kh = md5_hex_u64(batch[text_col])
+        part = kh.to_numpy(zero_copy_only=False) % n_parts
+        t = pa.table({"dedup_key": key, "_mp": pa.array(part, pa.int64()),
+                      id_col: batch[id_col]})
         out = t.group_by(["dedup_key"]).aggregate(
-            [(id_col, "min"), ([], "count_all")])
-        return out.rename_columns(["dedup_key", "_min_id", "_n"])
+            [("_mp", "min"), (id_col, "min"), ([], "count_all")])
+        return out.rename_columns(["dedup_key", "_mp", "_min_id", "_n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     out = _merge_partials(partials, ["dedup_key"],
                           [("_min_id", "min"), ("_n", "sum")],
-                          [id_col, "n_copies"])
+                          [id_col, "n_copies"], part_col="_mp")
     return out
 
 
@@ -89,19 +125,20 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
 def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> Dataset:
+                        max_df: int | None = None,
+                        n_parts: int | None = None) -> Dataset:
     """All pairs (a<b) whose distinct word-k-gram sets have Jaccard >=
-    threshold. Exact (not sketched): |A∩B| via shingle join, sizes via a
-    broadcast {id: |set|} map (fits memory up to ~10^8 docs; beyond that
-    replace with a Dataset join on id).
+    threshold. Exact (not sketched): |A∩B| via shingle join; per-doc set
+    sizes ride as a small (id, n) Dataset attached to the pair set with two
+    reduce-side hash joins — no driver-side materialization and no O(N)
+    broadcast, so the plan survives 10^9-doc corpora.
     """
-    import ray
-
-    n_parts = 32
+    n_parts = n_parts or adaptive_n_parts()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        shs = _word_shingles(batch[text_col].to_pylist(), k)
+        shs = _word_shingles(batch[text_col].to_pylist(), k,
+                             short_fallback=False)
         out_id, out_sh = [], []
         for i, s in zip(ids, shs):
             out_id.extend([i] * len(s))
@@ -115,17 +152,16 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
 
     def sizes_partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        shs = _word_shingles(batch[text_col].to_pylist(), k)
+        shs = _word_shingles(batch[text_col].to_pylist(), k,
+                             short_fallback=False)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "_n": pa.array([len(s) for s in shs], pa.int64())})
 
-    sizes_tbl = ds.map_batches(sizes_partial, batch_format="pyarrow",
-                               batch_size=None).to_arrow_refs()
-    sizes: dict[int, int] = {}
-    for ref in sizes_tbl:
-        t = ray.get(ref)
-        sizes.update(zip(t[id_col].to_pylist(), t["_n"].to_pylist()))
-    sizes_ref = ray.put(sizes) if ray.is_initialized() else sizes
+    # (id, |set|) as a small distributed Dataset; materialized once because
+    # it is consumed by two attach passes (16 B/doc in the object store —
+    # never on the driver)
+    sizes = ds.map_batches(sizes_partial, batch_format="pyarrow",
+                           batch_size=None).materialize()
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
@@ -160,36 +196,43 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
     pair_counts = exploded.groupby("sh_part").map_groups(
         partition_pairs, batch_format="pyarrow")
 
-    # count co-occurrences per (a,b): partial count per block, merge
+    # count co-occurrences per (a,b): partial count per block, then a
+    # hash-partitioned merge (pair cardinality is O(near-dup pairs) — can
+    # be huge; never fan into one block)
     def pair_partial(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["a", "b"]).aggregate([([], "count_all")])
-        return out.rename_columns(["a", "b", "_i"])
+        out = out.rename_columns(["a", "b", "_i"])
+        return out.append_column(
+            "_mp", pa.array(int_partition_ids(out, ["a", "b"], n_parts)))
 
     partials = pair_counts.map_batches(pair_partial, batch_format="pyarrow",
                                        batch_size=None)
-    inter = _merge_partials(partials, ["a", "b"], [("_i", "sum")], ["i"])
+    inter = _merge_partials(partials, ["a", "b"], [("_i", "sum")], ["i"],
+                            part_col="_mp")
 
-    class Finalize:
-        def __init__(self, sizes_ref):
-            self.sizes = ray.get(sizes_ref) if isinstance(
-                sizes_ref, ray.ObjectRef) else sizes_ref
+    # attach |A| and |B| reduce-side (two hash-partitioned joins)
+    i64 = pa.int64()
+    with_na = partitioned_attach(
+        inter, {"a": i64, "b": i64, "i": i64}, sizes,
+        key_col="a", right_key=id_col, right_val="_n", out_name="_na",
+        n_parts=n_parts)
+    with_nb = partitioned_attach(
+        with_na, {"a": i64, "b": i64, "i": i64, "_na": i64}, sizes,
+        key_col="b", right_key=id_col, right_val="_n", out_name="_nb",
+        n_parts=n_parts)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            i = batch["i"].to_numpy(zero_copy_only=False).astype(np.float64)
-            na = np.array([self.sizes[x] for x in a], np.float64)
-            nb = np.array([self.sizes[x] for x in b], np.float64)
-            j = i / (na + nb - i)
-            keep = j >= threshold
-            return pa.table({
-                "a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                "jaccard": pa.array(np.round(j[keep], 6)),
-            })
+    def finalize(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["_na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["_nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = i / (na + nb - i)
+        keep = j >= threshold
+        kept = batch.filter(pa.array(keep))
+        return pa.table({"a": kept["a"], "b": kept["b"],
+                         "jaccard": pa.array(np.round(j[keep], 6))})
 
-    return inter.map_batches(Finalize, fn_constructor_args=(sizes_ref,),
-                             batch_format="pyarrow", batch_size=None,
-                             concurrency=(1, 4))
+    return with_nb.map_batches(finalize, batch_format="pyarrow",
+                               batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -279,23 +322,15 @@ class MinHasher:
         })
 
 
-def _mix64(mat: np.ndarray, seed: int) -> np.ndarray:
-    """Vectorized 64-bit mixing hash of each ROW of a small uint64 matrix
-    (splitmix-style multiply-xor chain). Collision probability ~2^-64 per
-    bucket — fine for LSH candidate grouping."""
-    with np.errstate(over="ignore"):
-        init = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF)
-        h = np.full(mat.shape[0], init, np.uint64)
-        for c in range(mat.shape[1]):
-            h = (h ^ mat[:, c]) * np.uint64(0xBF58476D1CE4E5B9)
-            h ^= h >> np.uint64(31)
-    return h
+# vectorized row hash for LSH band buckets (collision ~2^-64 per bucket) —
+# shared with the shuffle helpers
+_mix64 = mix64_rows
 
 
 def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
                       k: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      n_parts: int = 32) -> Dataset:
+                      n_parts: int | None = None) -> Dataset:
     """Near-dup pairs via MinHash signatures + LSH banding (small/medium
     corpora: the signature rides along the band explosion, so the estimate
     is computed where the candidates are found — simplest plan, but the
@@ -305,6 +340,7 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
     only (bucket, id) 16-byte rows and joins signatures back onto the
     candidate pairs. Output: (a, b, jaccard_est).
     """
+    n_parts = n_parts or adaptive_n_parts()
     rows_per_band = num_perm // bands
     signed = ds.map_batches(
         MinHasher, fn_constructor_args=(num_perm, k, 42, text_col, id_col),
@@ -371,14 +407,17 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
         partition_pairs, batch_format="pyarrow")
 
     # same pair surfaces from multiple bands -> keep one, filter by estimate
+    # (hash-partitioned merge: pair cardinality is O(N) at high dup rates)
     def pair_partial(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["a", "b"]).aggregate([("jaccard_est", "max")])
-        return out.rename_columns(["a", "b", "_e"])
+        out = out.rename_columns(["a", "b", "_e"])
+        return out.append_column(
+            "_mp", pa.array(int_partition_ids(out, ["a", "b"], n_parts)))
 
     partials = pairs.map_batches(pair_partial, batch_format="pyarrow",
                                  batch_size=None)
     merged = _merge_partials(partials, ["a", "b"], [("_e", "max")],
-                             ["jaccard_est"])
+                             ["jaccard_est"], part_col="_mp")
 
     def threshold_filter(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["jaccard_est"], threshold))
@@ -407,12 +446,18 @@ def simhash64(texts: list[str | None], k: int = 1) -> np.ndarray:
 
 
 def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_parts: int | None = None) -> Dataset:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
     Buckets by each of the 4 16-bit signature chunks (pigeonhole: any pair
     within distance 3 agrees on >= one chunk), so candidate generation is a
     hash shuffle on (chunk_idx, chunk_value)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"simhash_pairs max_hamming={max_hamming} > 3: the 4x16-bit "
+            "chunk scheme guarantees recall only for distance <= 3 "
+            "(pigeonhole); use more/narrower chunks for larger radii")
     def sign(batch: pa.Table) -> pa.Table:
         sig = simhash64(batch[text_col].to_pylist())
         return pa.table({id_col: batch[id_col],
@@ -420,7 +465,7 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
 
     signed = ds.map_batches(sign, batch_format="pyarrow", batch_size=None)
 
-    n_parts = 16
+    n_parts = n_parts or adaptive_n_parts()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -480,45 +525,40 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["a", "b"]).aggregate([("hamming", "min")])
-        return out.rename_columns(["a", "b", "_h"])
+        out = out.rename_columns(["a", "b", "_h"])
+        return out.append_column(
+            "_mp", pa.array(int_partition_ids(out, ["a", "b"], n_parts)))
 
     partials = pairs.map_batches(dedup_pairs, batch_format="pyarrow",
                                  batch_size=None)
-    return _merge_partials(partials, ["a", "b"], [("_h", "min")], ["hamming"])
+    return _merge_partials(partials, ["a", "b"], [("_h", "min")], ["hamming"],
+                           part_col="_mp")
 
 
 def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
                             bands: int = 32, k: int = 3,
                             threshold: float = 0.5, text_col: str = "text",
-                            id_col: str = "doc_id", n_parts: int = 64,
-                            join_partitions: int = 32) -> Dataset:
+                            id_col: str = "doc_id",
+                            n_parts: int | None = None) -> Dataset:
     """Scale plan for MinHash+LSH: the band explosion carries ONLY
     (bucket:int64, id:int64) — 16 bytes/row instead of bands x 1KB
-    signatures — and the Jaccard estimate is computed by JOINING the
-    signature table onto the (deduplicated, small) candidate pair set.
+    signatures — and the Jaccard estimate is computed by attaching the
+    signature table onto the (deduplicated, small) candidate pair set with
+    two reduce-side hash joins (shuffle.partitioned_attach — works at any
+    cluster size, unlike Ray 2.49's experimental Dataset.join which
+    deadlocks under 8 CPUs).
 
     Shuffle volumes at N docs: explode = N x bands x 16B; candidate pairs =
-    O(near-dup pairs); signature join = 2 hash joins on the pair set
-    against the N x (num_perm x 8B) signature table. This is the plan that
-    survives 10^9-doc corpora.
-
-    Requires >= 8 cluster CPUs: Ray 2.49's (experimental) Dataset.join
-    deadlocks on smaller clusters — its aggregator actors plus the chained
-    second join starve upstream stages regardless of fractional num_cpus
-    (verified empirically; use minhash_lsh_pairs below that scale)."""
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 0)) \
-        if _ray.is_initialized() else 0
-    if cpus and cpus < 8:
-        raise RuntimeError(
-            f"minhash_lsh_pairs_scale needs >=8 CPUs (cluster has {cpus}); "
-            "Ray's experimental join deadlocks below that — use "
-            "minhash_lsh_pairs for small clusters/corpora")
+    O(near-dup pairs); signature attach = 2 hash-partitioned joins against
+    the N x (num_perm x 8B) signature table. Signatures are materialized
+    once (object store, never the driver) instead of recomputing MinHash
+    per consumer. This is the plan that survives 10^9-doc corpora."""
+    n_parts = n_parts or adaptive_n_parts()
     rows_per_band = num_perm // bands
     signed = ds.map_batches(
         MinHasher, fn_constructor_args=(num_perm, k, 42, text_col, id_col),
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 8)).materialize()
 
     def explode_min(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -573,37 +613,38 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["a", "b"]).aggregate([([], "count_all")])
-        return out.rename_columns(["a", "b", "_c"])
+        out = out.rename_columns(["a", "b", "_c"])
+        return out.append_column(
+            "_mp", pa.array(int_partition_ids(out, ["a", "b"], n_parts)))
 
     partials = cand.map_batches(pair_partial, batch_format="pyarrow",
                                 batch_size=None)
-    pairs = _merge_partials(partials, ["a", "b"], [("_c", "max")], ["_c"]) \
-        .drop_columns(["_c"])
+    pairs = _merge_partials(partials, ["a", "b"], [("_c", "max")], ["_c"],
+                            part_col="_mp").drop_columns(["_c"])
 
-    # join the signatures back (hash join on id) and estimate. Acero can't
-    # carry fixed_size_list payloads through a join -> pack each signature
-    # as fixed-size binary, zero-copy from the int64 buffer.
+    # attach the signatures back, reduce-side. The attach payload must be a
+    # flat value column -> pack each signature as fixed-size binary,
+    # zero-copy from the int64 buffer.
     sig_bytes = pa.binary(num_perm * 8)
 
-    def pack(batch: pa.Table, out_name: str, id_name: str) -> pa.Table:
+    def pack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         flat = batch["sig"].combine_chunks().flatten()
         packed = pa.Array.from_buffers(sig_bytes, n, [None, pa.py_buffer(
             np.asarray(flat).astype(np.int64).tobytes())])
-        return pa.table({id_name: batch[id_col], out_name: packed})
+        return pa.table({id_col: batch[id_col], "_sv": packed})
 
-    sig_a = signed.map_batches(lambda b: pack(b, "sig_a", "a"),
-                               batch_format="pyarrow", batch_size=None)
-    sig_b = signed.map_batches(lambda b: pack(b, "sig_b", "b"),
-                               batch_format="pyarrow", batch_size=None)
-    # fractional-CPU aggregators: the join's hash aggregator actors would
-    # otherwise reserve a full CPU each and can starve upstream stages into
-    # deadlock on small clusters
-    agg_args = {"num_cpus": 0.25}
-    joined = pairs.join(sig_a, "inner", join_partitions, on=("a",),
-                        aggregator_ray_remote_args=agg_args)
-    joined = joined.join(sig_b, "inner", join_partitions, on=("b",),
-                         aggregator_ray_remote_args=agg_args)
+    sig_tbl = signed.map_batches(pack, batch_format="pyarrow",
+                                 batch_size=None)
+    i64 = pa.int64()
+    j1 = partitioned_attach(
+        pairs, {"a": i64, "b": i64}, sig_tbl, key_col="a",
+        right_key=id_col, right_val="_sv", out_name="sig_a",
+        val_type=sig_bytes, n_parts=n_parts)
+    joined = partitioned_attach(
+        j1, {"a": i64, "b": i64, "sig_a": sig_bytes}, sig_tbl, key_col="b",
+        right_key=id_col, right_val="_sv", out_name="sig_b",
+        val_type=sig_bytes, n_parts=n_parts)
 
     def estimate(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -14,14 +14,13 @@
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .aggregate import _merge_partials
+from .shuffle import adaptive_n_parts, key_partitioner
 
 
 def histogram_by(ds: Dataset, keys: list[str], value_col: str,
@@ -58,20 +57,13 @@ def histogram_by(ds: Dataset, keys: list[str], value_col: str,
 
 def transition_edges(ds: Dataset, *, key_col: str = "conv_id",
                      order_col: str = "turn_idx", node_col: str = "service",
-                     n_parts: int = 32, count_col: str = "n") -> Dataset:
+                     n_parts: int | None = None, count_col: str = "n",
+                     size_bytes: int | None = None) -> Dataset:
     """Edges (from_node -> to_node) between consecutive rows of each key,
-    counted globally — servicegraph's client/server pairing in batch form."""
-    def add_part(batch: pa.Table) -> pa.Table:
-        k = batch[key_col]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        d = pc.dictionary_encode(pc.cast(k, pa.string()))
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        per_uniq = pa.array(
-            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
-             for v in d.dictionary.to_pylist()], pa.int64())
-        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+    counted globally — servicegraph's client/server pairing in batch form.
+    Adaptive coarse partitioning (cluster CPUs / input bytes)."""
+    n_parts = n_parts or adaptive_n_parts(size_bytes)
+    add_part = key_partitioner(key_col, n_parts)
 
     def per_partition(group: pa.Table) -> pa.Table:
         group = group.sort_by([(key_col, "ascending"),
@@ -104,20 +96,12 @@ def transition_edges(ds: Dataset, *, key_col: str = "conv_id",
 
 def cumulative_per_key(ds: Dataset, *, key_col: str, order_col: str,
                        value_col: str, out_col: str = "cumulative",
-                       n_parts: int = 32) -> Dataset:
+                       n_parts: int | None = None,
+                       size_bytes: int | None = None) -> Dataset:
     """deltatocumulative: running per-key sum in order — one coarse-
-    partitioned sort + vectorized segmented cumsum."""
-    def add_part(batch: pa.Table) -> pa.Table:
-        k = batch[key_col]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        d = pc.dictionary_encode(pc.cast(k, pa.string()))
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        per_uniq = pa.array(
-            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
-             for v in d.dictionary.to_pylist()], pa.int64())
-        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+    partitioned sort + vectorized segmented cumsum. Adaptive partitioning."""
+    n_parts = n_parts or adaptive_n_parts(size_bytes)
+    add_part = key_partitioner(key_col, n_parts)
 
     def per_partition(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_part"]).sort_by(

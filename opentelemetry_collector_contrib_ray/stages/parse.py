@@ -15,6 +15,7 @@ No Python-per-row loops in any hot path.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -247,7 +248,10 @@ def json_parser(parse_from: str = "text", fields: dict[str, str] | None = None,
 def csv_parser(parse_from: str = "text", header: list[str] | None = None,
                delimiter: str = ",", prefix: str = ""):
     """stanza csv_parser (parser/csv/config.go:36-42): split into named
-    positional fields. Vectorized via utf8_split_whitespace-free split kernel."""
+    positional fields. Rows with fewer fields than the header yield nulls for
+    the missing positions (the reference handles short rows per-row via
+    on_error; pc.list_element would instead fail the whole batch), via the
+    same offset-arithmetic positional access as assign_keys."""
     header = header or []
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -255,9 +259,16 @@ def csv_parser(parse_from: str = "text", header: list[str] | None = None,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         parts = pc.split_pattern(col, delimiter)
+        offsets = np.asarray(parts.offsets)
+        lengths = offsets[1:] - offsets[:-1]
+        values = parts.values
         for i, name in enumerate(header):
-            batch = batch.append_column(
-                prefix + name, pc.list_element(parts, i))
+            has = lengths > i
+            take = pa.array(np.where(has, offsets[:-1] + i, 0), pa.int64())
+            val = (pc.if_else(pa.array(has), pc.take(values, take),
+                              pa.nulls(batch.num_rows, values.type))
+                   if len(values) else pa.nulls(batch.num_rows, pa.string()))
+            batch = batch.append_column(prefix + name, val)
         return batch
     return fn
 

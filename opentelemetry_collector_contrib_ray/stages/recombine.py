@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from .shuffle import adaptive_n_parts, key_partitioner
+
 FIRST_ENTRY_RE = r"^\S"  # classic multiline rule: non-indented line starts an entry
 
 
@@ -91,30 +93,22 @@ def recombine_blocks(ds: Dataset, **kw) -> Dataset:
 
 
 def recombine_grouped(ds: Dataset, *, source_col: str = "conv_id",
-                      order_col: str = "turn_idx", n_parts: int = 32,
-                      **kw) -> Dataset:
+                      order_col: str = "turn_idx",
+                      n_parts: int | None = None,
+                      size_bytes: int | None = None, **kw) -> Dataset:
     """General path: hash-co-locate sources, sort, merge.
 
     Shuffles on a COARSE partition key (hash(source) % n_parts) rather than
     the source itself: one map_groups call processes a whole partition of
     sources vectorized (merge_segments handles multiple sources per table),
     so per-group scheduling cost is per partition — thousands of small
-    conversations don't pay per-conversation task overhead.
+    conversations don't pay per-conversation task overhead. ``n_parts`` is
+    adaptive (cluster CPUs, plus ``size_bytes`` when the caller knows the
+    input size) so one partition never materializes an unbounded slice of
+    the input in a single task.
     """
-    import zlib
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        src = batch[source_col]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        # deterministic cross-worker hash, computed once per DISTINCT source
-        d = pc.dictionary_encode(src)
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        per_uniq = pa.array(
-            [zlib.crc32(v.encode()) % n_parts if v is not None else 0
-             for v in d.dictionary.to_pylist()], pa.int64())
-        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+    n_parts = n_parts or adaptive_n_parts(size_bytes)
+    add_part = key_partitioner(source_col, n_parts)
 
     def per_partition(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_part"]).sort_by(

@@ -11,34 +11,27 @@ with start/end, duration, and event count.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from .shuffle import adaptive_n_parts, key_partitioner
+
 
 def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
-               gap: str = "30m", n_parts: int = 32) -> Dataset:
+               gap: str = "30m", n_parts: int | None = None,
+               size_bytes: int | None = None) -> Dataset:
     """Sessions = maximal runs of a key's events where consecutive gaps are
     <= ``gap`` ('30m', '90s', '1h'). Returns per-session rows:
-    (key, session_idx, session_start, session_end, n_events)."""
+    (key, session_idx, session_start, session_end, n_events). Partition
+    count is adaptive (cluster CPUs / input bytes) so per-task group size
+    stays bounded at scale."""
     unit = gap[-1]
     mult = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000}[unit]
     gap_us = int(float(gap[:-1]) * mult)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        k = batch[key_col]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        d = pc.dictionary_encode(pc.cast(k, pa.string()))
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        per_uniq = pa.array(
-            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
-             for v in d.dictionary.to_pylist()], pa.int64())
-        return batch.append_column("_part", pc.take(per_uniq, d.indices))
+    n_parts = n_parts or adaptive_n_parts(size_bytes)
+    add_part = key_partitioner(key_col, n_parts)
 
     def per_partition(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_part"]).sort_by(

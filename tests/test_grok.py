@@ -59,3 +59,18 @@ def test_duplicate_capture_names_skipped():
     import re as _re
     assert rx.count("(?P<x>") == 1  # RE2 rejects dup names; second is anon
     _ = _re
+
+
+def test_syslogtimestamp_month_loglevel_alternation_grouped():
+    # regression: the month alternation must be grouped so the day/time tail
+    # binds to every alternative, not just December (ADVICE r1)
+    fn = extract_grok_patterns("%{SYSLOGTIMESTAMP:t} %{LOGLEVEL:lvl}")
+    out = fn(pa.table({"text": ["Jan 15 04:12:33 ERROR", "Dec  3 23:59:59 warn"]}))
+    assert out["t"].to_pylist() == ["Jan 15 04:12:33", "Dec  3 23:59:59"]
+    assert out["lvl"].to_pylist() == ["ERROR", "warn"]
+
+
+def test_month_capture_full_token():
+    fn = extract_grok_patterns("^%{MONTH:m} ")
+    out = fn(pa.table({"text": ["March 3", "Jul 9"]}))
+    assert out["m"].to_pylist() == ["March", "Jul"]

@@ -165,3 +165,18 @@ def test_log_fn():
     vals = got.to_pylist()
     assert vals[0] == pytest.approx(1.0) and vals[1] == 0.0
     assert vals[2] is None and vals[3] is None and vals[4] is None
+
+
+def test_map_set_and_list_append_on_all_empty_children():
+    # regression: zero-length child arrays crashed the dummy-take path
+    from opentelemetry_collector_contrib_ray.functions import maps as m
+
+    empty_maps = pa.array([[], [], None], pa.map_(pa.string(), pa.string()))
+    out = m.map_set(empty_maps, "k", pa.array(["a", "b", "c"]))
+    # null rows become single-entry maps: set always creates (PutStr)
+    assert out.to_pylist() == [[("k", "a")], [("k", "b")], [("k", "c")]]
+    assert m.map_get(empty_maps, "k").to_pylist() == [None, None, None]
+
+    empty_lists = pa.array([[], []], pa.list_(pa.int64()))
+    out2 = ottl.list_append(empty_lists, 7)
+    assert out2.to_pylist() == [[7], [7]]

@@ -113,3 +113,14 @@ def test_syslog_rfc3164():
     assert out["severity_number"].to_pylist() == [18, 10, 0]
     assert out["severity_text"].to_pylist() == ["crit", "notice", ""]
     assert out["syslog_facility"].to_pylist() == [4, 1, None]
+
+
+def test_csv_parser_ragged_rows_null_fill():
+    # regression: short rows must yield nulls, not fail the batch (ADVICE r1)
+    from opentelemetry_collector_contrib_ray.stages.parse import csv_parser
+
+    fn = csv_parser(header=["a", "b", "c"])
+    out = fn(pa.table({"text": ["1,2,3", "1,2", "", "x,y,z,extra"]}))
+    assert out["a"].to_pylist() == ["1", "1", "", "x"]
+    assert out["b"].to_pylist() == ["2", "2", None, "y"]
+    assert out["c"].to_pylist() == ["3", None, None, "z"]

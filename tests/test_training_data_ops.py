@@ -210,47 +210,22 @@ def test_ann_lsh_recall_vs_bruteforce():
     assert approx.equals(approx2)
 
 
-def test_minhash_scale_plan_requires_cluster_size():
+def test_minhash_scale_plan_equals_small_plan():
+    """Equivalence of the attach-based scale plan with the small plan, run
+    IN the 4-CPU test session — the reduce-side partitioned_attach join
+    works (no deadlock) below 8 CPUs, unlike Ray 2.49's Dataset.join that
+    the previous revision used."""
     from opentelemetry_collector_contrib_ray.stages.dedup import (
+        minhash_lsh_pairs,
         minhash_lsh_pairs_scale,
     )
-    # the 4-CPU test cluster is below the documented join minimum -> the
-    # guard must fire rather than deadlock
-    with pytest.raises(RuntimeError, match=">=8 CPUs"):
-        minhash_lsh_pairs_scale(_docs_ds(), threshold=0.5)
 
-
-def test_minhash_scale_plan_equals_small_plan_subprocess():
-    """Equivalence of the join-based scale plan, in its own 8-CPU Ray
-    (Dataset.join needs the larger cluster — see dedup.py docstring)."""
-    import os
-    import subprocess
-    import sys
-
-    code = """
-import ray; ray.init(address="local", num_cpus=8, include_dashboard=False)
-import sys; sys.path.insert(0, %r)
-import ray.data
-from opentelemetry_collector_contrib_ray.stages.dedup import (
-    minhash_lsh_pairs, minhash_lsh_pairs_scale)
-src = "/root/testdata/sf0.001/documents.parquet"
-small = minhash_lsh_pairs(ray.data.read_parquet(src,
-    columns=["doc_id", "text"]), threshold=0.5).to_pandas()
-big = minhash_lsh_pairs_scale(ray.data.read_parquet(src,
-    columns=["doc_id", "text"]), threshold=0.5,
-    join_partitions=4).to_pandas()
-assert sorted(zip(small.a, small.b)) == sorted(zip(big.a, big.b))
-es = dict(zip(zip(small.a, small.b), small.jaccard_est))
-eb = dict(zip(zip(big.a, big.b), big.jaccard_est))
-assert all(abs(es[k] - eb[k]) < 1e-12 for k in es)
-print("EQUIVALENT", len(es))
-ray.shutdown()
-""" % REPO
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=280,
-                       env={**os.environ, "RAY_ADDRESS": ""})
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "EQUIVALENT" in r.stdout
+    small = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    big = minhash_lsh_pairs_scale(_docs_ds(), threshold=0.5).to_pandas()
+    assert sorted(zip(small.a, small.b)) == sorted(zip(big.a, big.b))
+    es = dict(zip(zip(small.a, small.b), small.jaccard_est))
+    eb = dict(zip(zip(big.a, big.b), big.jaccard_est))
+    assert all(abs(es[k] - eb[k]) < 1e-12 for k in es)
 
 
 REPO = "/root/repo"
