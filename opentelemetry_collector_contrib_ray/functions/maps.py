@@ -50,8 +50,10 @@ def _rebuild(offsets, keys, items, keep_mask: np.ndarray,
     if len(keep_mask) == 0:  # no entries at all (all maps empty/null)
         kept_per_row = np.zeros(max(0, len(offsets) - 1), np.int64)
     elif len(offsets) > 1:
-        kept_per_row = np.add.reduceat(keep_mask.astype(np.int64),
-                                       offsets[:-1])
+        # clamp: a trailing empty row's offset == len(children), which
+        # reduceat rejects; those rows are zeroed below anyway
+        idx = np.minimum(offsets[:-1], len(keep_mask) - 1)
+        kept_per_row = np.add.reduceat(keep_mask.astype(np.int64), idx)
     else:
         kept_per_row = np.array([], np.int64)
     # reduceat quirk: empty row slices copy the next value — zero them
@@ -92,12 +94,29 @@ def keep_matching_keys(col, pattern: str) -> pa.MapArray:
     return _rebuild(offsets, keys, items, keep, valid)
 
 
-def limit_map(col, n: int) -> pa.MapArray:
-    """func_limit.go: cap entries per map (keeps the first n, map order)."""
+def limit_map(col, n: int, priority_keys: list[str] | None = None
+              ) -> pa.MapArray:
+    """func_limit.go: cap entries per map at n. ``priority_keys`` are kept
+    first (reference's priority_keys arg); remaining slots fill in map
+    order."""
     _, offsets, keys, items, valid = _map_parts(col)
     idx = np.arange(len(keys))
     row_of = np.searchsorted(offsets[1:], idx, side="right")
-    keep = (idx - offsets[row_of]) < n
+    if priority_keys:
+        prio = np.asarray(pc.is_in(
+            keys, value_set=pa.array(priority_keys))).astype(bool)
+        # rank within row: priority entries first (stable), then the rest
+        order = np.lexsort((idx, ~prio, row_of))
+        rank = np.empty(len(keys), np.int64)
+        row_sorted = row_of[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(row_sorted[1:] != row_sorted[:-1])[0] + 1])
+        pos_in_row = np.arange(len(keys)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(keys)]])))
+        rank[order] = pos_in_row
+        keep = rank < n
+    else:
+        keep = (idx - offsets[row_of]) < n
     return _rebuild(offsets, keys, items, keep, valid)
 
 
@@ -160,8 +179,11 @@ def map_set(col, key: str, values) -> pa.MapArray:
         pa.array(new_offsets, pa.int32()), out_keys, out_items)
 
 
-def merge_maps(target, source) -> pa.MapArray:
-    """func_merge_maps.go (upsert strategy): source entries override target."""
+def merge_maps(target, source, strategy: str = "upsert") -> pa.MapArray:
+    """func_merge_maps.go: insert (only keys absent from target), update
+    (only keys already in target), upsert (source overrides)."""
+    if strategy not in ("insert", "update", "upsert"):
+        raise ValueError(f"merge_maps: bad strategy {strategy!r}")
     t, t_off, t_keys, t_items, t_valid = _map_parts(target)
     s, s_off, s_keys, s_items, s_valid = _map_parts(source)
     out = t
@@ -170,11 +192,17 @@ def merge_maps(target, source) -> pa.MapArray:
         vals = map_get(s, k)
         has = pc.is_valid(vals)
         cur = map_get(out, k)
-        merged = pc.if_else(has, vals, cur)
-        # only set where source has the key OR target already had it
-        out = map_set(out, k, pc.if_else(pc.or_(has, pc.is_valid(cur)),
-                                         merged, merged))
-        # rows where neither had the key now carry a null item; drop those
+        had = pc.is_valid(cur)
+        if strategy == "insert":
+            take_src = pc.and_(has, pc.invert(had))
+        elif strategy == "update":
+            take_src = pc.and_(has, had)
+        else:
+            take_src = has
+        merged = pc.if_else(take_src, vals, cur)
+        out = map_set(out, k, merged)
+        # rows where the merged value is null (neither side, or the
+        # strategy rejected the source) must not grow a null entry
         _, offs, ks, its, vld = _map_parts(out)
         keep = ~(np.asarray(pc.equal(ks, k)).astype(bool) &
                  np.asarray(pc.is_null(its)))

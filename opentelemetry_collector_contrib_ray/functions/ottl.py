@@ -124,12 +124,23 @@ def replace_pattern(col, pattern: str, replacement: str):
                                       replacement.replace("$$", "\\"))
 
 
+def _glob_to_re2(glob: str) -> str:
+    """filepath.Match-style glob -> anchored RE2 (fnmatch.translate emits
+    atomic groups `(?>...)` on py3.11+, which RE2 rejects)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
 def replace_match(col, glob: str, replacement: str):
     """func_replace_match.go: glob full-match -> literal replacement."""
-    import fnmatch
-    # RE2 lacks \Z; anchor the translated glob with ^...$ instead
-    rx = "^" + fnmatch.translate(glob).replace("\\Z", "") + "$"
-    m = pc.match_substring_regex(_arr(col), rx)
+    m = pc.match_substring_regex(_arr(col), _glob_to_re2(glob))
     return pc.if_else(pc.fill_null(m, False), pa.scalar(replacement), _arr(col))
 
 
@@ -500,3 +511,323 @@ def log_fn(col):
 
 
 REGISTRY["Log"] = log_fn
+
+
+# ---------------------------------------------------------------------------
+# OTTL tail: murmur3, ExtractPatterns, Now/Unix, duration components,
+# full XML family, typed Hex, TraceID/SpanID (round-2 coverage —
+# func_murmur3_hash.go, func_extract_patterns.go, func_now.go, func_unix.go,
+# func_hours.go..func_nanoseconds.go, func_parse_xml.go, func_insert_xml.go,
+# func_remove_xml.go, func_convert_*_xml.go, func_trace_id.go)
+# ---------------------------------------------------------------------------
+
+def murmur3_hash(col):
+    """func_murmur3_hash.go: Sum32 -> little-endian hex."""
+    from . import murmur3 as _m3
+    return _dict_apply(
+        col, lambda v: _m3.sum32(v.encode()).to_bytes(4, "little").hex())
+
+
+def murmur3_hash128(col):
+    """func_murmur3_hash128.go: x64 Sum128 -> h1||h2 little-endian hex."""
+    from . import murmur3 as _m3
+
+    def one(v: str) -> str:
+        h1, h2 = _m3.sum128(v.encode())
+        return h1.to_bytes(8, "little").hex() + h2.to_bytes(8, "little").hex()
+    return _dict_apply(col, one)
+
+
+def extract_patterns(col, pattern: str):
+    """func_extract_patterns.go: named captures -> map<string,string>
+    (unmatched rows -> null map)."""
+    st = pc.extract_regex(_arr(col), pattern)
+    names = [st.type.field(i).name for i in range(st.type.num_fields)]
+    n = len(st)
+    valid_np = np.asarray(st.is_valid())
+    cols_py = [pc.struct_field(st, nm).to_pylist() for nm in names]
+    keys_flat, items_flat = [], []
+    # offsets[i] = row start (None marks a null row); offsets[n] = total
+    offsets: list[int | None] = []
+    total = 0
+    for i in range(n):
+        offsets.append(total if valid_np[i] else None)
+        if valid_np[i]:
+            for nm, colv in zip(names, cols_py):
+                if colv[i] is not None:
+                    keys_flat.append(nm)
+                    items_flat.append(colv[i])
+                    total += 1
+    offsets.append(total)
+    return pa.MapArray.from_arrays(pa.array(offsets, pa.int32()),
+                                   pa.array(keys_flat, pa.string()),
+                                   pa.array(items_flat, pa.string()))
+
+
+def now():
+    """func_now.go — wall clock, nondeterministic by design."""
+    import datetime as _dt
+    return _dt.datetime.now()
+
+
+def unix(seconds, nanoseconds=0):
+    """func_unix.go: epoch seconds(+ns) -> timestamp."""
+    import datetime as _dt
+    if isinstance(seconds, (pa.Array, pa.ChunkedArray)):
+        us = pc.add(pc.multiply(pc.cast(_arr(seconds), pa.int64()),
+                                1_000_000), int(nanoseconds) // 1000)
+        return pc.cast(us, pa.timestamp("us"))
+    return _dt.datetime.fromtimestamp(seconds + nanoseconds / 1e9,
+                                      tz=_dt.timezone.utc).replace(tzinfo=None)
+
+
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_FACTOR = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+               "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def duration(s):
+    """func_duration.go: Go ParseDuration subset ('90m', '1h30m', '1.5s')
+    -> float seconds. Array input -> float64 array."""
+    if isinstance(s, (pa.Array, pa.ChunkedArray)):
+        return _dict_apply(s, _duration_scalar, pa.float64())
+    return _duration_scalar(s)
+
+
+def _duration_scalar(s: str) -> float:
+    total, matched = 0.0, 0
+    for m in _DUR_RE.finditer(s):
+        total += float(m.group(1)) * _DUR_FACTOR[m.group(2)]
+        matched += len(m.group(0))
+    if matched != len(s.replace("+", "").replace("-", "")):
+        raise ValueError(f"invalid duration {s!r}")
+    return -total if s.startswith("-") else total
+
+
+def _dur_component(factor: float, as_int: bool):
+    """Go time.Duration components: Hours/Minutes/Seconds -> float64;
+    Milliseconds/Microseconds/Nanoseconds -> int64 (func_hours.go etc.)."""
+    def f(x):
+        if isinstance(x, (pa.Array, pa.ChunkedArray)):
+            out = pc.divide(pc.cast(_arr(x), pa.float64()), factor)
+            return pc.cast(pc.round(out), pa.int64()) if as_int else out
+        v = x / factor
+        return int(round(v)) if as_int else v
+    return f
+
+
+dur_hours = _dur_component(3600.0, False)
+dur_minutes = _dur_component(60.0, False)
+dur_seconds = _dur_component(1.0, False)
+dur_milliseconds = _dur_component(1e-3, True)
+dur_microseconds = _dur_component(1e-6, True)
+dur_nanoseconds = _dur_component(1e-9, True)
+
+
+def nanosecond(col):
+    """func_nanosecond.go: t.Nanosecond() — ns within the second."""
+    us = pc.cast(_arr(col), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array((us % 1_000_000) * 1000, pa.int64())
+
+
+def millisecond(col):
+    return pc.cast(pc.millisecond(_arr(col)), pa.int64())
+
+
+def microsecond(col):
+    us = pc.cast(_arr(col), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array(us % 1_000_000, pa.int64())
+
+
+def hex_typed(col):
+    """func_hex.go across input types: int64 -> 8-byte BE hex; float64 ->
+    IEEE-754 BE hex; bool -> 01/00; string/bytes -> content hex."""
+    import struct as _struct
+    a = _arr(col)
+    t = a.type
+    if pa.types.is_integer(t):
+        return _dict_apply(a, lambda v: "%016x" % (int(float(v)) & (2**64-1)),
+                           pa.string())
+    if pa.types.is_floating(t):
+        return _dict_apply(a, lambda v: _struct.pack(">d", float(v)).hex(),
+                           pa.string())
+    if pa.types.is_boolean(t):
+        return pc.if_else(a, pa.scalar("01"), pa.scalar("00"))
+    if pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t):
+        return pa.array([None if v is None else v.hex()
+                         for v in a.to_pylist()], pa.string())
+    return _dict_apply(a, lambda v: v.encode().hex())
+
+
+# --- XML family (ElementTree per DISTINCT value — control-plane cost) ------
+
+def _et_parse(v: str):
+    import xml.etree.ElementTree as ET
+    return ET.fromstring(v)
+
+
+def _et_tostring(el) -> str:
+    import xml.etree.ElementTree as ET
+    return ET.tostring(el, encoding="unicode", short_empty_elements=False)
+
+
+def _xpath_find(root, path: str):
+    """Reference xpath subset: '/Root/child', '/Root//any', '//any'.
+    Returns [(parent, element)] under an already-parsed root."""
+    if path.startswith("//"):
+        return [(None, e) for e in root.iter() if e.tag == path[2:]]
+    head = "/" + root.tag
+    if path == head:
+        return [(None, root)]
+    if path.startswith(head + "/"):
+        rest = path[len(head):]          # '/Message', '//b', '/c/b'
+        sub = "." + rest if rest.startswith("//") else rest[1:]
+        return [(None, e) for e in root.findall(sub)]
+    return []
+
+
+def parse_xml(col):
+    """func_parse_xml.go: full XML -> the reference's nested map shape
+    {tag, attributes?, content?, children?} — emitted as a JSON string
+    (dynamic nesting; documented divergence DIVERGENCES.md)."""
+    import json as _json
+
+    def conv(el) -> dict:
+        out: dict = {"tag": el.tag}
+        if el.attrib:
+            out["attributes"] = dict(el.attrib)
+        if el.text and el.text.strip():
+            out["content"] = el.text.strip()
+        kids = [conv(c) for c in el]
+        if kids:
+            out["children"] = kids
+        return out
+
+    return _dict_apply(col, lambda v: _json.dumps(conv(_et_parse(v)),
+                                                  separators=(",", ":")))
+
+
+def insert_xml(col, xpath: str, sub_document: str):
+    """func_insert_xml.go: append sub_document under each xpath match."""
+    def one(v: str) -> str:
+        root = _et_parse(v)
+        sub = _et_parse(sub_document)
+        for _, el in _xpath_find(root, xpath):
+            el.append(sub)
+        return _et_tostring(root)
+    return _dict_apply(col, one)
+
+
+def remove_xml(col, xpath: str):
+    """func_remove_xml.go: drop elements matching xpath."""
+    def one(v: str) -> str:
+        root = _et_parse(v)
+        parts = xpath.strip("/").split("/")
+        if parts and parts[0] == root.tag and len(parts) > 1:
+            sub = "/".join(parts[1:]).replace("//", ".//")
+            victims = set(map(id, root.findall(sub)))
+            for parent in root.iter():
+                for child in list(parent):
+                    if id(child) in victims:
+                        parent.remove(child)
+        return _et_tostring(root)
+    return _dict_apply(col, one)
+
+
+def get_xml_xpath(col, xpath: str):
+    """func_get_xml.go: concatenated serialization of all xpath matches."""
+    def one(v: str) -> str:
+        root = _et_parse(v)
+        return "".join(_et_tostring(e) for _, e in _xpath_find(root, xpath))
+    return _dict_apply(col, one)
+
+
+def convert_attributes_to_elements_xml(col, xpath: str | None = None):
+    """func_convert_attributes_to_elements_xml.go: each attribute becomes a
+    child element (sorted by name, appended after existing children)."""
+    def fix(el):
+        for c in el:
+            fix(c)
+        for k in sorted(el.attrib):
+            import xml.etree.ElementTree as ET
+            child = ET.SubElement(el, k)
+            child.text = el.attrib[k]
+        el.attrib.clear()
+
+    def one(v: str) -> str:
+        root = _et_parse(v)
+        fix(root)
+        return _et_tostring(root)
+    return _dict_apply(col, one)
+
+
+def convert_text_to_elements_xml(col, xpath: str = "/",
+                                 elements_name: str = "value"):
+    """func_convert_text_to_elements_xml.go: stray text content becomes a
+    <elements_name> child (scoped to xpath matches; default everywhere)."""
+    import xml.etree.ElementTree as ET
+
+    def fix(el):
+        for c in el:
+            fix(c)
+        texts = []
+        if el.text and el.text.strip():
+            texts.append(el.text.strip())
+            el.text = None
+        for c in el:
+            if c.tail and c.tail.strip():
+                texts.append(c.tail.strip())
+                c.tail = None
+        for t in texts:
+            child = ET.SubElement(el, elements_name)
+            child.text = t
+
+    def one(v: str) -> str:
+        # multi-root payloads allowed (reference wraps internally)
+        wrapped = _et_parse(f"<__r__>{v}</__r__>")
+        targets = list(wrapped) if xpath == "/" else \
+            [el for child in wrapped
+             for _, el in _xpath_find(child, xpath)]
+        for el in targets:
+            fix(el)
+        return "".join(_et_tostring(c) for c in wrapped)
+    return _dict_apply(col, one)
+
+
+def trace_id_bytes(v: bytes) -> bytes:
+    """func_trace_id.go: 16-byte trace id constructor."""
+    b = v.rjust(16, b"\x00") if len(v) < 16 else v
+    if len(b) != 16:
+        raise ValueError("TraceID needs 16 bytes")
+    return b
+
+
+def span_id_bytes(v: bytes) -> bytes:
+    """func_span_id.go: 8-byte span id constructor."""
+    b = v.rjust(8, b"\x00") if len(v) < 8 else v
+    if len(b) != 8:
+        raise ValueError("SpanID needs 8 bytes")
+    return b
+
+
+REGISTRY.update({
+    "Murmur3Hash": murmur3_hash, "Murmur3Hash128": murmur3_hash128,
+    "ExtractPatterns": extract_patterns,
+    "Now": now, "Unix": unix, "Duration": duration,
+    "Hours": dur_hours, "Minutes": dur_minutes, "Seconds": dur_seconds,
+    "Milliseconds": dur_milliseconds, "Microseconds": dur_microseconds,
+    "Nanoseconds": dur_nanoseconds,
+    "Nanosecond": nanosecond, "Millisecond": millisecond,
+    "Microsecond": microsecond,
+    "ParseXML": parse_xml, "InsertXML": insert_xml, "RemoveXML": remove_xml,
+    "ConvertAttributesToElementsXML": convert_attributes_to_elements_xml,
+    "ConvertTextToElementsXML": convert_text_to_elements_xml,
+    "Sort": list_sort,
+    "TraceID": trace_id_bytes, "SpanID": span_id_bytes,
+    "Base64Encode": base64_encode,
+    "DeterministicUUID": deterministic_uuid,
+})
+# Duration was previously bound to the array-only variant; Hex gains the
+# typed dispatch; GetXML gains the xpath form under its reference name.
+REGISTRY["Hex"] = hex_typed
+REGISTRY["GetXML"] = get_xml_xpath

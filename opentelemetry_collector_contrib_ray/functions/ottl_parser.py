@@ -1,0 +1,268 @@
+"""Mini-parser for OTTL statements: `editor(args...) where <condition>`.
+
+Reference grammar: pkg/ottl/grammar.go (participle lexer, 596 LoC) with
+statement shape editor(args) + boolean `where` clause, paths like
+``attributes["k"]`` / ``resource.attributes["k"]``, converter calls,
+string/int/float/bool/nil/hex literals, list and map literals, and named
+arguments (``resolveConflicts=true``). We implement the subset the e2e
+conformance corpus (pkg/ottl/e2e/e2e_test.go) exercises — enough to replay
+the reference's statement cases verbatim — as a small recursive-descent
+parser producing a tuple-AST that ``pipelines/statements.py`` compiles to
+vectorized Arrow column rewrites.
+
+AST nodes (plain tuples):
+  ("lit", value)                       literals incl. bytes from 0x...
+  ("list", [expr, ...])
+  ("map", [(key, expr), ...])
+  ("path", [(name, [index_expr, ...]), ...])
+  ("call", Name, [args], {kwargs})
+  ("binop", op, left, right)           == != < <= > >= + - * /
+  ("bool", op, [exprs])                and / or
+  ("not", expr)
+  ("editor", name, [args], {kwargs}, where_expr_or_None)
+"""
+
+from __future__ import annotations
+
+import re
+
+# pdata severity enum (pkg/stanza/entry/severity.go mirrors the same 25
+# levels; OTTL exposes them as SEVERITY_NUMBER_* constants)
+ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _i, _name in enumerate(["TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+                            "FATAL"]):
+    for _j in range(4):
+        suffix = "" if _j == 0 else str(_j + 1)
+        ENUMS[f"SEVERITY_NUMBER_{_name}{suffix}"] = 1 + _i * 4 + _j
+
+_TOKEN = re.compile(r"""
+    \s*(?:
+      (?P<hex>0x[0-9a-fA-F]+) |
+      (?P<num>-?\d+\.\d+|-?\d+) |
+      (?P<str>"(?:[^"\\]|\\.)*") |
+      (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/) |
+      (?P<lparen>\() | (?P<rparen>\)) |
+      (?P<lbrack>\[) | (?P<rbrack>\]) |
+      (?P<lbrace>\{) | (?P<rbrace>\}) |
+      (?P<comma>,) | (?P<dot>\.) | (?P<colon>:) | (?P<eq>=) |
+      (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"where", "and", "or", "not", "nil", "true", "false"}
+
+
+def _unescape(s: str) -> str:
+    # OTTL string escapes: \" \\ \n \t (grammar.go String lexeme)
+    return (s.replace("\\\\", "\x00").replace('\\"', '"')
+            .replace("\\n", "\n").replace("\\t", "\t").replace("\x00", "\\"))
+
+
+def tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"OTTL tokenize error near: {s[pos:]!r}")
+            break
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+        pos = m.end()
+    out.append(("eof", ""))
+    return out
+
+
+class Parser:
+    def __init__(self, s: str):
+        self.toks = tokenize(s)
+        self.i = 0
+
+    def peek(self, ahead: int = 0):
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def eat(self, kind: str | None = None, val: str | None = None) -> str:
+        k, v = self.toks[self.i]
+        if (kind and k != kind) or (val is not None and v != val):
+            raise ValueError(f"OTTL parse: expected {kind or val}, "
+                             f"got {k}:{v!r}")
+        self.i += 1
+        return v
+
+    # ---- entry points ----
+    def parse_statement(self):
+        """editor(args) [where cond] -> ("editor", name, args, kwargs, where)."""
+        name = self.eat("name")
+        args, kwargs = self._arglist()
+        where = None
+        if self.peek() == ("name", "where"):
+            self.eat()
+            where = self.parse_expr()
+        self.eat("eof")
+        return ("editor", name, args, kwargs, where)
+
+    def parse_condition(self):
+        e = self.parse_expr()
+        self.eat("eof")
+        return e
+
+    # ---- expressions ----
+    def parse_expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        parts = [e]
+        while self.peek() == ("name", "or"):
+            self.eat()
+            parts.append(self._and())
+        return parts[0] if len(parts) == 1 else ("bool", "or", parts)
+
+    def _and(self):
+        parts = [self._not()]
+        while self.peek() == ("name", "and"):
+            self.eat()
+            parts.append(self._not())
+        return parts[0] if len(parts) == 1 else ("bool", "and", parts)
+
+    def _not(self):
+        if self.peek() == ("name", "not"):
+            self.eat()
+            return ("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._sum()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.eat()
+            return ("binop", v, left, self._sum())
+        return left
+
+    def _sum(self):
+        e = self._term()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.eat()
+            e = ("binop", op, e, self._term())
+        return e
+
+    def _term(self):
+        e = self._primary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.eat()
+            e = ("binop", op, e, self._primary())
+        return e
+
+    def _primary(self):
+        k, v = self.peek()
+        if k == "lparen":
+            self.eat()
+            e = self.parse_expr()
+            self.eat("rparen")
+            return e
+        if k == "str":
+            self.eat()
+            return ("lit", _unescape(v[1:-1]))
+        if k == "num":
+            self.eat()
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "hex":
+            self.eat()
+            h = v[2:]
+            if len(h) % 2:
+                h = "0" + h
+            return ("lit", bytes.fromhex(h))
+        if k == "lbrack":
+            return ("list", self._list_body())
+        if k == "lbrace":
+            return ("map", self._map_body())
+        if k == "name":
+            if v == "nil":
+                self.eat()
+                return ("lit", None)
+            if v in ("true", "false"):
+                self.eat()
+                return ("lit", v == "true")
+            if v in ENUMS:
+                self.eat()
+                return ("lit", ENUMS[v])
+            if self.peek(1)[0] == "lparen":  # converter call
+                self.eat()
+                args, kwargs = self._arglist()
+                node = ("call", v, args, kwargs)
+                return self._indexes_on(node)
+            return self._path()
+        raise ValueError(f"OTTL parse: unexpected {k}:{v!r}")
+
+    def _indexes_on(self, node):
+        """Postfix [index] access on a call/list result, e.g.
+        Split(x, "h")[1]."""
+        while self.peek()[0] == "lbrack":
+            self.eat()
+            idx = self.parse_expr()
+            self.eat("rbrack")
+            node = ("index", node, idx)
+        return node
+
+    def _path(self):
+        segs = []
+        while True:
+            name = self.eat("name")
+            idxs = []
+            while self.peek()[0] == "lbrack":
+                self.eat()
+                idxs.append(self.parse_expr())
+                self.eat("rbrack")
+            segs.append((name, idxs))
+            if self.peek()[0] == "dot":
+                self.eat()
+                continue
+            break
+        return ("path", segs)
+
+    def _arglist(self):
+        self.eat("lparen")
+        args, kwargs = [], {}
+        while self.peek()[0] != "rparen":
+            k, v = self.peek()
+            # named argument: name=expr (but a bare path also starts with
+            # name — disambiguate on the '=' that is NOT '==')
+            if k == "name" and self.peek(1) == ("eq", "=") \
+                    and v not in _KEYWORDS:
+                self.eat()
+                self.eat("eq")
+                kwargs[v] = self.parse_expr()
+            else:
+                args.append(self.parse_expr())
+            if self.peek()[0] == "comma":
+                self.eat()
+        self.eat("rparen")
+        return args, kwargs
+
+    def _list_body(self):
+        self.eat("lbrack")
+        out = []
+        while self.peek()[0] != "rbrack":
+            out.append(self.parse_expr())
+            if self.peek()[0] == "comma":
+                self.eat()
+        self.eat("rbrack")
+        return out
+
+    def _map_body(self):
+        self.eat("lbrace")
+        out = []
+        while self.peek()[0] != "rbrace":
+            k = _unescape(self.eat("str")[1:-1])
+            self.eat("colon")
+            out.append((k, self.parse_expr()))
+            if self.peek()[0] == "comma":
+                self.eat()
+        self.eat("rbrace")
+        return out
+
+
+def parse_statement(s: str):
+    return Parser(s).parse_statement()
+
+
+def parse_ottl_condition(s: str):
+    return Parser(s).parse_condition()

@@ -289,6 +289,33 @@ def q_attributes(sf_dir: str):
         .select_columns(["conv_id", "turn_idx", "user_name", "env"])
 
 
+TRANSFORM_GROUPS = [{
+    "context": "log",
+    "conditions": ['role == "assistant" or role == "user"'],
+    "error_mode": "propagate",
+    "statements": [
+        'set(text_upper, ConvertCase(text, "upper")) where tool == "bash"',
+        'set(text_hash, SHA256(text))',
+        'set(len_flag, "long") where Len(text) > 100',
+    ],
+}]
+
+
+def q_transform_statements(sf_dir: str):
+    """transformprocessor: OTTL statement group {context, conditions,
+    statements, error_mode} compiled to masked column rewrites
+    (transformprocessor/internal/common/config.go:38-48,
+    internal/logs/processor.go:31-77)."""
+    from .statements import transform_processor
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "text"])
+    ds = ds.map_batches(transform_processor(TRANSFORM_GROUPS),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "text_upper",
+                              "text_hash", "len_flag"])
+
+
 def q_window_counts(sf_dir: str):
     """intervalprocessor / tumbling window: per-hour counts by event_type
     over the events stream table."""
@@ -666,6 +693,15 @@ def oracle_queries() -> dict[str, str]:
             f"sha256(regexp_extract(text, '- (\\S+) \\[', 1)) END "
             f"AS user_name, 'prod' AS env "
             f"FROM read_parquet('{_transcripts_glob()}')"),
+        "transform_statements": (
+            f"SELECT conv_id, turn_idx, "
+            f"CASE WHEN role IN ('assistant','user') AND tool = 'bash' "
+            f"THEN upper(text) END AS text_upper, "
+            f"CASE WHEN role IN ('assistant','user') "
+            f"THEN sha256(text) END AS text_hash, "
+            f"CASE WHEN role IN ('assistant','user') AND length(text) > 100 "
+            f"THEN 'long' END AS len_flag "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
         "text_source": parsed_view_sql() + (
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_histogram": parsed_view_sql() + """
@@ -851,6 +887,7 @@ def ray_queries() -> dict:
         "sampler": q_sampler,
         "redaction": q_redact,
         "attributes_chain": q_attributes,
+        "transform_statements": q_transform_statements,
         "text_source": q_text_source,
         "latency_histogram": q_latency_histogram,
         "service_graph": q_service_graph,
