@@ -41,10 +41,14 @@ from ..stages import transform as tr
 from ..stages.parse import (
     csv_parser,
     json_parser,
+    jsonarray_parser,
     keyvalue_parser,
     regex_parser,
+    scope_parser,
     severity_parser,
+    syslog_rfc3164_parser,
     time_parser,
+    trace_parser,
 )
 from ..stages.route import Route, RouteTable
 
@@ -260,6 +264,21 @@ OPERATOR_REGISTRY = {
         cfg["field"], cfg["regex"], cfg["replace_with"], where=_gate(cfg)),
     "filter": _op_filter,
     "noop": lambda cfg: tr.noop(),
+    "json_array_parser": lambda cfg: jsonarray_parser(
+        parse_from=cfg.get("parse_from", "text"),
+        header=(cfg.get("header", "").split(",")
+                if isinstance(cfg.get("header"), str) else cfg.get("header")),
+        prefix=cfg.get("prefix", "")),
+    "trace_parser": lambda cfg: trace_parser(
+        trace_from=cfg.get("trace_id", {}).get("parse_from", "trace_id"),
+        span_from=cfg.get("span_id", {}).get("parse_from", "span_id"),
+        flags_from=cfg.get("trace_flags", {}).get("parse_from",
+                                                  "trace_flags")),
+    "scope_name_parser": lambda cfg: scope_parser(
+        cfg["parse_from"], out=cfg.get("out", "scope_name")),
+    "syslog_parser_rfc3164": lambda cfg: syslog_rfc3164_parser(
+        parse_from=cfg.get("parse_from", "text"),
+        prefix=cfg.get("prefix", "syslog_")),
     "redact": lambda cfg: tr.redact(cfg["fields"], cfg["blocked_values"],
                                     mask_text=cfg.get("mask", "****")),
     "sampler": lambda cfg: tr.probabilistic_sampler(

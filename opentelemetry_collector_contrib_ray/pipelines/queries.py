@@ -330,6 +330,251 @@ def q_window_counts(sf_dir: str):
     return count_by(ds, ["window", "event_type"], count_col="n")
 
 
+def _hex_of_binary(col: pa.Array) -> pa.Array:
+    """binary -> lowercase hex, per DISTINCT value (dictionary trick)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = pa.array([None if v is None else v.hex()
+                     for v in d.dictionary.to_pylist()], pa.string())
+    return pc.take(uniq, d.indices)
+
+
+def q_jsonarray(sf_dir: str):
+    """stanza jsonarray_parser: JSON array body -> positional columns
+    (parser/jsonarray/config.go:47). The array is built from event fields,
+    parsed back, and compared field-for-field."""
+    from ..stages.parse import jsonarray_parser
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        eid = pc.cast(b["event_id"], pa.string())
+        arr = pc.binary_join_element_wise('["', et, '",', eid, "]", "")
+        return b.append_column("body", arr)
+
+    ds = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(jsonarray_parser(parse_from="body",
+                                         header=["etype", "eid"]),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["event_id", "etype", "eid"])
+
+
+def q_trace_parse(sf_dir: str):
+    """stanza trace_parser + scope_parser: hex -> trace/span id bytes
+    (parser/trace/config.go:34, helper/trace.go), field -> scope name
+    (parser/scope/config.go:34). Compared via hex round-trip equality."""
+    from ..stages.dedup import md5_hex
+    from ..stages.parse import scope_parser, trace_parser
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"])
+
+    def mk_hex(b: pa.Table) -> pa.Table:
+        h = md5_hex(b["conv_id"])
+        b = b.append_column("trace_hex", h)
+        b = b.append_column("span_hex", pc.utf8_slice_codeunits(h, 0, 16))
+        return b.append_column("flags_hex",
+                               pa.array(["01"] * b.num_rows))
+
+    ds = ds.map_batches(mk_hex, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        trace_parser(trace_from="trace_hex", span_from="span_hex",
+                     flags_from="flags_hex"),
+        batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(scope_parser("role", "scope_name"),
+                        batch_format="pyarrow", batch_size=None)
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"], "turn_idx": b["turn_idx"],
+            "trace_hex_rt": _hex_of_binary(b["trace_id"]),
+            "span_hex_rt": _hex_of_binary(b["span_id"]),
+            "trace_flags": b["trace_flags"],
+            "scope_name": b["scope_name"],
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=None)
+
+
+def q_cumulative_to_delta(sf_dir: str):
+    """cumulativetodeltaprocessor (config.go:31-36): per-user delta of the
+    running value stream, initial_value=keep."""
+    from ..stages.metrics import cumulative_to_delta
+    from ..stages.shuffle import dir_size_bytes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    out = cumulative_to_delta(
+        ds, key_col="user_id", order_col="ts", value_col="value",
+        initial="keep", size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
+
+    def shape(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["delta"], 100.0)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "delta_x100": c})
+
+    return out.map_batches(shape, batch_format="pyarrow", batch_size=None)
+
+
+def q_delta_to_rate(sf_dir: str):
+    """deltatorateprocessor: per-user value/elapsed-seconds rate (first
+    point of each series has no interval -> dropped)."""
+    from ..stages.metrics import delta_to_rate
+    from ..stages.shuffle import dir_size_bytes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    out = delta_to_rate(
+        ds, key_col="user_id", order_col="ts", value_col="value",
+        size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
+
+    def shape(b: pa.Table) -> pa.Table:
+        r = b["rate"]
+        if isinstance(r, pa.ChunkedArray):
+            r = r.combine_chunks()
+        t = pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                      "rate": pc.round(r, ndigits=6,
+                                       round_mode="half_towards_infinity")})
+        return t.filter(pc.is_valid(t["rate"]))
+
+    return out.map_batches(shape, batch_format="pyarrow", batch_size=None)
+
+
+def q_csv_parse(sf_dir: str):
+    """stanza csv_parser (parser/csv/config.go:36-42): positional split of
+    a delimiter-joined line built from customer fields."""
+    from ..stages.parse import csv_parser
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            pc.cast(b["c_custkey"], pa.string()),
+            b["c_mktsegment"].combine_chunks()
+            if isinstance(b["c_mktsegment"], pa.ChunkedArray)
+            else b["c_mktsegment"],
+            pc.cast(b["c_nationkey"], pa.string()), ",")
+        return b.append_column("line", line)
+
+    ds = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        csv_parser(parse_from="line", header=["k", "seg", "nk"]),
+        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["c_custkey", "k", "seg", "nk"])
+
+
+def q_container_parse(sf_dir: str):
+    """stanza container_parser (parser/container/config.go:47-51): CRI
+    line split + k8s metadata from the log file path."""
+    from ..stages.connectors import container_parser
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        # CRI lines are single-line; keep only the first line of the turn
+        one = pc.struct_field(
+            pc.extract_regex(txt, r"^(?P<l>[^\r\n]*)"), "l")
+        line = pc.binary_join_element_wise(
+            "2024-01-01T00:00:00.000000000Z stdout F ", one, "")
+        path = pc.binary_join_element_wise(
+            "/var/log/pods/default_pod-", b["conv_id"].combine_chunks()
+            if isinstance(b["conv_id"], pa.ChunkedArray) else b["conv_id"],
+            "_uid-", pc.cast(b["turn_idx"], pa.string()),
+            "/main/0.log", "")
+        return b.append_column("line", line).append_column("path", path)
+
+    ds = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(container_parser(parse_from="line", path_col="path"),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "cri_stream",
+                              "cri_logtag", "cri_log", "k8s_namespace",
+                              "k8s_pod_name", "k8s_container_name",
+                              "k8s_restart_count"])
+
+
+def q_time_parse(sf_dir: str):
+    """stanza time_parser (helper/time.go:19-29,138-175): strptime
+    round-trip of the event timestamp."""
+    from ..stages.parse import time_parser
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def fmt(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks() if isinstance(
+            b["ts"], pa.ChunkedArray) else b["ts"]
+        # Arrow's %S prints subseconds (and strptime can't parse them
+        # back) — strip the fractional tail; round-trip at second
+        # precision (oracle: date_trunc('second', ts))
+        s = pc.strftime(ts, format="%Y-%m-%d %H:%M:%S")
+        s = pc.replace_substring_regex(s, r"\.\d+$", "")
+        return b.append_column("ts_str", s)
+
+    ds = ds.map_batches(fmt, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        time_parser("ts_str", "%Y-%m-%d %H:%M:%S", out="ts_parsed"),
+        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["event_id", "ts_parsed"])
+
+
+def q_groupbyattrs(sf_dir: str):
+    """groupbyattrsprocessor (processor.go:63-99): promoted-resource
+    identity per record (the flat-table re-association key)."""
+    from ..stages.connectors import groupbyattrs
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "tool"])
+    ds = ds.map_batches(groupbyattrs(["role", "tool"]),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "resource_id"])
+
+
+def q_rfc3164(sf_dir: str):
+    """stanza syslog_parser RFC3164/BSD path (parser/syslog/parser.go BSD
+    format): synthesized BSD lines parsed back to pri/host/app/pid/msg +
+    severity from pri&7."""
+    from ..stages.parse import syslog_rfc3164_parser
+
+    ds = _raw_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        pri = pc.cast(pc.bit_wise_and(pc.cast(b["turn_idx"], pa.int64()),
+                                      pa.scalar(127)), pa.string())
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(
+                pc.bit_wise_and(pc.cast(b["turn_idx"], pa.int64()),
+                                pa.scalar(3)), pa.string()), "")
+        pid = pc.cast(b["turn_idx"], pa.string())
+        role = b["role"].combine_chunks() if isinstance(
+            b["role"], pa.ChunkedArray) else b["role"]
+        line = pc.binary_join_element_wise(
+            "<", pri, ">Oct 11 22:14:15 ", host, " app[", pid, "]: ",
+            role, "")
+        return b.append_column("line", line)
+
+    ds = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(syslog_rfc3164_parser(parse_from="line"),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "syslog_pri",
+                              "syslog_facility", "syslog_host", "syslog_app",
+                              "syslog_pid", "syslog_msg",
+                              "severity_number", "severity_text"])
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -702,6 +947,58 @@ def oracle_queries() -> dict[str, str]:
             f"CASE WHEN role IN ('assistant','user') AND length(text) > 100 "
             f"THEN 'long' END AS len_flag "
             f"FROM read_parquet('{_transcripts_glob()}')"),
+        "jsonarray": (
+            "SELECT event_id, event_type AS etype, "
+            "CAST(event_id AS VARCHAR) AS eid FROM events"),
+        "trace_parse": (
+            f"SELECT conv_id, turn_idx, md5(conv_id) AS trace_hex_rt, "
+            f"substring(md5(conv_id), 1, 16) AS span_hex_rt, "
+            f"1 AS trace_flags, role AS scope_name "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
+        "cumulative_to_delta": (
+            "SELECT event_id, user_id, CAST(ROUND((value - COALESCE("
+            "lag(value) OVER (PARTITION BY user_id ORDER BY ts), 0)) * 100) "
+            "AS BIGINT) AS delta_x100 FROM events"),
+        "delta_to_rate": """
+WITH d AS (
+  SELECT event_id, user_id, value, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events)
+SELECT event_id, user_id,
+       ROUND(value / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0), 6) AS rate
+FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
+""",
+        "csv_parse": (
+            "SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS k, "
+            "c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nk "
+            "FROM customer"),
+        "container_parse": (
+            f"SELECT conv_id, turn_idx, 'stdout' AS cri_stream, "
+            f"'F' AS cri_logtag, "
+            f"regexp_extract(text, '^([^\\r\\n]*)', 1) AS cri_log, "
+            f"'default' AS k8s_namespace, "
+            f"'pod-' || conv_id AS k8s_pod_name, "
+            f"'main' AS k8s_container_name, '0' AS k8s_restart_count "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
+        "time_parse": ("SELECT event_id, date_trunc('second', ts) "
+                       "AS ts_parsed FROM events"),
+        "groupbyattrs": (
+            f"SELECT conv_id, turn_idx, "
+            f"COALESCE(role, chr(0)||chr(0)||'null') || chr(31) || "
+            f"COALESCE(tool, chr(0)||chr(0)||'null') AS resource_id "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
+        "rfc3164": (
+            f"SELECT conv_id, turn_idx, "
+            f"CAST(turn_idx % 128 AS INTEGER) AS syslog_pri, "
+            f"CAST((turn_idx % 128) // 8 AS INTEGER) AS syslog_facility, "
+            f"'h' || CAST(turn_idx % 4 AS VARCHAR) AS syslog_host, "
+            f"'app' AS syslog_app, CAST(turn_idx AS VARCHAR) AS syslog_pid, "
+            f"role AS syslog_msg, "
+            f"list_value(21,19,18,17,13,10,9,5)"
+            f"[(turn_idx % 128) % 8 + 1] AS severity_number, "
+            f"list_value('emerg','alert','crit','err','warning','notice',"
+            f"'info','debug')[(turn_idx % 128) % 8 + 1] AS severity_text "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
         "text_source": parsed_view_sql() + (
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_histogram": parsed_view_sql() + """
@@ -888,6 +1185,15 @@ def ray_queries() -> dict:
         "redaction": q_redact,
         "attributes_chain": q_attributes,
         "transform_statements": q_transform_statements,
+        "jsonarray": q_jsonarray,
+        "trace_parse": q_trace_parse,
+        "cumulative_to_delta": q_cumulative_to_delta,
+        "delta_to_rate": q_delta_to_rate,
+        "csv_parse": q_csv_parse,
+        "container_parse": q_container_parse,
+        "time_parse": q_time_parse,
+        "groupbyattrs": q_groupbyattrs,
+        "rfc3164": q_rfc3164,
         "text_source": q_text_source,
         "latency_histogram": q_latency_histogram,
         "service_graph": q_service_graph,

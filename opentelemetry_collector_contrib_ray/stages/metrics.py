@@ -132,3 +132,99 @@ def cumulative_per_key(ds: Dataset, *, key_col: str, order_col: str,
     tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return tagged.groupby("_part").map_groups(per_partition,
                                               batch_format="pyarrow")
+
+
+def _per_key_scan(ds: Dataset, key_col: str, order_col: str, fn,
+                  n_parts: int | None = None,
+                  size_bytes: int | None = None) -> Dataset:
+    """Shared coarse-partition ordered scan: hash-co-locate keys, sort each
+    partition by (key, order), apply the vectorized segment fn."""
+    n_parts = n_parts or adaptive_n_parts(size_bytes)
+    add_part = key_partitioner(key_col, n_parts)
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")])
+        return fn(group)
+
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_part").map_groups(per_partition,
+                                              batch_format="pyarrow")
+
+
+def _segment_starts(group: pa.Table, key_col: str) -> np.ndarray:
+    n = group.num_rows
+    keys = group[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    change = np.concatenate(
+        [[True], np.asarray(pc.not_equal(keys.slice(1),
+                                         keys.slice(0, n - 1)))])
+    return np.where(np.isnan(change.astype(np.float64)), True,
+                    change).astype(bool)
+
+
+def cumulative_to_delta(ds: Dataset, *, key_col: str, order_col: str,
+                        value_col: str, out_col: str = "delta",
+                        initial: str = "keep",
+                        n_parts: int | None = None,
+                        size_bytes: int | None = None) -> Dataset:
+    """cumulativetodeltaprocessor: per-series delta = v - lag(v) in order.
+
+    ``initial`` mirrors the reference's initial_value knob
+    (processor/cumulativetodeltaprocessor/config.go:31-36 +
+    internal/tracking/value.go InitialValueAuto|Keep|Drop): 'keep' emits
+    the first point's value as its own delta, 'drop' nulls it (the caller
+    filters). Monotonic resets (v < lag) re-baseline like the reference's
+    tracker: the raw difference is emitted, callers clamp if desired.
+    """
+    if initial not in ("keep", "drop"):
+        raise ValueError("initial must be keep|drop")
+
+    def seg(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group.append_column(out_col, pa.array([], pa.float64()))
+        starts = _segment_starts(group, key_col)
+        v = pc.cast(group[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        prev = np.concatenate([[0.0], v[:-1]])
+        delta = v - np.where(starts, 0.0, prev)
+        if initial == "drop":
+            out = pc.if_else(pa.array(~starts), pa.array(delta),
+                             pa.nulls(n, pa.float64()))
+        else:
+            out = pa.array(delta, pa.float64())
+        return group.append_column(out_col, out)
+
+    return _per_key_scan(ds, key_col, order_col, seg, n_parts, size_bytes)
+
+
+def delta_to_rate(ds: Dataset, *, key_col: str, order_col: str,
+                  value_col: str, ts_col: str | None = None,
+                  out_col: str = "rate",
+                  n_parts: int | None = None,
+                  size_bytes: int | None = None) -> Dataset:
+    """deltatorateprocessor: delta value / elapsed seconds since the
+    series' previous point (first point of each series -> null: no
+    interval). ``ts_col`` defaults to ``order_col``."""
+    ts_col = ts_col or order_col
+
+    def seg(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group.append_column(out_col, pa.array([], pa.float64()))
+        starts = _segment_starts(group, key_col)
+        v = pc.cast(group[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        dt_us = ts - np.concatenate([[0], ts[:-1]])
+        dt_s = dt_us / 1e6
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(dt_s > 0, v / dt_s, np.nan)
+        valid = (~starts) & (dt_s > 0)
+        out = pc.if_else(pa.array(valid), pa.array(rate),
+                         pa.nulls(n, pa.float64()))
+        return group.append_column(out_col, out)
+
+    return _per_key_scan(ds, key_col, order_col, seg, n_parts, size_bytes)

@@ -359,3 +359,98 @@ def syslog_rfc3164_parser(parse_from: str = "text", prefix: str = "syslog_"):
                                         pa.scalar("")))
         return batch
     return fn
+
+
+def jsonarray_parser(parse_from: str = "text", header: list[str] | None = None,
+                     prefix: str = ""):
+    """stanza jsonarray_parser (parser/jsonarray/config.go:47-48): JSON
+    array body -> positional named columns. Decode is polars' vectorized
+    json_decode to list<utf8> (scalar values stringified — flat model,
+    DIVERGENCES.md); positional access is the ragged-safe offset arithmetic
+    shared with csv_parser/assign_keys, so short arrays yield nulls."""
+    import polars as pl
+
+    header = header or []
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[parse_from])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        lst = s.str.json_decode(pl.List(pl.Utf8)).to_arrow()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lst = lst.cast(pa.list_(pa.string()))
+        offsets = np.asarray(lst.offsets)
+        # null rows surface as null offsets after cast; normalize
+        offsets = np.where(np.equal(offsets, None), 0, offsets) \
+            if offsets.dtype == object else offsets
+        lengths = offsets[1:] - offsets[:-1]
+        valid = ~np.asarray(pc.is_null(lst))
+        values = lst.values
+        for i, name in enumerate(header):
+            has = (lengths > i) & valid
+            take = pa.array(np.where(has, offsets[:-1] + i, 0), pa.int64())
+            val = (pc.if_else(pa.array(has), pc.take(values, take),
+                              pa.nulls(batch.num_rows, pa.string()))
+                   if len(values) else pa.nulls(batch.num_rows, pa.string()))
+            batch = batch.append_column(prefix + name, val)
+        return batch
+    return fn
+
+
+def _hex_to_bytes(col) -> pa.Array:
+    """Best-effort hex decode per DISTINCT value (helper/trace.go
+    parseHexField): invalid hex -> null."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(pc.cast(col, pa.string()))
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+
+    def dec(v):
+        try:
+            return bytes.fromhex(v)
+        except ValueError:
+            return None
+
+    uniq = pa.array([None if v is None else dec(v)
+                     for v in d.dictionary.to_pylist()], pa.binary())
+    return pc.take(uniq, d.indices)
+
+
+def trace_parser(trace_from: str = "trace_id", span_from: str = "span_id",
+                 flags_from: str | None = "trace_flags",
+                 prefix: str = ""):
+    """stanza trace_parser (parser/trace/config.go:34-35 + helper/trace.go):
+    hex string fields -> trace_id/span_id byte columns (+ int trace_flags).
+    Best-effort: invalid hex -> null (the reference's on_error=send path)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        if trace_from in batch.column_names:
+            batch = _set_column(batch, prefix + "trace_id",
+                                _hex_to_bytes(batch[trace_from]))
+        if span_from in batch.column_names:
+            batch = _set_column(batch, prefix + "span_id",
+                                _hex_to_bytes(batch[span_from]))
+        if flags_from and flags_from in batch.column_names:
+            f = batch[flags_from]
+            if isinstance(f, pa.ChunkedArray):
+                f = f.combine_chunks()
+            flags_bytes = _hex_to_bytes(f)
+            first = pc.binary_slice(flags_bytes, 0, 1)
+            as_int = pa.array(
+                [None if v is None or len(v) == 0 else v[0]
+                 for v in first.to_pylist()], pa.int32())
+            batch = _set_column(batch, prefix + "trace_flags", as_int)
+        return batch
+    return fn
+
+
+def scope_parser(parse_from: str, out: str = "scope_name"):
+    """stanza scope_parser (parser/scope/config.go:34-35): field ->
+    instrumentation scope name column."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return _set_column(batch, out, pc.cast(col, pa.string()))
+    return fn

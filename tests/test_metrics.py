@@ -47,3 +47,55 @@ def test_cumulative_per_key_with_negatives():
                              order_col="o", value_col="v").to_pandas() \
         .sort_values(["k", "o"], ignore_index=True)
     assert out["cumulative"].tolist() == [1.0, -1.0, 2.0, 7.0]
+
+
+def test_cumulative_to_delta_keep_and_drop(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        cumulative_to_delta,
+    )
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([10.0, 15.0, 30.0, 5.0, 4.0]),
+    })
+    ds = ray.data.from_arrow(t)
+    keep = cumulative_to_delta(ds, key_col="k", order_col="ts", value_col="v",
+                               initial="keep", n_parts=2).to_pandas()
+    keep = keep.sort_values(["k", "ts"])
+    assert list(keep.delta) == [10.0, 5.0, 15.0, 5.0, -1.0]
+    drop = cumulative_to_delta(ray.data.from_arrow(t), key_col="k",
+                               order_col="ts", value_col="v",
+                               initial="drop", n_parts=2).to_pandas()
+    drop = drop.sort_values(["k", "ts"])
+    import math
+    assert math.isnan(drop.delta.iloc[0]) and math.isnan(drop.delta.iloc[3])
+    assert list(drop.delta.iloc[[1, 2, 4]]) == [5.0, 15.0, -1.0]
+
+
+def test_delta_to_rate(ray_session):
+    import datetime
+    import math
+
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        delta_to_rate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "k": ["a", "a", "a"],
+        "ts": pa.array([base, base + datetime.timedelta(seconds=10),
+                        base + datetime.timedelta(seconds=12)],
+                       pa.timestamp("us")),
+        "v": pa.array([100.0, 50.0, 10.0]),
+    })
+    out = delta_to_rate(ray.data.from_arrow(t), key_col="k", order_col="ts",
+                        value_col="v", n_parts=2).to_pandas()
+    out = out.sort_values("ts")
+    assert math.isnan(out.rate.iloc[0])  # no previous point
+    assert out.rate.iloc[1] == 5.0       # 50 / 10s
+    assert out.rate.iloc[2] == 5.0       # 10 / 2s

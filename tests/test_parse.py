@@ -124,3 +124,38 @@ def test_csv_parser_ragged_rows_null_fill():
     assert out["a"].to_pylist() == ["1", "1", "", "x"]
     assert out["b"].to_pylist() == ["2", "2", None, "y"]
     assert out["c"].to_pylist() == ["3", None, None, "z"]
+
+
+def test_jsonarray_parser():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        jsonarray_parser,
+    )
+
+    t = pa.table({"text": ['["a",1,true]', '["b"]', None]})
+    out = jsonarray_parser(header=["x", "y", "z"])(t)
+    assert out["x"].to_pylist() == ["a", "b", None]
+    assert out["y"].to_pylist() == ["1", None, None]
+    assert out["z"].to_pylist() == ["true", None, None]
+
+
+def test_trace_parser_hex_best_effort():
+    from opentelemetry_collector_contrib_ray.stages.parse import trace_parser
+
+    t = pa.table({
+        "trace_id": ["0102030405060708090a0b0c0d0e0f10", "not-hex", None],
+        "span_id": ["0102030405060708"] * 3,
+        "trace_flags": ["01", "00", "ff"],
+    })
+    out = trace_parser()(t)
+    assert out["trace_id"].to_pylist()[0] == bytes(range(1, 17))
+    assert out["trace_id"].to_pylist()[1] is None  # invalid hex -> null
+    assert out["span_id"].to_pylist()[0] == bytes(range(1, 9))
+    assert out["trace_flags"].to_pylist() == [1, 0, 255]
+
+
+def test_scope_parser():
+    from opentelemetry_collector_contrib_ray.stages.parse import scope_parser
+
+    t = pa.table({"logger": ["my.lib", None]})
+    out = scope_parser("logger")(t)
+    assert out["scope_name"].to_pylist() == ["my.lib", None]
