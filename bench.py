@@ -118,14 +118,12 @@ def run_once(num_cpus: int) -> dict:
             "text": b["text"]})
 
     from opentelemetry_collector_contrib_ray.stages.dedup import (
-        MinHasher, exact_dedup)
+        exact_dedup, minhash_map_fn)
     docs = rd.read_parquet(transcripts_path(SF_DIR)) \
         .map_batches(add_id, batch_format="pyarrow", batch_size=None)
     t0 = time.time()
-    docs.map_batches(MinHasher, fn_constructor_args=(128, 3, 42, "text",
-                                                     "doc_id"),
-                     batch_format="pyarrow", batch_size=None,
-                     concurrency=(2, 16)).count()
+    docs.map_batches(minhash_map_fn(), batch_format="pyarrow",
+                     batch_size=None).count()
     queries["minhash_sign"] = time.time() - t0
 
     docs2 = rd.read_parquet(transcripts_path(SF_DIR)) \
