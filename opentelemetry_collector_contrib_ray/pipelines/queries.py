@@ -575,6 +575,73 @@ def q_rfc3164(sf_dir: str):
                               "severity_number", "severity_text"])
 
 
+def q_exceptions(sf_dir: str):
+    """connector/exceptionsconnector (metrics mode): exception records ->
+    counts keyed by (service, exception type) — error-severity turns with
+    the error_code as the type dimension."""
+    from ..stages.connectors import exceptions_connector
+
+    ds = build_parsed(sf_dir)
+    return exceptions_connector(
+        ds, condition=col("severity_number") >= 17,
+        dims=["service", "error_code"])
+
+
+SIGNAL_METRIC_DEFS = [
+    {"name": "events.value.sum", "type": "sum",
+     "conditions": ['event_type != "click"'],
+     "attributes": ["event_type"], "value": "value"},
+    {"name": "events.count", "type": "count",
+     "conditions": [], "attributes": ["event_type"]},
+]
+
+
+def q_signaltometrics(sf_dir: str):
+    """connector/signaltometricsconnector: OTTL-condition-driven generic
+    signal->metric (README 'Conditions': OR-ed OTTL conditions). Returns
+    the sum metric of SIGNAL_METRIC_DEFS."""
+    from ..stages.connectors import signal_to_metrics
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = signal_to_metrics(ds, SIGNAL_METRIC_DEFS)["events.value.sum"]
+
+    def round6(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("value")
+        return b.set_column(i, "value", pc.round(b["value"], ndigits=6))
+
+    return out.map_batches(round6, batch_format="pyarrow", batch_size=None)
+
+
+def q_severity_range(sf_dir: str):
+    """severity_parser with the '2xx'..'5xx' HTTP range sugar
+    (helper/severity_builder.go:94-104 expandRange) over apache statuses."""
+    from ..stages.parse import severity_parser
+
+    ds = build_parsed(sf_dir)
+
+    def status_str(b: pa.Table) -> pa.Table:
+        return b.append_column("status_token",
+                               pc.cast(b["http_status"], pa.string()))
+
+    ds = ds.map_batches(status_str, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        severity_parser("status_token",
+                        mapping={"2xx": 9, "3xx": 10, "4xx": 13, "5xx": 17},
+                        out_num="range_severity", out_text="range_text"),
+        batch_format="pyarrow", batch_size=None)
+
+    def only_apache(b: pa.Table) -> pa.Table:
+        t = b["template"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return b.filter(pc.equal(t, "apache"))
+
+    ds = ds.map_batches(only_apache, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["conv_id", "turn_idx", "http_status",
+                              "range_severity", "range_text"])
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -947,6 +1014,22 @@ def oracle_queries() -> dict[str, str]:
             f"CASE WHEN role IN ('assistant','user') AND length(text) > 100 "
             f"THEN 'long' END AS len_flag "
             f"FROM read_parquet('{_transcripts_glob()}')"),
+        "exceptions": v + (
+            "SELECT service, COALESCE(error_code, '') AS error_code, "
+            "count(*) AS exceptions_count FROM routed "
+            "WHERE severity_number >= 17 GROUP BY 1, 2"),
+        "signaltometrics": (
+            "SELECT event_type, ROUND(sum(value), 6) AS value FROM events "
+            "WHERE event_type != 'click' GROUP BY 1"),
+        "severity_range": v + (
+            "SELECT conv_id, turn_idx, http_status, "
+            "CAST(CASE http_status // 100 WHEN 2 THEN 9 WHEN 3 THEN 10 "
+            "WHEN 4 THEN 13 WHEN 5 THEN 17 ELSE 0 END AS INTEGER) "
+            "AS range_severity, "
+            "CASE http_status // 100 WHEN 2 THEN 'info' WHEN 3 THEN 'info2' "
+            "WHEN 4 THEN 'warn' WHEN 5 THEN 'error' ELSE 'default' END "
+            "AS range_text "
+            "FROM routed WHERE template = 'apache'"),
         "jsonarray": (
             "SELECT event_id, event_type AS etype, "
             "CAST(event_id AS VARCHAR) AS eid FROM events"),
@@ -1185,6 +1268,9 @@ def ray_queries() -> dict:
         "redaction": q_redact,
         "attributes_chain": q_attributes,
         "transform_statements": q_transform_statements,
+        "exceptions": q_exceptions,
+        "signaltometrics": q_signaltometrics,
+        "severity_range": q_severity_range,
         "jsonarray": q_jsonarray,
         "trace_parse": q_trace_parse,
         "cumulative_to_delta": q_cumulative_to_delta,

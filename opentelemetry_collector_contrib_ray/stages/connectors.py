@@ -118,3 +118,74 @@ def failover_sink(*sinks):
                 last_err = e
         raise last_err  # all sinks failed
     return fn
+
+
+def exceptions_connector(ds: Dataset, *, condition, dims: list[str],
+                         count_col: str = "exceptions_count",
+                         mode: str = "metrics",
+                         default_value: str = ""):
+    """connector/exceptionsconnector: exception events -> metrics (counts
+    keyed by service/type dimensions) or logs (the matching records,
+    exception attributes attached upstream). ``condition`` is an Expr mask
+    selecting exception rows (the batch form of the span-event
+    'exception' filter in connector_logs.go / connector_metrics.go)."""
+    from .aggregate import count_by
+
+    if mode == "metrics":
+        return count_by(ds, dims, condition=condition, count_col=count_col,
+                        default_value=default_value)
+    if mode == "logs":
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(condition.mask(batch))
+        return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    raise ValueError(f"exceptions_connector: bad mode {mode!r}")
+
+
+def signal_to_metrics(ds: Dataset, metric_defs: list[dict]) -> dict:
+    """connector/signaltometricsconnector: generic OTTL-driven
+    signal->metric. Each def: {name, type: count|sum|histogram,
+    conditions: [OTTL condition strings, OR-ed — README 'Conditions'],
+    attributes: [group-by cols], value: column (sum/histogram),
+    bounds: [...] (histogram)}.
+
+    Conditions use the REAL OTTL condition grammar via the statement
+    engine's evaluator (pipelines/statements.py), so configs port over
+    verbatim. Returns {name: Dataset} of metric tables.
+    """
+    from ..functions.ottl_parser import parse_ottl_condition
+    from ..pipelines.statements import DEFAULT_COLMAP, _Ctx, _to_mask, \
+        eval_expr
+    from .aggregate import count_by, sum_by
+    from .metrics import histogram_by
+
+    out: dict = {}
+    for d in metric_defs:
+        conds = [parse_ottl_condition(c) for c in d.get("conditions", [])]
+
+        def make_filter(conds=conds):
+            def fn(batch: pa.Table) -> pa.Table:
+                if not conds:
+                    return batch
+                ctx = _Ctx(batch, dict(DEFAULT_COLMAP))
+                gate = None
+                for c in conds:
+                    m = _to_mask(eval_expr(c, ctx), ctx.n)
+                    gate = m if gate is None else pc.or_kleene(gate, m)
+                return batch.filter(pc.fill_null(gate, False))
+            return fn
+
+        filtered = ds.map_batches(make_filter(), batch_format="pyarrow",
+                                  batch_size=None) if conds else ds
+        typ = d.get("type", "count")
+        attrs = d["attributes"]
+        if typ == "count":
+            out[d["name"]] = count_by(filtered, attrs, count_col="value")
+        elif typ == "sum":
+            out[d["name"]] = sum_by(filtered, attrs, d["value"],
+                                    sum_col="value")
+        elif typ == "histogram":
+            out[d["name"]] = histogram_by(filtered, attrs, d["value"],
+                                          d["bounds"])
+        else:
+            raise ValueError(f"signal_to_metrics: bad type {typ!r}")
+    return out

@@ -273,14 +273,35 @@ def csv_parser(parse_from: str = "text", header: list[str] | None = None,
     return fn
 
 
-def severity_parser(parse_from: str, mapping: dict[str, int] | None = None,
+def _expand_severity_ranges(mapping: dict) -> dict[str, int]:
+    """severity_builder.go:94-104 expandRange: '2xx'..'5xx' keys expand to
+    the 100 literal status tokens; (min, max) tuple keys expand likewise
+    (the reference's {min:, max:} range objects)."""
+    import re as _re
+    out: dict[str, int] = {}
+    for k, v in mapping.items():
+        if isinstance(k, tuple):
+            lo, hi = k
+            for s in range(int(lo), int(hi) + 1):
+                out[str(s)] = v
+        elif isinstance(k, str) and _re.fullmatch(r"[1-9]xx", k.lower()):
+            base = int(k[0]) * 100
+            for s in range(base, base + 100):
+                out[str(s)] = v
+        else:
+            out[str(k).lower()] = v
+    return out
+
+
+def severity_parser(parse_from: str, mapping: dict | None = None,
                     out_num: str = "severity_number", out_text: str = "severity_text"):
     """stanza severity_parser (parser/severity + helper/severity_builder.go).
     Maps a token column through the (default or custom) mapping; unmapped
-    tokens -> 0/'default'."""
+    tokens -> 0/'default'. Custom mapping keys may be '2xx'..'5xx' HTTP
+    range sugar or (min, max) tuples (severity_builder.go:94-104)."""
     m = dict(default_severity_mapping())
     if mapping:
-        m.update({k.lower(): v for k, v in mapping.items()})
+        m.update(_expand_severity_ranges(mapping))
     keys = pa.array(list(m.keys()), pa.string())
     vals = pa.array(list(m.values()), pa.int32())
 

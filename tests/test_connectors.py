@@ -74,3 +74,40 @@ def test_failover_sink():
     assert out == b and calls == ["bad", "good"]
     with pytest.raises(OSError):
         failover_sink(bad, bad)(b)
+
+
+def test_exceptions_connector_logs_mode(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.connectors import (
+        exceptions_connector,
+    )
+
+    t = pa.table({"sev": pa.array([20, 3, 18], pa.int32()),
+                  "svc": ["a", "b", "c"]})
+    out = exceptions_connector(ray.data.from_arrow(t),
+                               condition=col("sev") >= 17,
+                               dims=["svc"], mode="logs").to_pandas()
+    assert sorted(out.svc) == ["a", "c"]
+
+
+def test_signal_to_metrics_count_and_sum(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.connectors import (
+        signal_to_metrics,
+    )
+
+    t = pa.table({"event_type": ["x", "x", "y"],
+                  "value": pa.array([1.0, 2.0, 5.0])})
+    defs = [
+        {"name": "c", "type": "count", "attributes": ["event_type"]},
+        {"name": "s", "type": "sum", "attributes": ["event_type"],
+         "value": "value", "conditions": ['event_type == "x"']},
+    ]
+    out = signal_to_metrics(ray.data.from_arrow(t), defs)
+    c = out["c"].to_pandas().set_index("event_type")["value"]
+    assert c["x"] == 2 and c["y"] == 1
+    s = out["s"].to_pandas()
+    assert list(s.event_type) == ["x"] and float(s.value.iloc[0]) == 3.0

@@ -159,3 +159,27 @@ def test_scope_parser():
     t = pa.table({"logger": ["my.lib", None]})
     out = scope_parser("logger")(t)
     assert out["scope_name"].to_pylist() == ["my.lib", None]
+
+
+def test_severity_parser_http_range_sugar():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        severity_parser,
+    )
+
+    t = pa.table({"tok": ["200", "299", "301", "404", "503", "999"]})
+    fn = severity_parser("tok", mapping={"2xx": 9, "3xx": 10,
+                                         "4xx": 13, "5xx": 17})
+    out = fn(t)
+    assert out["severity_number"].to_pylist() == [9, 9, 10, 13, 17, 0]
+    assert out["severity_text"].to_pylist() == \
+        ["info", "info", "info2", "warn", "error", "default"]
+
+
+def test_severity_parser_tuple_ranges():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        severity_parser,
+    )
+
+    fn = severity_parser("tok", mapping={(250, 252): 21})
+    out = fn(pa.table({"tok": ["250", "252", "253"]}))
+    assert out["severity_number"].to_pylist() == [21, 21, 0]
