@@ -155,6 +155,92 @@ def run_once(num_cpus: int) -> dict:
     }
 
 
+def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
+    """Scale proof for the dedup merge plan (VERDICT r1 item 1/2): exact
+    dedup over a ≥10M-row HIGH-DISTINCT corpus (63.5M transcript turns,
+    text made unique per row — the worst case where the distinct set IS
+    the corpus), plus grouped recombine at the same scale. Reports the
+    merge-stage task counts parsed from ds.stats(): the old plan funneled
+    every distinct digest into ONE repartition(1) block; the new plan must
+    show > 32 hash-partitioned merge tasks and no single-block fan-in."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts)
+    from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
+    from opentelemetry_collector_contrib_ray.stages.recombine import (
+        recombine_grouped)
+    from opentelemetry_collector_contrib_ray.stages.shuffle import (
+        dir_size_bytes)
+
+    tpath = ensure_transcripts("sf10")
+
+    def uniquify(b: pa.Table) -> pa.Table:
+        # distinct text per row -> distinct-key cardinality == corpus size
+        suffix = pc.binary_join_element_wise(
+            " #", b["conv_id"].combine_chunks()
+            if isinstance(b["conv_id"], pa.ChunkedArray) else b["conv_id"],
+            "/", pc.cast(b["turn_idx"], pa.string()), "")
+        utext = pc.binary_join_element_wise(
+            b["text"].combine_chunks()
+            if isinstance(b["text"], pa.ChunkedArray) else b["text"],
+            suffix, "")
+        import numpy as np
+        ids = np.arange(b.num_rows, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids), "text": utext})
+
+    def stage_stats(stats: str, name: str):
+        """(tasks, max output rows per task) for a named map stage."""
+        m = re.search(rf"MapBatches\({name}\)[^:]*: (\d+) tasks executed",
+                      stats)
+        tasks = int(m.group(1)) if m else None
+        window = stats[m.start():] if m else ""
+        nxt = window.find("Operator", 10)
+        window = window[:nxt] if nxt > 0 else window
+        r = re.search(r"Output rows per task: \d+ min, (\d+) max", window)
+        max_rows = int(r.group(1)) if r else None
+        return tasks, max_rows
+
+    ds = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"]) \
+        .map_batches(uniquify, batch_format="pyarrow", batch_size=None)
+    t0 = time.time()
+    out = exact_dedup(ds).materialize()
+    dedup_sec = time.time() - t0
+    n_distinct = out.count()
+    merge_tasks, merge_max_rows = stage_stats(out.stats(), "merge_group")
+
+    t1 = time.time()
+    rds = rd.read_parquet(tpath,
+                          columns=["conv_id", "turn_idx", "text", "ts"])
+    rec = recombine_grouped(rds, size_bytes=dir_size_bytes(tpath)) \
+        .materialize()
+    rec_sec = time.time() - t1
+    n_rec = rec.count()
+    rec_tasks, rec_max_rows = stage_stats(rec.stats(), "per_partition")
+
+    return {
+        "metric": "exact dedup of 63.5M-row high-distinct corpus",
+        "value": round(dedup_sec, 3),
+        "unit": "sec",
+        "rows": 63_500_000,
+        "num_cpus": num_cpus,
+        "distinct": n_distinct,
+        "dedup_merge_tasks": merge_tasks,
+        "dedup_merge_max_rows_per_task": merge_max_rows,
+        "recombine_sec": round(rec_sec, 3),
+        "recombine_rows_out": n_rec,
+        "recombine_group_tasks": rec_tasks,
+        "recombine_max_rows_per_task": rec_max_rows,
+    }
+
+
 def run_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     """Same job, same input, two fresh ray.init sessions at N and 4N CPUs
     (the sandbox proxy for N- vs 4N-node clusters; default N=4). The input
@@ -213,6 +299,8 @@ def main() -> None:
     if "--single" in sys.argv:
         n = int(sys.argv[sys.argv.index("--single") + 1])
         print(json.dumps(run_once(n)))
+    elif "--dedup-scale" in sys.argv:
+        print(json.dumps(run_dedup_scale()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -767,8 +767,9 @@ def q_langid(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(LanguageID, batch_format="pyarrow",
-                          batch_size=None, concurrency=(1, 4))
+    # plain callable instance: tiny state -> fuse with the read (no pool)
+    return ds.map_batches(LanguageID(), batch_format="pyarrow",
+                          batch_size=None)
 
 
 def q_multimodal(sf_dir: str):

@@ -82,8 +82,11 @@ LANG_MARKERS = {
 
 
 class LanguageID:
-    """Actor-pool stage: score each language's marker-word hit rate, emit the
-    argmax + a confidence ratio. Marker regexes compile once per actor."""
+    """Language-ID heuristic: score each language's marker-word hit rate,
+    emit the argmax + a confidence ratio. State is a handful of regex
+    strings — use as a plain map_batches callable (fuses with the read);
+    reserve the actor-pool form (concurrency=...) for when a real model
+    drops into this slot."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
