@@ -342,6 +342,19 @@ def _hex_of_binary(col: pa.Array) -> pa.Array:
     return pc.take(uniq, d.indices)
 
 
+def q_journald(sf_dir: str):
+    """journald source (receiver/journaldreceiver): JSON-lines export ->
+    typed envelope with syslog severity from PRIORITY. The fixture is the
+    transcript table re-serialized as journald JSON; equality against the
+    parquet side proves the source loses nothing (same contract as
+    text_source)."""
+    from ..sources.journald import read_journald, write_journald_fixture
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = write_journald_fixture(sf_dir, f"/tmp/otelray_journald/{base}")
+    return read_journald(d)
+
+
 def q_jsonarray(sf_dir: str):
     """stanza jsonarray_parser: JSON array body -> positional columns
     (parser/jsonarray/config.go:47). The array is built from event fields,
@@ -1031,6 +1044,14 @@ def oracle_queries() -> dict[str, str]:
             "WHEN 4 THEN 'warn' WHEN 5 THEN 'error' ELSE 'default' END "
             "AS range_text "
             "FROM routed WHERE template = 'apache'"),
+        "journald": (
+            f"SELECT ts, text AS body, role || '.service' AS unit, "
+            f"conv_id AS host, CAST(turn_idx % 8 AS INTEGER) AS priority, "
+            f"list_value(21,19,18,17,13,10,9,5)[(turn_idx % 8) + 1] "
+            f"AS severity_number, "
+            f"list_value('emerg','alert','crit','err','warning','notice',"
+            f"'info','debug')[(turn_idx % 8) + 1] AS severity_text "
+            f"FROM read_parquet('{_transcripts_glob()}')"),
         "jsonarray": (
             "SELECT event_id, event_type AS etype, "
             "CAST(event_id AS VARCHAR) AS eid FROM events"),
@@ -1272,6 +1293,7 @@ def ray_queries() -> dict:
         "exceptions": q_exceptions,
         "signaltometrics": q_signaltometrics,
         "severity_range": q_severity_range,
+        "journald": q_journald,
         "jsonarray": q_jsonarray,
         "trace_parse": q_trace_parse,
         "cumulative_to_delta": q_cumulative_to_delta,

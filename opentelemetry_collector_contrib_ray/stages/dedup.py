@@ -135,27 +135,36 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
     """
     n_parts = n_parts or adaptive_n_parts()
 
+    def _distinct_doc_shingles(texts):
+        """(shingle hashes, doc ordinal per hash, distinct count per doc):
+        vectorized shingle hashing + within-doc dedup via one lexsort.
+        The hash IS the join key — stable across workers (seeded polars
+        word hashes + mix64; Python's hash() is per-process randomized),
+        64-bit collision ~2^-64."""
+        h, counts = doc_shingle_hashes(texts, k, short_fallback=False)
+        doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(h) == 0:
+            return h, doc, np.zeros(len(counts), np.int64)
+        order = np.lexsort((h, doc))
+        hs, dcs = h[order], doc[order]
+        keep = np.ones(len(hs), bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (dcs[1:] != dcs[:-1])
+        hs, dcs = hs[keep], dcs[keep]
+        sizes = np.bincount(dcs, minlength=len(counts)).astype(np.int64)
+        return hs, dcs, sizes
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        shs = _word_shingles(batch[text_col].to_pylist(), k,
-                             short_fallback=False)
-        out_id, out_sh = [], []
-        for i, s in zip(ids, shs):
-            out_id.extend([i] * len(s))
-            out_sh.extend(s)
-        # shingle md5-64 as the join key: stable across workers (Python's
-        # hash() is per-process randomized), 64-bit collision ~2^-64
-        h = _shingle_hashes(out_sh).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+        hs, dcs, _ = _distinct_doc_shingles(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = (hs & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table({"sh": pa.array(h),
                          "sh_part": pa.array(h % n_parts),
-                         id_col: pa.array(out_id, pa.int64())})
+                         id_col: pa.array(ids[dcs], pa.int64())})
 
     def sizes_partial(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        shs = _word_shingles(batch[text_col].to_pylist(), k,
-                             short_fallback=False)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "_n": pa.array([len(s) for s in shs], pa.int64())})
+        _, _, sizes = _distinct_doc_shingles(batch[text_col])
+        return pa.table({id_col: batch[id_col],
+                         "_n": pa.array(sizes, pa.int64())})
 
     # (id, |set|) as a small distributed Dataset; materialized once because
     # it is consumed by two attach passes (16 B/doc in the object store —
@@ -284,7 +293,8 @@ def _seg_arange(counts: np.ndarray) -> np.ndarray:
 _WORDHASH_SEED = 7771
 
 
-def doc_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+def doc_shingle_hashes(texts, k: int, short_fallback: bool = True
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Fully vectorized word-k-gram shingle hashing.
 
     -> (hashes, counts): one uint64 hash per shingle INSTANCE (duplicates
@@ -313,7 +323,8 @@ def doc_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     nonempty = (~np.asarray(pc.is_null(texts))) & \
         (np.asarray(pc.fill_null(pc.utf8_length(texts), 0)) > 0)
     has_ngrams = nonempty & (lengths >= k)
-    short = nonempty & (lengths < k)
+    short = nonempty & (lengths < k) if short_fallback \
+        else np.zeros(len(lengths), bool)
     counts = np.where(has_ngrams, lengths - k + 1,
                       np.where(short, 1, 0)).astype(np.int64)
     pos = np.cumsum(counts) - counts
