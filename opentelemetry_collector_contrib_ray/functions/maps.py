@@ -130,9 +130,12 @@ def map_get(col, key: str) -> pa.Array:
     idx = np.arange(len(keys))
     row_of = np.searchsorted(offsets[1:], idx, side="right")
     first = np.full(n_rows, -1, np.int64)
-    # reverse order so earlier entries win
-    for i in idx[hit][::-1]:
-        first[row_of[i]] = i
+    # earliest hit per row, vectorized: hits are in ascending entry order,
+    # so np.unique's first-occurrence index per row is the winner
+    hit_idx = idx[hit]
+    if len(hit_idx):
+        urows, first_pos = np.unique(row_of[hit_idx], return_index=True)
+        first[urows] = hit_idx[first_pos]
     take = pa.array(np.where(first >= 0, first, 0), pa.int64())
     vals = pc.take(items, take)
     return pc.if_else(pa.array(first >= 0), vals,
@@ -153,16 +156,16 @@ def map_set(col, key: str, values) -> pa.MapArray:
     elif isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     # interleave: for each row, existing entries then the new (key, value)
-    new_counts = (offs2[1:] - offs2[:-1]) + 1
+    # — vectorized with the concatenated-aranges trick (no per-row loop)
+    old_counts = (offs2[1:] - offs2[:-1]).astype(np.int64)
+    new_counts = old_counts + 1
     new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
     total = int(new_offsets[-1])
-    pos = np.zeros(total, np.int64)  # source index into old children or -1
-    is_new = np.zeros(total, bool)
-    for r in range(n_rows):
-        s, e = offs2[r], offs2[r + 1]
-        ns = new_offsets[r]
-        pos[ns:ns + (e - s)] = np.arange(s, e)
-        is_new[ns + (e - s)] = True
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        new_offsets[:-1], new_counts)
+    is_new = within == np.repeat(old_counts, new_counts)
+    pos = np.repeat(offs2[:-1].astype(np.int64), new_counts) + within
+    pos = np.where(is_new, 0, pos)
     row_take = pa.array(np.searchsorted(new_offsets[1:],
                                         np.arange(total), side="right"),
                         pa.int64())

@@ -419,16 +419,17 @@ def list_append(col, value):
         value = _arr(value)
     else:
         value = pa.array([value] * n, vals.type)
-    new_counts = (offsets[1:] - offsets[:-1]) + 1
+    # vectorized interleave (concatenated-aranges trick, no per-row loop)
+    old_counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    new_counts = old_counts + 1
     new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
     total = int(new_offsets[-1])
-    pos = np.zeros(total, np.int64)
-    is_new = np.zeros(total, bool)
-    for r in range(n):
-        s, e = offsets[r], offsets[r + 1]
-        ns = new_offsets[r]
-        pos[ns:ns + (e - s)] = np.arange(s, e)
-        is_new[ns + (e - s)] = True
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        new_offsets[:-1], new_counts)
+    is_new = within == np.repeat(old_counts, new_counts)
+    pos = np.where(is_new, 0,
+                   np.repeat(offsets[:-1].astype(np.int64), new_counts)
+                   + within)
     row_take = np.searchsorted(new_offsets[1:], np.arange(total),
                                side="right")
     if len(vals) == 0:  # all lists empty/null: every entry is the appended one

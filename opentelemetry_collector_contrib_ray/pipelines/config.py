@@ -309,9 +309,18 @@ def compile_routes(cfg: dict) -> RouteTable:
 
 
 def build_from_config(ds: Dataset, cfg: dict) -> Dataset:
-    """Compile {operators, routes, default_sink} into map_batches stages."""
+    """Compile {operators, transform, routes, default_sink} into
+    map_batches stages. ``transform`` is a list of transformprocessor
+    statement groups ({context, conditions, statements, error_mode} with
+    REAL OTTL statement text — transformprocessor/internal/common/
+    config.go:38-48), executed between the operator chain and routing,
+    mirroring a collector pipeline's processor position."""
     if cfg.get("operators"):
         ds = ds.map_batches(compile_operators(cfg["operators"]),
+                            batch_format="pyarrow", batch_size=None)
+    if cfg.get("transform"):
+        from .statements import transform_processor
+        ds = ds.map_batches(transform_processor(cfg["transform"]),
                             batch_format="pyarrow", batch_size=None)
     if cfg.get("routes"):
         ds = ds.map_batches(compile_routes(cfg), batch_format="pyarrow",

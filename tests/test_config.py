@@ -86,3 +86,31 @@ def test_register_operator_extension():
     assert fn(_b())["bang"].to_pylist() == ["!", "!"]
     with pytest.raises(ValueError):
         compile_operators([{"type": "nope"}])
+
+
+def test_build_from_config_with_transform_groups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        build_from_config,
+    )
+
+    t = pa.table({
+        "text": ["hello world", "skip me"],
+        "role": ["user", "tool"],
+    })
+    cfg = {
+        "transform": [{
+            "context": "log",
+            "conditions": ['role == "user"'],
+            "statements": ['set(shout, ConvertCase(text, "upper"))'],
+            "error_mode": "propagate",
+        }],
+        "routes": [{"condition": 'role == "user"', "sink": "users"}],
+        "default_sink": "rest",
+    }
+    out = build_from_config(ray.data.from_arrow(t), cfg).to_pandas()
+    got = dict(zip(out.role, out.shout))
+    assert got["user"] == "HELLO WORLD" and got["tool"] is None
+    assert sorted(out.sink) == ["rest", "users"]
