@@ -241,6 +241,12 @@ def _op_add(cfg):
                   where=_gate(cfg))
 
 
+def _op_schema(cfg):
+    from ..stages.schema import schema_transform
+    return schema_transform(cfg["translations"], cfg["from_version"],
+                            cfg["to_version"])
+
+
 def _op_filter(cfg):
     return tr.filter_drop(parse_condition(cfg["expr"]),
                           drop_ratio=cfg.get("drop_ratio", 1.0),
@@ -279,6 +285,7 @@ OPERATOR_REGISTRY = {
     "syslog_parser_rfc3164": lambda cfg: syslog_rfc3164_parser(
         parse_from=cfg.get("parse_from", "text"),
         prefix=cfg.get("prefix", "syslog_")),
+    "schema_transform": lambda cfg: _op_schema(cfg),
     "redact": lambda cfg: tr.redact(cfg["fields"], cfg["blocked_values"],
                                     mask_text=cfg.get("mask", "****")),
     "sampler": lambda cfg: tr.probabilistic_sampler(
@@ -326,3 +333,21 @@ def build_from_config(ds: Dataset, cfg: dict) -> Dataset:
         ds = ds.map_batches(compile_routes(cfg), batch_format="pyarrow",
                             batch_size=None)
     return ds
+
+
+def load_config(path: str) -> dict:
+    """Load a pipeline config from YAML or JSON — the collector's
+    config-file surface (service.pipelines shape, flattened to
+    {operators, transform, routes, default_sink})."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def build_from_config_file(ds: Dataset, path: str) -> Dataset:
+    return build_from_config(ds, load_config(path))

@@ -114,3 +114,30 @@ def test_build_from_config_with_transform_groups(ray_session):
     got = dict(zip(out.role, out.shout))
     assert got["user"] == "HELLO WORLD" and got["tool"] is None
     assert sorted(out.sink) == ["rest", "users"]
+
+
+def test_config_yaml_file_roundtrip(tmp_path, ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        build_from_config_file,
+    )
+
+    cfg = tmp_path / "pipeline.yaml"
+    cfg.write_text("""
+operators:
+  - type: regex_parser
+    regex: "^(?P<word>\\\\w+)"
+transform:
+  - statements:
+      - set(upper, ConvertCase(word, "upper"))
+routes:
+  - condition: 'upper == "HELLO"'
+    sink: greetings
+default_sink: other
+""")
+    t = pa.table({"text": ["hello there", "bye now"]})
+    out = build_from_config_file(ray.data.from_arrow(t), str(cfg)).to_pandas()
+    got = dict(zip(out.word, out.sink))
+    assert got["hello"] == "greetings" and got["bye"] == "other"

@@ -156,3 +156,24 @@ def test_assign_keys():
     out = tr.assign_keys("parts", ["first", "second"])(b)
     assert out["first"].to_pylist() == ["a", "x"]
     assert out["second"].to_pylist() == ["b", None]
+
+
+def test_schema_processor_version_chain():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        schema_transform,
+    )
+
+    translations = {
+        "1.1.0": {"http.method": "http.request.method"},
+        "1.2.0": {"http.request.method": "http.req.method",
+                  "net.peer.ip": "client.address"},
+        "2.0.0": {"never.applied": "x"},
+    }
+    t = pa.table({"http.method": ["GET"], "net.peer.ip": ["1.2.3.4"],
+                  "other": [1]})
+    out = schema_transform(translations, "1.0.0", "1.2.0")(t)
+    # chained: http.method -> http.request.method -> http.req.method
+    assert out.column_names == ["http.req.method", "client.address", "other"]
+    # zero steps -> identity
+    same = schema_transform(translations, "1.2.0", "1.2.0")(t)
+    assert same.column_names == t.column_names
