@@ -460,6 +460,22 @@ def q_delta_to_rate(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow", batch_size=None)
 
 
+def q_metric_start_time(sf_dir: str):
+    """metricstarttimeprocessor (true_reset_point): per-user series start
+    timestamp = the first observed point's own timestamp, reused by every
+    later point (README 'Strategy: True Reset Point')."""
+    from ..stages.metrics import metric_start_time
+    from ..stages.shuffle import dir_size_bytes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    out = metric_start_time(
+        ds, key_col="user_id", order_col="ts", value_col="value",
+        strategy="true_reset_point",
+        size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
+    return out.select_columns(["event_id", "user_id", "ts", "start_ts"])
+
+
 def q_csv_parse(sf_dir: str):
     """stanza csv_parser (parser/csv/config.go:36-42): positional split of
     a delimiter-joined line built from customer fields."""
@@ -1073,6 +1089,9 @@ SELECT event_id, user_id,
        ROUND(value / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0), 6) AS rate
 FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
 """,
+        "metric_start_time": (
+            "SELECT event_id, user_id, ts, "
+            "min(ts) OVER (PARTITION BY user_id) AS start_ts FROM events"),
         "csv_parse": (
             "SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS k, "
             "c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nk "
@@ -1298,6 +1317,7 @@ def ray_queries() -> dict:
         "trace_parse": q_trace_parse,
         "cumulative_to_delta": q_cumulative_to_delta,
         "delta_to_rate": q_delta_to_rate,
+        "metric_start_time": q_metric_start_time,
         "csv_parse": q_csv_parse,
         "container_parse": q_container_parse,
         "time_parse": q_time_parse,

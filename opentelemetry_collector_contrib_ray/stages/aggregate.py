@@ -73,16 +73,33 @@ def _fill_defaults(batch: pa.Table, keys: list[str], default: str) -> pa.Table:
 
 
 def count_by(ds: Dataset, keys: list[str], condition: Expr | None = None,
-             count_col: str = "count", default_value: str = "") -> Dataset:
+             count_col: str = "count", default_value: str = "",
+             missing: str = "default") -> Dataset:
     """countconnector: filter by condition, group by ``keys``, count.
+
+    ``missing``: what to do with records lacking a group attribute —
+    'default' substitutes ``default_value`` (the reference's DefaultValue),
+    'skip' drops the record entirely (counter.go:42-73 skips when the
+    attribute is absent and no default is configured).
 
     Two-phase: vectorized within-block partial counts (pyarrow group_by),
     then a small shuffle summing partials.
     """
+    if missing not in ("default", "skip"):
+        raise ValueError("missing must be default|skip")
+
     def partial(batch: pa.Table) -> pa.Table:
         if condition is not None:
             batch = batch.filter(condition.mask(batch))
-        batch = _fill_defaults(batch, keys, default_value)
+        if missing == "skip":
+            for k in keys:
+                c = batch[k]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                if c.null_count:
+                    batch = batch.filter(pc.is_valid(c))
+        else:
+            batch = _fill_defaults(batch, keys, default_value)
         out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return out.rename_columns(keys + ["_partial"])
 

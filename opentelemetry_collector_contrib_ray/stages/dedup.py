@@ -94,17 +94,43 @@ def md5_hex_u64(texts: pa.Array) -> tuple[pa.Array, pa.Array]:
 
 def exact_dedup(ds: Dataset, text_col: str = "text",
                 id_col: str = "doc_id",
-                n_parts: int | None = None) -> Dataset:
+                n_parts: int | None = None,
+                digest: str = "md5") -> Dataset:
     """Exact dedup: one surviving row (min id) per distinct text, with copy
     count. Shuffle moves only (digest, min_id, n) partials, and the final
     merge is hash-partitioned on the digest (distinct-key cardinality is
     O(N) — a single-block fan-in would hold the whole distinct set in one
-    task at 10^9 docs)."""
+    task at 10^9 docs).
+
+    ``digest``: 'md5' (hex string key — matches the SQL oracle; Python
+    hashlib per DISTINCT value) or 'fast128' (two independent seeded
+    polars 64-bit hashes packed as a binary(16) key — fully vectorized,
+    no Python per value; collision odds ~n²/2^129, negligible at 10^9
+    docs). Same plan either way; fast128 is the 100-TB path."""
     n_parts = n_parts or adaptive_n_parts()
+    if digest not in ("md5", "fast128"):
+        raise ValueError("digest must be md5|fast128")
 
     def partial(batch: pa.Table) -> pa.Table:
-        key, kh = md5_hex_u64(batch[text_col])
-        part = kh.to_numpy(zero_copy_only=False) % n_parts
+        if digest == "md5":
+            key, kh = md5_hex_u64(batch[text_col])
+            part = kh.to_numpy(zero_copy_only=False) % n_parts
+        else:
+            import polars as pl
+            s = pl.from_arrow(pc.cast(
+                batch[text_col].combine_chunks()
+                if isinstance(batch[text_col], pa.ChunkedArray)
+                else batch[text_col], pa.string()))
+            if isinstance(s, pl.DataFrame):
+                s = s.to_series()
+            h1 = s.hash(seed=101).to_numpy().astype(np.uint64)
+            h2 = s.hash(seed=202).to_numpy().astype(np.uint64)
+            packed = np.empty((len(h1), 2), dtype=">u8")
+            packed[:, 0], packed[:, 1] = h1, h2
+            key = pa.Array.from_buffers(
+                pa.binary(16), len(h1),
+                [None, pa.py_buffer(packed.tobytes())])
+            part = (h1 % np.uint64(n_parts)).astype(np.int64)
         t = pa.table({"dedup_key": key, "_mp": pa.array(part, pa.int64()),
                       id_col: batch[id_col]})
         out = t.group_by(["dedup_key"]).aggregate(

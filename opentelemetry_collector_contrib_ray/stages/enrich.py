@@ -176,3 +176,42 @@ class RangeLookupEnricher:
         if self.default is not None:
             out = pc.coalesce(out, pa.scalar(self.default, pa.string()))
         return batch.append_column(self.out_col, out)
+
+
+def resource_detection(detectors: list[str] | None = None,
+                       override: dict[str, str] | None = None,
+                       prefix: str = ""):
+    """resourcedetectionprocessor: detect the environment ONCE at plan-build
+    time on the driver (the reference probes once at collector startup —
+    internal/resourcedetection.go) and stamp the detected attributes as
+    constant columns via a map_batches closure. Supported detectors:
+    'system' (host.name, os.type), 'env' (OTEL_RESOURCE_ATTRIBUTES
+    k=v,k=v), plus explicit ``override`` attributes (highest precedence).
+    """
+    import os
+    import platform
+
+    attrs: dict[str, str] = {}
+    for d in (detectors or []):
+        if d == "system":
+            attrs["host.name"] = platform.node()
+            attrs["os.type"] = platform.system().lower()
+        elif d == "env":
+            raw = os.environ.get("OTEL_RESOURCE_ATTRIBUTES", "")
+            for pair in filter(None, raw.split(",")):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    attrs[k.strip()] = v.strip()
+        else:
+            raise ValueError(f"unknown detector {d!r}")
+    attrs.update(override or {})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for k, v in attrs.items():
+            name = prefix + k
+            if name not in batch.column_names:
+                batch = batch.append_column(
+                    name, pa.array([v] * batch.num_rows, pa.string()))
+        return batch
+
+    return fn

@@ -228,3 +228,49 @@ def delta_to_rate(ds: Dataset, *, key_col: str, order_col: str,
         return group.append_column(out_col, out)
 
     return _per_key_scan(ds, key_col, order_col, seg, n_parts, size_bytes)
+
+
+def metric_start_time(ds: Dataset, *, key_col: str, order_col: str,
+                      value_col: str, ts_col: str | None = None,
+                      strategy: str = "true_reset_point",
+                      out_start: str = "start_ts",
+                      n_parts: int | None = None,
+                      size_bytes: int | None = None) -> Dataset:
+    """metricstarttimeprocessor: stamp per-series start timestamps on
+    cumulative points (processor/metricstarttimeprocessor/config.go:26-35).
+
+    - true_reset_point: the first observed point of each series becomes the
+      True Reset point (start == its own timestamp); subsequent points
+      reuse that start timestamp (README 'Strategy: True Reset Point').
+    - subtract_initial_point: the first point is the baseline — it is
+      DROPPED, subsequent values are rebased (v - v_first) and their start
+      is the baseline point's timestamp (internal/subtractinitial).
+    """
+    if strategy not in ("true_reset_point", "subtract_initial_point"):
+        raise ValueError(f"bad strategy {strategy!r}")
+    ts_col = ts_col or order_col
+
+    def seg(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ts_t = group[ts_col].type if n else pa.timestamp("us")
+        if n == 0:
+            return group.append_column(out_start, pa.array([], ts_t))
+        starts = _segment_starts(group, key_col)
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        first_idx = np.maximum.accumulate(np.where(starts, idx, 0))
+        start_ts = ts[first_idx]
+        if strategy == "true_reset_point":
+            return group.append_column(
+                out_start, pc.cast(pa.array(start_ts, pa.int64()), ts_t))
+        # subtract_initial_point
+        v = pc.cast(group[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        base = v[first_idx]
+        out = group.append_column(
+            out_start, pc.cast(pa.array(start_ts, pa.int64()), ts_t))
+        i = out.column_names.index(value_col)
+        out = out.set_column(i, value_col, pa.array(v - base, pa.float64()))
+        return out.filter(pa.array(~starts))
+
+    return _per_key_scan(ds, key_col, order_col, seg, n_parts, size_bytes)

@@ -50,3 +50,17 @@ def test_dedup_counts_first_last():
     assert rows["a"]["first_observed_ts"].second == 0
     assert rows["a"]["last_observed_ts"].second == 5
     assert rows["b"]["log_count"] == 2
+
+
+def test_count_by_missing_skip(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import count_by
+
+    t = pa.table({"k": ["a", None, "a"], "v": [1, 2, 3]})
+    skip = count_by(ray.data.from_arrow(t), ["k"],
+                    missing="skip").to_pandas()
+    assert dict(zip(skip.k, skip["count"])) == {"a": 2}
+    dflt = count_by(ray.data.from_arrow(t), ["k"],
+                    default_value="<none>").to_pandas()
+    assert dict(zip(dflt.k, dflt["count"])) == {"a": 2, "<none>": 1}

@@ -99,3 +99,35 @@ def test_delta_to_rate(ray_session):
     assert math.isnan(out.rate.iloc[0])  # no previous point
     assert out.rate.iloc[1] == 5.0       # 50 / 10s
     assert out.rate.iloc[2] == 5.0       # 10 / 2s
+
+
+def test_metric_start_time_strategies(ray_session):
+    import datetime
+
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metric_start_time,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "k": ["a", "a", "b"],
+        "ts": pa.array([base, base + datetime.timedelta(seconds=5), base],
+                       pa.timestamp("us")),
+        "v": pa.array([10.0, 25.0, 7.0]),
+    })
+    trp = metric_start_time(ray.data.from_arrow(t), key_col="k",
+                            order_col="ts", value_col="v",
+                            strategy="true_reset_point",
+                            n_parts=2).to_pandas().sort_values(["k", "ts"])
+    assert list(trp.start_ts) == [base, base, base]
+    assert len(trp) == 3
+
+    sub = metric_start_time(ray.data.from_arrow(t), key_col="k",
+                            order_col="ts", value_col="v",
+                            strategy="subtract_initial_point",
+                            n_parts=2).to_pandas().sort_values(["k", "ts"])
+    # first point of each series dropped; values rebased to the baseline
+    assert len(sub) == 1
+    assert list(sub.v) == [15.0] and list(sub.start_ts) == [base]

@@ -229,3 +229,16 @@ def test_minhash_scale_plan_equals_small_plan():
 
 
 REPO = "/root/repo"
+
+
+def test_exact_dedup_fast128_matches_md5_plan():
+    from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
+
+    md5_out = exact_dedup(_docs_ds()).to_pandas()
+    fast = exact_dedup(_docs_ds(), digest="fast128").to_pandas()
+    # same survivors + copy counts, different key representation
+    a = md5_out.sort_values("doc_id")[["doc_id", "n_copies"]].reset_index(
+        drop=True)
+    b = fast.sort_values("doc_id")[["doc_id", "n_copies"]].reset_index(
+        drop=True)
+    assert a.equals(b)

@@ -177,3 +177,19 @@ def test_schema_processor_version_chain():
     # zero steps -> identity
     same = schema_transform(translations, "1.2.0", "1.2.0")(t)
     assert same.column_names == t.column_names
+
+
+def test_resource_detection_detectors(monkeypatch):
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        resource_detection,
+    )
+
+    monkeypatch.setenv("OTEL_RESOURCE_ATTRIBUTES",
+                       "deployment.environment=prod, service.version=1.2")
+    fn = resource_detection(detectors=["system", "env"],
+                            override={"cluster": "c1"})
+    out = fn(pa.table({"x": [1, 2]}))
+    assert out["deployment.environment"].to_pylist() == ["prod", "prod"]
+    assert out["service.version"].to_pylist() == ["1.2", "1.2"]
+    assert out["cluster"].to_pylist() == ["c1", "c1"]
+    assert out["os.type"].to_pylist()[0] in ("linux", "darwin", "windows")
