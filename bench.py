@@ -216,6 +216,13 @@ def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
     n_distinct = out.count()
     merge_tasks, merge_max_rows = stage_stats(out.stats(), "merge_group")
 
+    ds2 = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"]) \
+        .map_batches(uniquify, batch_format="pyarrow", batch_size=None)
+    t0 = time.time()
+    out2 = exact_dedup(ds2, digest="fast128").materialize()
+    fast_sec = time.time() - t0
+    n_fast = out2.count()
+
     t1 = time.time()
     rds = rd.read_parquet(tpath,
                           columns=["conv_id", "turn_idx", "text", "ts"])
@@ -234,6 +241,8 @@ def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
         "distinct": n_distinct,
         "dedup_merge_tasks": merge_tasks,
         "dedup_merge_max_rows_per_task": merge_max_rows,
+        "dedup_fast128_sec": round(fast_sec, 3),
+        "dedup_fast128_distinct": n_fast,
         "recombine_sec": round(rec_sec, 3),
         "recombine_rows_out": n_rec,
         "recombine_group_tasks": rec_tasks,
