@@ -266,3 +266,82 @@ def flatten_struct(batch: pa.Table, col: str, prefix: str = "",
     if drop:
         batch = batch.drop_columns([col])
     return batch
+
+
+def map_get_dyn(col, key_per_row) -> pa.Array:
+    """attributes[<per-row key>] accessor: like map_get but the key varies
+    by row (OTTL dynamic indexing, e.g. attributes[attributes["flags"]]).
+    Vectorized: expand each row's wanted key across its entries, compare
+    once."""
+    if isinstance(key_per_row, pa.ChunkedArray):
+        key_per_row = key_per_row.combine_chunks()
+    _, offsets, keys, items, valid = _map_parts(col)
+    n_rows = len(offsets) - 1
+    if len(keys) == 0:
+        return pa.nulls(n_rows, items.type)
+    idx = np.arange(len(keys))
+    row_of = np.searchsorted(offsets[1:], idx, side="right")
+    want = pc.take(key_per_row, pa.array(row_of, pa.int64()))
+    hit = np.asarray(pc.fill_null(pc.equal(keys, want), False)).astype(bool)
+    first = np.full(n_rows, -1, np.int64)
+    hit_idx = idx[hit]
+    if len(hit_idx):
+        urows, first_pos = np.unique(row_of[hit_idx], return_index=True)
+        first[urows] = hit_idx[first_pos]
+    take = pa.array(np.where(first >= 0, first, 0), pa.int64())
+    vals = pc.take(items, take)
+    return pc.if_else(pa.array(first >= 0), vals,
+                      pa.nulls(n_rows, items.type))
+
+
+def map_set_dyn(col, key_per_row, values) -> pa.MapArray:
+    """set(attributes[<per-row key>], v): upsert with a per-row key.
+    Rows whose key is null are left unchanged (the reference errors per
+    record; columnar form skips). Same delete-then-append shape as
+    map_set, vectorized."""
+    if isinstance(key_per_row, pa.ChunkedArray):
+        key_per_row = key_per_row.combine_chunks()
+    arr, offsets, keys, items, valid = _map_parts(col)
+    n_rows = len(offsets) - 1
+    # delete each row's wanted key first
+    if len(keys):
+        idx = np.arange(len(keys))
+        row_of = np.searchsorted(offsets[1:], idx, side="right")
+        want = pc.take(key_per_row, pa.array(row_of, pa.int64()))
+        keep = ~np.asarray(pc.fill_null(pc.equal(keys, want),
+                                        False)).astype(bool)
+        without = _rebuild(offsets, keys, items, keep, valid)
+    else:
+        without = arr
+    _, offs2, keys2, items2, valid2 = _map_parts(without)
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array([values] * n_rows, items2.type)
+    elif isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    key_valid = np.asarray(pc.is_valid(key_per_row))
+    old_counts = (offs2[1:] - offs2[:-1]).astype(np.int64)
+    new_counts = old_counts + key_valid.astype(np.int64)
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
+    total = int(new_offsets[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        new_offsets[:-1], new_counts)
+    is_new = within == np.repeat(old_counts, new_counts)
+    # rows without a valid key never get an is_new slot (count unchanged)
+    pos = np.where(is_new, 0,
+                   np.repeat(offs2[:-1].astype(np.int64), new_counts)
+                   + within)
+    row_take = pa.array(np.searchsorted(new_offsets[1:],
+                                        np.arange(total), side="right"),
+                        pa.int64())
+    if len(keys2) == 0:
+        out_keys = pc.take(key_per_row, row_take)
+        out_items = pc.take(values, row_take)
+    else:
+        old_take = pa.array(pos, pa.int64())
+        out_keys = pc.if_else(pa.array(is_new),
+                              pc.take(key_per_row, row_take),
+                              pc.take(keys2, old_take))
+        out_items = pc.if_else(pa.array(is_new), pc.take(values, row_take),
+                               pc.take(items2, old_take))
+    return pa.MapArray.from_arrays(
+        pa.array(new_offsets, pa.int32()), out_keys, out_items)

@@ -348,8 +348,6 @@ def _eval_path(segs, ctx: _Ctx):
             seg_idxs = seg_idxs or []
         for ie in (seg_idxs or []):
             key = eval_expr(ie, ctx)
-            if not _is_scalar(key):
-                raise ValueError("dynamic (per-row) map keys unsupported")
             cur = _index_into(cur, key, ctx)
     return cur
 
@@ -362,8 +360,13 @@ def _column(ctx: _Ctx, name: str):
 
 def _index_into(cur, key, ctx: _Ctx):
     a = _arr(cur)
+    dynamic = isinstance(key, (pa.Array, pa.ChunkedArray))
     if pa.types.is_map(a.type):
+        if dynamic:  # attributes[attributes["flags"]] — per-row key
+            return M.map_get_dyn(a, pc.cast(_arr(key), pa.string()))
         return M.map_get(a, str(key))
+    if dynamic:
+        raise ValueError(f"dynamic index into {a.type} unsupported")
     if pa.types.is_list(a.type) or pa.types.is_fixed_size_list(a.type):
         return pc.list_element(a, int(key))
     if pa.types.is_struct(a.type):
@@ -477,8 +480,8 @@ def _resolve_target(segs, ctx: _Ctx):
             return ("map", colname)
         return ("column", colname)
     key = eval_expr(idxs[0], ctx)
-    if not _is_scalar(key):
-        raise ValueError("dynamic map keys unsupported")
+    if isinstance(key, (pa.Array, pa.ChunkedArray)):
+        return ("mapkey_dyn", colname, pc.cast(_arr(key), pa.string()))
     return ("mapkey", colname, str(key))
 
 
@@ -493,6 +496,14 @@ def _apply_set(ctx: _Ctx, args, mask):
         return ctx.batch
     varr = _broadcast(value, ctx.n)
     eff = pc.and_(mask, pc.is_valid(varr))  # nil values don't overwrite
+    if tgt[0] == "mapkey_dyn":
+        colname, key_arr = tgt[1], tgt[2]
+        old = _arr(ctx.batch[colname])
+        vstr = varr if pa.types.is_string(varr.type) else \
+            pc.cast(varr, pa.string())
+        new = M.map_set_dyn(old, key_arr, vstr)
+        out = _choose_rows(pc.and_(eff, pc.is_valid(key_arr)), new, old)
+        return _set_column(ctx.batch, colname, out)
     if tgt[0] == "mapkey":
         colname, key = tgt[1], tgt[2]
         if colname in ctx.batch.column_names:

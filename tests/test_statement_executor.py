@@ -330,3 +330,37 @@ def test_masked_set_multirow():
 def test_executor_validates_error_mode():
     with pytest.raises(ValueError, match="bad error_mode"):
         StatementGroupExecutor([{"error_mode": "explode", "statements": []}])
+
+
+DYNAMIC_CASES = [
+    # e2e_test.go:408 — dynamic map key from another attribute's value
+    ('set(attributes[attributes["flags"]], "something33")',
+     _merged(**{"A|B|C": "something33"})),
+    # e2e_test.go:1236 — dynamic key in a where clause (key absent -> nil)
+    ('set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil',
+     BASE),
+    # dynamic key on the resource map
+    ('set(resource.attributes[attributes["flags"]], "x")',
+     lambda t: dict(t["resource"].to_pylist()[0])["A|B|C"] == "x"),
+]
+
+
+@pytest.mark.parametrize("statement,expected", DYNAMIC_CASES,
+                         ids=[c[0][:60] for c in DYNAMIC_CASES])
+def test_dynamic_map_keys(statement, expected):
+    out = run1(statement)
+    if callable(expected):
+        assert expected(out)
+    else:
+        assert attrs_of(out) == expected
+
+
+def test_dynamic_key_write_then_read_chain():
+    fn = transform_processor([{
+        "statements": [
+            'set(attributes[attributes["flags"]], "something33")',
+            'set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil',
+        ],
+    }])
+    a = attrs_of(fn(fixture()))
+    assert a["A|B|C"] == "something33" and a["foo"] == "bar"
