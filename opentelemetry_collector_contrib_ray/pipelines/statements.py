@@ -684,15 +684,32 @@ class StatementGroupExecutor:
             mode = g.get("error_mode", "propagate")
             if mode not in ("ignore", "silent", "propagate"):
                 raise ValueError(f"bad error_mode {mode!r}")
-            self.compiled.append((conds, stmts, mode))
+            context = g.get("context", "log")
+            if context not in ("log", "resource", "scope"):
+                raise ValueError(f"bad context {context!r}")
+            self.compiled.append((context, conds, stmts, mode))
+
+    def _group_colmap(self, context: str) -> dict[str, str]:
+        """Context selects the object bare paths address
+        (transformprocessor contexts: in a resource group,
+        `attributes["k"]` means resource attributes)."""
+        if context == "resource":
+            return dict(self.colmap,
+                        attributes=self.colmap.get("resource.attributes",
+                                                   "resource"))
+        if context == "scope":
+            return dict(self.colmap,
+                        name=self.colmap.get("instrumentation_scope.name",
+                                             "scope_name"))
+        return self.colmap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        for conds, stmts, mode in self.compiled:
-            batch = self._run_group(batch, conds, stmts, mode)
+        for context, conds, stmts, mode in self.compiled:
+            batch = self._run_group(batch, context, conds, stmts, mode)
         return batch
 
-    def _run_group(self, batch, conds, stmts, mode):
-        ctx = _Ctx(batch, self.colmap)
+    def _run_group(self, batch, context, conds, stmts, mode):
+        ctx = _Ctx(batch, self._group_colmap(context))
         if conds:  # OR-ed group gate (config.go conditions)
             gate = None
             for c in conds:

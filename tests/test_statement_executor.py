@@ -364,3 +364,22 @@ def test_dynamic_key_write_then_read_chain():
     }])
     a = attrs_of(fn(fixture()))
     assert a["A|B|C"] == "something33" and a["foo"] == "bar"
+
+
+def test_resource_context_group():
+    """context: resource — bare attributes paths address the resource map
+    (transformprocessor ContextStatements context semantics)."""
+    fn = transform_processor([{
+        "context": "resource",
+        "conditions": ['attributes["host.name"] == "localhost"'],
+        "statements": ['set(attributes["env"], "prod")'],
+    }])
+    out = fn(fixture())
+    res = dict(out["resource"].to_pylist()[0])
+    assert res["env"] == "prod"
+    assert "env" not in attrs_of(out)  # log attributes untouched
+
+
+def test_bad_context_rejected():
+    with pytest.raises(ValueError, match="bad context"):
+        StatementGroupExecutor([{"context": "span", "statements": []}])
