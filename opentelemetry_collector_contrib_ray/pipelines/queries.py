@@ -745,6 +745,23 @@ def q_ann_lsh(sf_dir: str):
                         q["vec_id"].to_pylist(), k=5, n_bits=6, n_tables=12)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-Flat ANN: spherical-kmeans coarse quantizer + nprobe-cell exact
+    search (the FAISS IVF plan; approximate by design -> rows-only, recall
+    vs brute force pinned in tests/test_training_data_ops.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ann_ivf_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, q["embedding"].to_pylist(),
+                        q["vec_id"].to_pylist(), k=5, nlist=8, nprobe=3)
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine >= 0.3) within each label bucket
     (the IVF-bucket candidate scope)."""
@@ -1340,6 +1357,7 @@ def ray_queries() -> dict:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
         "kmeans_ivf": q_kmeans,
         "token_stats": q_token_stats,

@@ -81,25 +81,7 @@ def ann_topk(ds: Dataset, query_vectors: np.ndarray, query_ids,
                                              vec_col, id_col),
         batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
 
-    def merge(batch: pa.Table) -> pa.Table:
-        qid = batch["query_id"].to_numpy(zero_copy_only=False)
-        vid = batch[id_col].to_numpy(zero_copy_only=False)
-        sim = batch["sim"].to_numpy(zero_copy_only=False)
-        out_q, out_v, out_s = [], [], []
-        for q in np.unique(qid):
-            m = qid == q
-            idx = np.lexsort((vid[m], -sim[m]))[:k]
-            out_q.extend([q] * len(idx))
-            out_v.extend(vid[m][idx])
-            out_s.extend(np.round(sim[m][idx], round_digits))
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            id_col: pa.array(np.array(out_v, np.int64)),
-            "sim": pa.array(np.array(out_s, np.float64)),
-        })
-
-    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
-                                               batch_size=None)
+    return _merge_topk(partials, k, id_col, round_digits)
 
 
 def cosine_pairs_within(ds: Dataset, *, partition_col: str = "label",
@@ -187,3 +169,101 @@ def ann_lsh_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
     cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=None)
     return ann_topk(cand, q, query_ids, k=k, vec_col=vec_col, id_col=id_col,
                     round_digits=round_digits)
+
+
+def _merge_topk(partials: Dataset, k: int, id_col: str,
+                round_digits: int) -> Dataset:
+    """Global top-k per query from per-block partial candidates (tiny:
+    blocks x nq x k rows)."""
+    def merge(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False)
+        vid = batch[id_col].to_numpy(zero_copy_only=False)
+        sim = batch["sim"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for q in np.unique(qid):
+            m = qid == q
+            idx = np.lexsort((vid[m], -sim[m]))[:k]
+            out_q.extend([q] * len(idx))
+            out_v.extend(vid[m][idx])
+            out_s.extend(np.round(sim[m][idx], round_digits))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(np.array(out_v, np.int64)),
+            "sim": pa.array(np.array(out_s, np.float64)),
+        })
+
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                               batch_size=None)
+
+
+class IVFSearcher:
+    """Per-block IVF-Flat search: assign block vectors to the trained
+    coarse cells, then compare each query ONLY against rows in its nprobe
+    nearest cells (the FAISS IVF pruning, shuffle-free — centroids + query
+    matrix broadcast once per actor)."""
+
+    def __init__(self, centroids_ref, queries_ref, query_ids, probes_ref,
+                 k: int, vec_col: str, id_col: str):
+        def get(r):
+            return ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        self.cents = _normalize(np.asarray(get(centroids_ref), np.float64))
+        self.q = _normalize(np.asarray(get(queries_ref), np.float64))
+        self.query_ids = np.asarray(query_ids, np.int64)
+        self.probes = np.asarray(get(probes_ref), np.int64)  # (nq, nprobe)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_mat(batch, self.vec_col))
+        cells = np.argmax(m @ self.cents.T, axis=1)
+        qid_out, vid_out, sim_out = [], [], []
+        for c in np.unique(cells):
+            rows = np.nonzero(cells == c)[0]
+            qs = np.nonzero((self.probes == c).any(axis=1))[0]
+            if not len(qs) or not len(rows):
+                continue
+            sims = self.q[qs] @ m[rows].T            # (|qs|, |rows|)
+            rid = ids[rows]
+            kk = min(self.k, len(rows))
+            for j, qi in enumerate(qs):
+                s = sims[j].copy()
+                s[rid == self.query_ids[qi]] = -np.inf
+                idx = np.lexsort((rid, -s))[:kk]
+                idx = idx[np.isfinite(s[idx])]
+                qid_out.extend([self.query_ids[qi]] * len(idx))
+                vid_out.extend(rid[idx])
+                sim_out.extend(s[idx])
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int64()),
+            self.id_col: pa.array(np.array(vid_out, np.int64)),
+            "sim": pa.array(np.array(sim_out, np.float64)),
+        })
+
+
+def ann_ivf_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
+                 nlist: int = 8, nprobe: int = 3, max_iters: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_digits: int = 6) -> Dataset:
+    """IVF-Flat ANN: train the spherical k-means coarse quantizer (nlist
+    cells, stages/cluster.py), pick each query's nprobe nearest cells, and
+    exact-search only those cells — the scale path where brute force is
+    O(N·nq) and LSH recall is pattern-dependent. Approximate by design
+    (recall vs ann_topk pinned in tests)."""
+    from .cluster import kmeans_fit
+
+    fit = kmeans_fit(ds, nlist, vec_col=vec_col, max_iters=max_iters)
+    cents = _normalize(np.asarray(fit["centroids"], np.float64))
+    q = _normalize(np.asarray(query_vectors, np.float64))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    if ray.is_initialized():
+        cents_ref, q_ref, probes_ref = (ray.put(cents), ray.put(q),
+                                        ray.put(probes))
+    else:
+        cents_ref, q_ref, probes_ref = cents, q, probes
+    partials = ds.map_batches(
+        IVFSearcher,
+        fn_constructor_args=(cents_ref, q_ref, list(query_ids), probes_ref,
+                             k, vec_col, id_col),
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+    return _merge_topk(partials, k, id_col, round_digits)

@@ -242,3 +242,34 @@ def test_exact_dedup_fast128_matches_md5_plan():
     b = fast.sort_values("doc_id")[["doc_id", "n_copies"]].reset_index(
         drop=True)
     assert a.equals(b)
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        ann_ivf_topk,
+        ann_topk,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = t.filter(pa.compute.less(t["vec_id"], 8))
+    qm = q["embedding"].to_pylist()
+    qids = q["vec_id"].to_pylist()
+
+    def load():
+        return ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    exact = ann_topk(load(), qm, qids, k=5).to_pandas()
+    ivf = ann_ivf_topk(load(), qm, qids, k=5, nlist=4, nprobe=2).to_pandas()
+    want = set(zip(exact.query_id, exact.vec_id))
+    got = set(zip(ivf.query_id, ivf.vec_id))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.6, recall  # nprobe=2 of 4 cells
+    # full probe == exact
+    full = ann_ivf_topk(load(), qm, qids, k=5, nlist=4,
+                        nprobe=4).to_pandas()
+    assert set(zip(full.query_id, full.vec_id)) == want
