@@ -95,6 +95,75 @@ class AudioFrameSampler:
         })
 
 
+class ImageResizer:
+    """Actor-pool stage: resize image payloads to (target_w, target_h).
+    Real mode needs an image lib; fake mode emits a deterministic
+    resized-payload digest + the target dims so downstream schema/layout
+    are exercised end-to-end. Rows fan out unchanged (1:1)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 fake: bool = True):
+        self.target_w, self.target_h = target_w, target_h
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image resize needs PIL/cv2 — not available here")
+        resized = [hashlib.sha256(
+            (p or b"") + bytes([self.target_w % 256, self.target_h % 256])
+        ).digest() for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(resized, pa.large_binary()),
+            "width": pa.array([self.target_w] * batch.num_rows, pa.int32()),
+            "height": pa.array([self.target_h] * batch.num_rows, pa.int32()),
+        })
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample n_frames at uniform timestamps from each
+    video payload and EXPLODE to one row per frame (media_id, frame_idx,
+    frame_ts_ms, frame feature) — the 1:N layout real video pipelines need
+    (frame rows then flow through the image stages). Decode is stubbed;
+    timestamps come from the duration_ms metadata column."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real video decode needs ffmpeg/cv2 — not available here")
+        ids, idxs, ts_out, feats = [], [], [], []
+        dur = batch["duration_ms"].to_pylist()             if "duration_ms" in batch.column_names             else [None] * batch.num_rows
+        for mid, p, d in zip(batch["media_id"].to_pylist(),
+                             batch["payload"].to_pylist(), dur):
+            p = p or b"\x00"
+            d = d or 0
+            for f in range(self.n_frames):
+                ids.append(mid)
+                idxs.append(f)
+                ts_out.append(int(d * f / max(1, self.n_frames - 1))
+                              if self.n_frames > 1 else 0)
+                digest = hashlib.sha256(p + bytes([f])).digest()
+                feats.append(np.frombuffer(
+                    digest[:self.FEATURE_DIM * 4], np.uint32)
+                    .astype(np.float64) / np.iinfo(np.uint32).max)
+        flat = pa.array(np.concatenate(feats) if feats else
+                        np.empty(0, np.float64), pa.float64())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_ts_ms": pa.array(ts_out, pa.int64()),
+            "feature": pa.FixedSizeListArray.from_arrays(
+                flat, self.FEATURE_DIM),
+        })
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic fake media table matching MEDIA_SCHEMA (payload bytes
     derived from the row id, so tests and fake decodes are reproducible)."""

@@ -95,3 +95,35 @@ def test_compact_respects_target_size(tmp_path):
                       target_mb=int(2.5 * one / (1 << 20)) + 1)
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     assert len(files) == 2
+
+
+def test_image_resizer_and_video_frame_sampler(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageResizer,
+        VideoFrameSampler,
+        media_batch_size,
+        synth_media_table,
+    )
+
+    t = synth_media_table(16)
+    bs = media_batch_size(1024)
+    ds = ray.data.from_arrow(t)
+    resized = ds.map_batches(ImageResizer, fn_constructor_args=(64, 64, True),
+                             batch_format="pyarrow", batch_size=bs,
+                             concurrency=(1, 2)).to_pandas()
+    assert len(resized) == 16
+    assert set(resized.width) == {64} and set(resized.height) == {64}
+    # deterministic fake resize
+    r2 = ImageResizer(64, 64, True)(t.slice(0, 4))
+    assert r2["payload"].to_pylist() == list(resized.payload[:4])
+
+    frames = ray.data.from_arrow(t).map_batches(
+        VideoFrameSampler, fn_constructor_args=(4, True),
+        batch_format="pyarrow", batch_size=bs,
+        concurrency=(1, 2)).to_pandas()
+    assert len(frames) == 16 * 4           # 1:N explode
+    g = frames[frames.media_id == frames.media_id.iloc[0]]
+    assert list(g.frame_idx) == [0, 1, 2, 3]
+    assert g.frame_ts_ms.is_monotonic_increasing
