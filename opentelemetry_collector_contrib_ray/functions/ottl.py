@@ -191,10 +191,29 @@ def deterministic_uuid(col):
 
 # --- base64 / decode (func_base64decode.go, func_decode.go) ----------------
 
-def base64_decode(col):
+def base64_decode(col, encoding: str = "base64"):
+    """func_base64decode.go / func_decode.go: Decode(target[, encoding]).
+    Supported encodings: base64 (default), base64-raw, base64-url, hex,
+    us-ascii/utf-8 passthrough decode."""
     import base64
-    return _dict_apply(col, lambda v: base64.b64decode(v).decode("utf-8",
-                                                                "replace"))
+
+    def dec(v: str) -> str:
+        e = encoding.lower().replace("_", "-")
+        if e in ("base64", "base64-std"):
+            return base64.b64decode(v).decode("utf-8", "replace")
+        if e == "base64-raw":
+            return base64.b64decode(v + "=" * (-len(v) % 4)) \
+                .decode("utf-8", "replace")
+        if e in ("base64-url", "base64-rawurl"):
+            return base64.urlsafe_b64decode(v + "=" * (-len(v) % 4)) \
+                .decode("utf-8", "replace")
+        if e == "hex":
+            return bytes.fromhex(v).decode("utf-8", "replace")
+        if e in ("us-ascii", "utf-8", "utf8"):
+            return v
+        raise ValueError(f"Decode: unsupported encoding {encoding!r}")
+
+    return _dict_apply(col, dec)
 
 
 def base64_encode(col):

@@ -103,7 +103,17 @@ E2E_CASES = [
     # --- converters (Test_e2e_converters) ---
     ('set(attributes["test"], Base64Decode("cGFzcw=="))',
      _merged(test="pass")),
-    ('set(attributes["test"], Decode("cGFzcw=="))', _merged(test="pass")),
+    ('set(attributes["test"], Decode("cGFzcw==", "base64"))',
+     _merged(test="pass")),
+    ('set(attributes["test"], {"list":[{"foo":"bar"}]})',
+     lambda t: json.loads(attrs_of(t)["test"]) == {"list": [{"foo": "bar"}]}),
+    ('set(attributes["test"], IsList([1, 2]))', _merged(test="true")),
+    ('set(attributes["test"], Len([1, 2, 3]))', _merged(test="3")),
+    ('set(attributes["test"], String(true))', _merged(test="true")),
+    ('set(attributes["test"], ParseCSV("val1,val2,val3","header1|header2|header3",headerDelimiter="|",mode="strict"))',
+     lambda t: json.loads(attrs_of(t)["test"]) == {
+         "header1": "val1", "header2": "val2", "header3": "val3"}),
+    ('set(attributes["test"], "\\\\\\\\")', _merged(test="\\\\")),
     ('set(attributes["test"], Concat(["A","B"], ":"))', _merged(test="A:B")),
     ('set(attributes["test"], ConvertCase(attributes["http.method"], "upper"))',
      _merged(test="GET")),
