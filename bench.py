@@ -81,19 +81,12 @@ def run_once(num_cpus: int) -> dict:
     queries["log_dedup"] = time.time() - t0
 
     # OTTL statement-group executor throughput (3 statements incl. a
-    # converter call + where masks over every transcript turn)
+    # converter call + where masks over every transcript turn) — reuses
+    # the gate query builder so bench and oracle measure the same plan
     t0 = time.time()
     from opentelemetry_collector_contrib_ray.pipelines.queries import (
-        TRANSFORM_GROUPS)
-    from opentelemetry_collector_contrib_ray.pipelines.statements import (
-        transform_processor)
-    from opentelemetry_collector_contrib_ray.sources.transcripts import (
-        transcripts_path as _tp)
-    import ray.data as _rd
-    _rd.read_parquet(_tp(SF_DIR),
-                     columns=["conv_id", "turn_idx", "role", "tool", "text"]) \
-        .map_batches(transform_processor(TRANSFORM_GROUPS),
-                     batch_format="pyarrow", batch_size=None).count()
+        q_transform_statements)
+    q_transform_statements(SF_DIR).count()
     queries["transform_statements"] = time.time() - t0
 
     t0 = time.time()

@@ -458,9 +458,10 @@ def _set_column(batch: pa.Table, name: str, arr) -> pa.Table:
     return batch.append_column(name, arr)
 
 
-def _resolve_target(segs, ctx: _Ctx):
-    """-> ("column", colname) | ("mapkey", colname, key) | ("map", colname)
-    | ("cache", key)."""
+def _resolve_target(segs, ctx: _Ctx, allow_dyn: bool = False):
+    """-> ("column", colname) | ("mapkey", colname, key) |
+    ("mapkey_dyn", colname, key_array) | ("map", colname) | ("cache", key).
+    Dynamic per-row keys raise unless the editor opts in (only `set`)."""
     name, idxs = segs[0]
     if name == "cache":
         key = str(eval_expr(idxs[0], ctx))
@@ -481,6 +482,9 @@ def _resolve_target(segs, ctx: _Ctx):
         return ("column", colname)
     key = eval_expr(idxs[0], ctx)
     if isinstance(key, (pa.Array, pa.ChunkedArray)):
+        if not allow_dyn:
+            raise ValueError(
+                "dynamic (per-row) map keys are only supported by `set`")
         return ("mapkey_dyn", colname, pc.cast(_arr(key), pa.string()))
     return ("mapkey", colname, str(key))
 
@@ -490,46 +494,27 @@ def _apply_set(ctx: _Ctx, args, mask):
     if value_node == ("lit", None):
         return ctx.batch  # set(x, nil) is a no-op (e2e corpus)
     value = eval_expr(value_node, ctx)
-    tgt = _resolve_target(target_node[1], ctx)
+    tgt = _resolve_target(target_node[1], ctx, allow_dyn=True)
     if tgt[0] == "cache":
         ctx.cache[tgt[1]] = _broadcast(value, ctx.n)
         return ctx.batch
     varr = _broadcast(value, ctx.n)
     eff = pc.and_(mask, pc.is_valid(varr))  # nil values don't overwrite
-    if tgt[0] == "mapkey_dyn":
-        colname, key_arr = tgt[1], tgt[2]
-        old = _arr(ctx.batch[colname])
-        vstr = varr if pa.types.is_string(varr.type) else \
-            pc.cast(varr, pa.string())
-        new = M.map_set_dyn(old, key_arr, vstr)
-        out = _choose_rows(pc.and_(eff, pc.is_valid(key_arr)), new, old)
-        return _set_column(ctx.batch, colname, out)
-    if tgt[0] == "mapkey":
+    if tgt[0] in ("mapkey", "mapkey_dyn"):
         colname, key = tgt[1], tgt[2]
         if colname in ctx.batch.column_names:
             old = _arr(ctx.batch[colname])
-        else:
+        else:  # set creates the map (PutStr semantics), dyn or not
             old = pa.array([[]] * ctx.n, pa.map_(pa.string(), pa.string()))
-        if pa.types.is_map(old.type):
-            if pa.types.is_map(varr.type) or pa.types.is_list(varr.type) \
-                    or pa.types.is_struct(varr.type):
-                # nested value into a map<string,string> slot: JSON-encode
-                # (flat model; same divergence as ParseXML — DIVERGENCES.md)
-                import json as _json
-                vstr = pa.array(
-                    [None if v is None else _json.dumps(
-                        dict(v) if isinstance(v, list) and v and
-                        isinstance(v[0], tuple) else v,
-                        separators=(",", ":"), default=str)
-                     for v in varr.to_pylist()], pa.string())
-            elif not pa.types.is_string(varr.type):
-                vstr = pc.cast(varr, pa.string())
-            else:
-                vstr = varr
+        if not pa.types.is_map(old.type):
+            raise ValueError(f"{colname} is not a map column")
+        vstr = _coerce_map_value(varr)
+        if tgt[0] == "mapkey_dyn":
+            new = M.map_set_dyn(old, key, vstr)
+            eff = pc.and_(eff, pc.is_valid(key))
+        else:
             new = M.map_set(old, key, vstr)
-            out = _choose_rows(eff, new, old)
-            return _set_column(ctx.batch, colname, out)
-        raise ValueError(f"{colname} is not a map column")
+        return _set_column(ctx.batch, colname, _choose_rows(eff, new, old))
     # plain column
     colname = tgt[1]
     if colname in ctx.batch.column_names:
@@ -542,6 +527,24 @@ def _apply_set(ctx: _Ctx, args, mask):
     else:
         old = pa.nulls(ctx.n, varr.type)
     return _set_column(ctx.batch, colname, _choose_rows(eff, varr, old))
+
+
+def _coerce_map_value(varr: pa.Array) -> pa.Array:
+    """Value array -> string items for a map<string,string> slot. Nested
+    values (map/list/struct) are JSON-encoded — flat model, same
+    divergence as ParseXML (DIVERGENCES.md)."""
+    if pa.types.is_map(varr.type) or pa.types.is_list(varr.type) \
+            or pa.types.is_struct(varr.type):
+        import json as _json
+        return pa.array(
+            [None if v is None else _json.dumps(
+                dict(v) if isinstance(v, list) and v and
+                isinstance(v[0], tuple) else v,
+                separators=(",", ":"), default=str)
+             for v in varr.to_pylist()], pa.string())
+    if not pa.types.is_string(varr.type):
+        return pc.cast(varr, pa.string())
+    return varr
 
 
 def _map_editor(fn):
@@ -698,9 +701,14 @@ class StatementGroupExecutor:
                         attributes=self.colmap.get("resource.attributes",
                                                    "resource"))
         if context == "scope":
+            # scope attributes are not part of the flat envelope
+            # (SURVEY.md §1.3) — only the scope name is addressable;
+            # attributes paths in a scope group would silently hit LOG
+            # attributes, so unmap them to a clearly-named missing column
             return dict(self.colmap,
                         name=self.colmap.get("instrumentation_scope.name",
-                                             "scope_name"))
+                                             "scope_name"),
+                        attributes="__scope_attributes_unmapped__")
         return self.colmap
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -131,6 +131,8 @@ class VideoFrameSampler:
     FEATURE_DIM = 8
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
+        if not 1 <= n_frames <= 65535:
+            raise ValueError("n_frames must be in [1, 65535]")
         self.n_frames = n_frames
         self.fake = fake
 
@@ -139,7 +141,10 @@ class VideoFrameSampler:
             raise NotImplementedError(
                 "real video decode needs ffmpeg/cv2 — not available here")
         ids, idxs, ts_out, feats = [], [], [], []
-        dur = batch["duration_ms"].to_pylist()             if "duration_ms" in batch.column_names             else [None] * batch.num_rows
+        if "duration_ms" in batch.column_names:
+            dur = batch["duration_ms"].to_pylist()
+        else:
+            dur = [None] * batch.num_rows
         for mid, p, d in zip(batch["media_id"].to_pylist(),
                              batch["payload"].to_pylist(), dur):
             p = p or b"\x00"
@@ -149,7 +154,7 @@ class VideoFrameSampler:
                 idxs.append(f)
                 ts_out.append(int(d * f / max(1, self.n_frames - 1))
                               if self.n_frames > 1 else 0)
-                digest = hashlib.sha256(p + bytes([f])).digest()
+                digest = hashlib.sha256(p + f.to_bytes(2, "big")).digest()
                 feats.append(np.frombuffer(
                     digest[:self.FEATURE_DIM * 4], np.uint32)
                     .astype(np.float64) / np.iinfo(np.uint32).max)

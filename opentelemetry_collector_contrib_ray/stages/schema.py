@@ -34,11 +34,24 @@ def schema_transform(translations: dict[str, dict[str, str]],
 
     def fn(batch: pa.Table) -> pa.Table:
         names = list(batch.column_names)
+        renamed = [False] * len(names)
         for v in steps:
             ren = translations[v]
-            names = [ren.get(n, n) for n in names]
+            for i, n in enumerate(names):
+                if n in ren:
+                    names[i] = ren[n]
+                    renamed[i] = True
         if names == list(batch.column_names):
             return batch
+        # a rename target may collide with a pre-existing column: the
+        # renamed value WINS (the reference schemaprocessor overwrites) —
+        # drop the stale original so the schema stays duplicate-free
+        drop = [i for i, (n, r) in enumerate(zip(names, renamed))
+                if not r and names.count(n) > 1]
+        if drop:
+            keep = [i for i in range(len(names)) if i not in set(drop)]
+            batch = batch.select(keep)
+            names = [names[i] for i in keep]
         return batch.rename_columns(names)
 
     return fn

@@ -127,3 +127,17 @@ def test_image_resizer_and_video_frame_sampler(ray_session):
     g = frames[frames.media_id == frames.media_id.iloc[0]]
     assert list(g.frame_idx) == [0, 1, 2, 3]
     assert g.frame_ts_ms.is_monotonic_increasing
+
+
+def test_video_frame_sampler_validates_and_handles_many_frames():
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        VideoFrameSampler,
+        synth_media_table,
+    )
+
+    with _pytest.raises(ValueError, match="n_frames"):
+        VideoFrameSampler(n_frames=0)
+    out = VideoFrameSampler(n_frames=300, fake=True)(synth_media_table(2))
+    assert out.num_rows == 600  # frame indexes past 255 no longer crash

@@ -393,3 +393,29 @@ def test_resource_context_group():
 def test_bad_context_rejected():
     with pytest.raises(ValueError, match="bad context"):
         StatementGroupExecutor([{"context": "span", "statements": []}])
+
+
+def test_dynamic_set_creates_missing_map_column():
+    t = pa.table({"body": ["operationA"], "k": ["newkey"]})
+    fn = transform_processor([{"statements": ['set(attrs2[k], "v")']}])
+    out = fn(t)
+    assert dict(out["attrs2"].to_pylist()[0]) == {"newkey": "v"}
+
+
+def test_dynamic_set_json_encodes_nested_values():
+    out = run1('set(attributes[attributes["flags"]], ParseJSON("{\\"a\\":1}"))')
+    assert json.loads(attrs_of(out)["A|B|C"]) == {"a": "1"}
+
+
+def test_dynamic_key_rejected_outside_set():
+    with pytest.raises(ValueError, match="only supported by `set`"):
+        run1('replace_pattern(attributes[attributes["flags"]], "l", "L")')
+
+
+def test_scope_context_attributes_do_not_hit_log_attributes():
+    fn = transform_processor([{
+        "context": "scope",
+        "statements": ['set(attributes["k"], "v")'],
+    }])
+    out = fn(fixture())
+    assert "k" not in attrs_of(out)  # scope attrs are not the log attrs

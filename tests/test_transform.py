@@ -193,3 +193,16 @@ def test_resource_detection_detectors(monkeypatch):
     assert out["service.version"].to_pylist() == ["1.2", "1.2"]
     assert out["cluster"].to_pylist() == ["c1", "c1"]
     assert out["os.type"].to_pylist()[0] in ("linux", "darwin", "windows")
+
+
+def test_schema_transform_rename_collision_overwrites():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        schema_transform,
+    )
+
+    translations = {"1.1.0": {"http.method": "http.request.method"}}
+    t = pa.table({"http.method": ["GET"],
+                  "http.request.method": ["stale"], "other": [1]})
+    out = schema_transform(translations, "1.0.0", "1.1.0")(t)
+    assert out.column_names == ["http.request.method", "other"]
+    assert out["http.request.method"].to_pylist() == ["GET"]  # renamed wins
