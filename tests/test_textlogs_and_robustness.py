@@ -96,3 +96,34 @@ def test_filter_to_empty_then_aggregate():
         batch_format="pyarrow", batch_size=None)
     out = count_by(ds, ["role"], count_col="n").to_pandas()
     assert len(out) == 0
+
+
+def test_journald_source_roundtrip(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.sources.journald import (
+        journald_parse,
+        read_journald,
+    )
+
+    recs = [
+        {"__REALTIME_TIMESTAMP": "1700000000000000", "MESSAGE": "hello\nworld",
+         "PRIORITY": "3", "_SYSTEMD_UNIT": "app.service", "_HOSTNAME": "h1"},
+        {"__REALTIME_TIMESTAMP": "1700000001000000", "MESSAGE": "ok",
+         "PRIORITY": "6", "_SYSTEMD_UNIT": "db.service", "_HOSTNAME": "h2"},
+    ]
+    f = tmp_path / "x.journal.json"
+    f.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    out = read_journald(str(tmp_path)).to_pandas().sort_values("ts")
+    assert list(out.body) == ["hello\nworld", "ok"]
+    assert list(out.unit) == ["app.service", "db.service"]
+    assert list(out.priority) == [3, 6]
+    # PRIORITY 3 = err -> severity 17; 6 = info -> 9 (syslog table)
+    assert list(out.severity_number) == [17, 9]
+    assert list(out.severity_text) == ["err", "info"]
+    # direct parse fn on a one-line batch
+    import pyarrow as pa
+    t = journald_parse(pa.table({"text": [json.dumps(recs[1])]}))
+    assert t["host"].to_pylist() == ["h2"]
