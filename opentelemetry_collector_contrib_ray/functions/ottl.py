@@ -666,7 +666,9 @@ def hex_typed(col):
     a = _arr(col)
     t = a.type
     if pa.types.is_integer(t):
-        return _dict_apply(a, lambda v: "%016x" % (int(float(v)) & (2**64-1)),
+        # int(v) directly — routing through float would lose precision
+        # past 2^53 (Hex on large ids must be exact, func_hex.go)
+        return _dict_apply(a, lambda v: "%016x" % (int(v) & (2**64 - 1)),
                            pa.string())
     if pa.types.is_floating(t):
         return _dict_apply(a, lambda v: _struct.pack(">d", float(v)).hex(),

@@ -429,7 +429,9 @@ def q_cumulative_to_delta(sf_dir: str):
         initial="keep", size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
 
     def shape(b: pa.Table) -> pa.Table:
-        c = pc.cast(pc.round(pc.multiply(b["delta"], 100.0)), pa.int64())
+        # half_towards_infinity == DuckDB ROUND (half away from zero)
+        c = pc.cast(pc.round(pc.multiply(b["delta"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
                          "delta_x100": c})
 
@@ -971,8 +973,10 @@ def q_delta_to_cumulative(sf_dir: str):
 
     def shape(b: pa.Table) -> pa.Table:
         # fixed-point cents: float running sums differ in the last ulp
-        # between engines even after rounding — integers compare exactly
-        c = pc.cast(pc.round(pc.multiply(b["cumulative"], 100.0)), pa.int64())
+        # between engines even after rounding — integers compare exactly.
+        # half_towards_infinity == DuckDB ROUND (half away from zero)
+        c = pc.cast(pc.round(pc.multiply(b["cumulative"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
         return pa.table({
             "event_id": b["event_id"],
             "user_id": b["user_id"],

@@ -338,6 +338,13 @@ def _eval_path(segs, ctx: _Ctx):
         segs = [(colname, idxs)] + list(segs[2:])
         name, idxs = segs[0]
         cur = _column(ctx, name)
+    elif len(segs) > 1 and \
+            f"{name}.{segs[1][0]}" in ctx.colmap and not segs[0][1]:
+        # dotted colmap entry (e.g. instrumentation_scope.name)
+        colname = ctx.colmap[f"{name}.{segs[1][0]}"]
+        segs = [(colname, segs[1][1])] + list(segs[2:])
+        name, idxs = segs[0]
+        cur = _column(ctx, name)
     else:
         colname = ctx.colmap.get(name, name)
         cur = _column(ctx, colname)
@@ -414,6 +421,11 @@ def _eval_binop(node, ctx: _Ctx):
     both_scalar = _is_scalar(lv) and _is_scalar(rv)
     if op in ("+", "-", "*", "/"):
         if both_scalar:
+            if op == "/" and isinstance(lv, int) and isinstance(rv, int) \
+                    and not isinstance(lv, bool) and not isinstance(rv, bool):
+                # OTTL int/int truncates (math.go) — match the array path
+                # (pc.divide on int64) instead of Python float division
+                return int(lv / rv)
             return {"+": lambda: lv + rv, "-": lambda: lv - rv,
                     "*": lambda: lv * rv, "/": lambda: lv / rv}[op]()
         a, b = _broadcast(lv, ctx.n), _broadcast(rv, ctx.n)
@@ -593,6 +605,10 @@ def _map_values_rewrite(old: pa.MapArray, fn):
 def _apply_replace_all_patterns(ctx: _Ctx, args, mask):
     tgt = _resolve_target(args[0][1], ctx)
     mode = eval_expr(args[1], ctx)
+    if mode not in ("key", "value"):
+        raise ValueError(
+            f"replace_all_patterns: mode must be 'key' or 'value', "
+            f"got {mode!r}")
     pattern = eval_expr(args[2], ctx)
     repl = eval_expr(args[3], ctx)
     colname = tgt[1]

@@ -292,18 +292,17 @@ def _shingle_hashes(shingles: set[str]) -> np.ndarray:
          for s in shingles), np.uint64, len(shingles))
 
 
-def minhash_signature(shingles: set[str], a: np.ndarray,
-                      b: np.ndarray) -> np.ndarray:
-    """Reference (scalar-set) form of the MinHasher permutation family:
-    num_perm minima of odd-multiplier multiply hashing a_i*h mod 2^64
-    (Dietzfelbinger multiply-shift family — no modulo, ~2x cheaper per
-    element than (a*h+b) mod Mersenne at the same estimate quality)."""
-    if not shingles:
+def minhash_signature(text: str | None, a: np.ndarray,
+                      k: int = 3) -> np.ndarray:
+    """Single-document reference form of MinHasher: SAME hash pipeline
+    (doc_shingle_hashes word-hash + mix64) and SAME odd-multiplier multiply
+    family (a_i*h mod 2^64, Dietzfelbinger — no modulo), so it reproduces
+    MinHasher's signature for one text exactly (pinned by unit test)."""
+    h, counts = doc_shingle_hashes(pa.array([text], pa.string()), k)
+    if counts[0] == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
-    h = _shingle_hashes(shingles)
     with np.errstate(over="ignore"):
         vals = h[None, :] * a[:, None]
-    _ = b
     return vals.min(axis=1)
 
 

@@ -109,17 +109,10 @@ def cumulative_per_key(ds: Dataset, *, key_col: str, order_col: str,
         n = group.num_rows
         if n == 0:
             return group.append_column(out_col, pa.array([], pa.float64()))
-        keys = group[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
         v = pc.cast(group[value_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
         v = np.nan_to_num(v, nan=0.0)
-        change = np.concatenate(
-            [[True], np.asarray(pc.not_equal(keys.slice(1),
-                                             keys.slice(0, n - 1)))])
-        change = np.where(np.isnan(change.astype(np.float64)), True,
-                          change).astype(bool)
+        change = key_change_mask(group[key_col], n)
         cs = np.cumsum(v)
         # forward-fill each segment's base (cumsum before the segment) by
         # index so negative values can't break the fill
@@ -152,16 +145,22 @@ def _per_key_scan(ds: Dataset, key_col: str, order_col: str, fn,
                                               batch_format="pyarrow")
 
 
-def _segment_starts(group: pa.Table, key_col: str) -> np.ndarray:
-    n = group.num_rows
-    keys = group[key_col]
+def key_change_mask(keys: pa.Array, n: int) -> np.ndarray:
+    """True where row i starts a new key segment, with NULLS-EQUAL
+    semantics (consecutive null keys are ONE series — matching SQL
+    PARTITION BY, which groups nulls together; pc.not_equal alone yields
+    null for any null operand and would split every null row)."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    change = np.concatenate(
-        [[True], np.asarray(pc.not_equal(keys.slice(1),
-                                         keys.slice(0, n - 1)))])
-    return np.where(np.isnan(change.astype(np.float64)), True,
-                    change).astype(bool)
+    a, b = keys.slice(1), keys.slice(0, n - 1)
+    va = np.asarray(pc.is_valid(a))
+    vb = np.asarray(pc.is_valid(b))
+    ne = np.asarray(pc.fill_null(pc.not_equal(a, b), False)).astype(bool)
+    return np.concatenate([[True], (va != vb) | (va & vb & ne)])
+
+
+def _segment_starts(group: pa.Table, key_col: str) -> np.ndarray:
+    return key_change_mask(group[key_col], group.num_rows)
 
 
 def cumulative_to_delta(ds: Dataset, *, key_col: str, order_col: str,

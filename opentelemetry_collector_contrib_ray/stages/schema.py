@@ -43,13 +43,23 @@ def schema_transform(translations: dict[str, dict[str, str]],
                     renamed[i] = True
         if names == list(batch.column_names):
             return batch
-        # a rename target may collide with a pre-existing column: the
-        # renamed value WINS (the reference schemaprocessor overwrites) —
-        # drop the stale original so the schema stays duplicate-free
-        drop = [i for i, (n, r) in enumerate(zip(names, renamed))
-                if not r and names.count(n) > 1]
+        # collisions: renamed values WIN over stale pre-existing columns
+        # (the reference schemaprocessor overwrites); if several sources
+        # rename to the same target, the LAST one wins — the schema must
+        # never carry duplicate names
+        drop: set[int] = set()
+        last_renamed: dict[str, int] = {}
+        for i, (n, r) in enumerate(zip(names, renamed)):
+            if names.count(n) <= 1:
+                continue
+            if not r:
+                drop.add(i)
+            else:
+                if n in last_renamed:
+                    drop.add(last_renamed[n])
+                last_renamed[n] = i
         if drop:
-            keep = [i for i in range(len(names)) if i not in set(drop)]
+            keep = [i for i in range(len(names)) if i not in drop]
             batch = batch.select(keep)
             names = [names[i] for i in keep]
         return batch.rename_columns(names)

@@ -51,11 +51,8 @@ def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-        key_change = np.concatenate(
-            [[True], np.asarray(pc.not_equal(keys.slice(1),
-                                             keys.slice(0, n - 1)))])
-        key_change = np.where(np.isnan(key_change.astype(np.float64)),
-                              True, key_change).astype(bool)
+        from .metrics import key_change_mask
+        key_change = key_change_mask(keys, n)
         gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
         new_session = key_change | gap_break
         sess_id = np.cumsum(new_session) - 1

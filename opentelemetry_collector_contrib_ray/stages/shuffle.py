@@ -138,12 +138,15 @@ def partitioned_attach(left: Dataset, left_schema: dict[str, pa.DataType],
             cols[c] = col.combine_chunks() if isinstance(
                 col, pa.ChunkedArray) else col
         cols["_rv"] = pa.nulls(b.num_rows, val_type)
+        # explicit side marker: a null right VALUE must not demote a lookup
+        # row to a fact row
+        cols["_side_r"] = pa.array([False] * b.num_rows)
         return pa.table(cols)
 
     def aug_right(b: pa.Table) -> pa.Table:
-        key = b[right_key].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64).reshape(-1, 1)
-        part = (mix64_rows(key, 11) % np.uint64(n_parts)).astype(np.int64)
+        # same hash+seed as aug_left, via the same helper (key renamed)
+        part = int_partition_ids(
+            pa.table({key_col: b[right_key]}), [key_col], n_parts)
         cols = {"_jp": pa.array(part)}
         for c in left_cols:
             if c == key_col:
@@ -154,10 +157,12 @@ def partitioned_attach(left: Dataset, left_schema: dict[str, pa.DataType],
         cols["_rv"] = pc.cast(
             rv.combine_chunks() if isinstance(rv, pa.ChunkedArray) else rv,
             val_type)
+        cols["_side_r"] = pa.array([True] * b.num_rows)
         return pa.table(cols)
 
     def join_group(g: pa.Table) -> pa.Table:
-        is_right = pc.is_valid(g["_rv"]).to_numpy(zero_copy_only=False)
+        is_right = pc.fill_null(g["_side_r"], False) \
+            .to_numpy(zero_copy_only=False)
         left_rows = g.filter(pa.array(~is_right))
         out_cols = {c: left_rows[c] for c in left_cols}
         n_left = left_rows.num_rows

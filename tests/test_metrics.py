@@ -131,3 +131,13 @@ def test_metric_start_time_strategies(ray_session):
     # first point of each series dropped; values rebased to the baseline
     assert len(sub) == 1
     assert list(sub.v) == [15.0] and list(sub.start_ts) == [base]
+
+
+def test_key_change_mask_nulls_equal():
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        key_change_mask,
+    )
+
+    keys = pa.array(["a", "a", None, None, "b"])
+    mask = key_change_mask(keys, 5)
+    assert list(mask) == [True, False, True, False, True]

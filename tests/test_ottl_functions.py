@@ -180,3 +180,9 @@ def test_map_set_and_list_append_on_all_empty_children():
     empty_lists = pa.array([[], []], pa.list_(pa.int64()))
     out2 = ottl.list_append(empty_lists, 7)
     assert out2.to_pylist() == [[7], [7]]
+
+
+def test_hex_large_ints_exact():
+    big = pa.array([9007199254740993, 2**63 - 1], pa.int64())
+    assert ottl.hex_typed(big).to_pylist() == \
+        ["0020000000000001", "7fffffffffffffff"]

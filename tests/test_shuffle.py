@@ -86,3 +86,17 @@ def test_dir_size_bytes(tmp_path):
     f.write_bytes(b"z" * 1234)
     assert dir_size_bytes(str(tmp_path)) == 1234
     assert dir_size_bytes(str(f)) == 1234
+
+
+def test_partitioned_attach_null_right_values():
+    # a null lookup VALUE must not fabricate phantom fact rows
+    left = ray.data.from_arrow(pa.table({"a": pa.array([1, 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "_n": pa.array([7, None], pa.int64())}))
+    out = partitioned_attach(
+        left, {"a": pa.int64()}, right, key_col="a", right_key="doc_id",
+        right_val="_n", out_name="n", n_parts=4).to_pandas()
+    assert len(out) == 2
+    got = dict(zip(out.a, out.n))
+    assert got[1] == 7 and np.isnan(got[2])

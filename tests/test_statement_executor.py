@@ -419,3 +419,23 @@ def test_scope_context_attributes_do_not_hit_log_attributes():
     }])
     out = fn(fixture())
     assert "k" not in attrs_of(out)  # scope attrs are not the log attrs
+
+
+def test_scalar_int_division_truncates_like_ottl():
+    out = run1('set(attributes["d"], 6 / 4)')
+    assert attrs_of(out)["d"] == "1"          # int/int truncates (math.go)
+    out = run1('set(attributes["d"], 6.0 / 4)')
+    assert attrs_of(out)["d"] == "1.5"
+
+
+def test_replace_all_patterns_mode_validated():
+    with pytest.raises(ValueError, match="mode must be"):
+        run1('replace_all_patterns(attributes, "Key", "^http", "x")')
+
+
+def test_instrumentation_scope_name_path():
+    t = fixture().append_column("scope_name", pa.array(["my.lib"]))
+    fn = transform_processor([{
+        "statements": ['set(attributes["s"], instrumentation_scope.name)'],
+    }])
+    assert attrs_of(fn(t))["s"] == "my.lib"

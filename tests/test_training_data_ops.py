@@ -273,3 +273,19 @@ def test_ann_ivf_recall_vs_bruteforce():
     full = ann_ivf_topk(load(), qm, qids, k=5, nlist=4,
                         nprobe=4).to_pandas()
     assert set(zip(full.query_id, full.vec_id)) == want
+
+
+def test_minhash_signature_matches_minhasher():
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        MinHasher,
+        minhash_signature,
+    )
+
+    mh = MinHasher(num_perm=32)
+    text = "the quick brown fox jumps over the lazy dog"
+    batch = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text])})
+    sig = np.array(mh(batch)["sig"].to_pylist()[0], np.int64) \
+        .astype(np.uint64)
+    ref = minhash_signature(text, mh.a, k=3)
+    assert (sig == ref).all()

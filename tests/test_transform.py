@@ -206,3 +206,15 @@ def test_schema_transform_rename_collision_overwrites():
     out = schema_transform(translations, "1.0.0", "1.1.0")(t)
     assert out.column_names == ["http.request.method", "other"]
     assert out["http.request.method"].to_pylist() == ["GET"]  # renamed wins
+
+
+def test_schema_transform_double_rename_last_wins():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        schema_transform,
+    )
+
+    t = pa.table({"a": ["va"], "b": ["vb"]})
+    out = schema_transform({"1.1.0": {"a": "c", "b": "c"}},
+                           "1.0.0", "1.1.0")(t)
+    assert out.column_names == ["c"]
+    assert out["c"].to_pylist() == ["vb"]  # last rename wins
