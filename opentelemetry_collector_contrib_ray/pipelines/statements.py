@@ -71,8 +71,9 @@ def _arr(x):
 def _broadcast(x, n: int) -> pa.Array:
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
         return _arr(x)
-    if isinstance(x, list):
-        return pa.array([x] * n)
+    if n == 0 and x is not None:
+        # empty batches must keep the scalar's type (pa.array([]) is null)
+        return pa.array([x]).slice(0, 0)
     return pa.array([x] * n)
 
 
@@ -320,7 +321,7 @@ def eval_expr(node, ctx: _Ctx):
 
 def _to_mask(v, n: int) -> pa.Array:
     if isinstance(v, bool):
-        return pa.array([v] * n)
+        return pa.array([v] * n, pa.bool_())
     return pc.fill_null(_arr(v), False)
 
 
@@ -454,9 +455,9 @@ def _eval_binop(node, ctx: _Ctx):
     except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
         # cross-type: == -> false, != -> true (LANGUAGE.md comparison rules)
         if op == "==":
-            return pa.array([False] * ctx.n)
+            return pa.array([False] * ctx.n, pa.bool_())
         if op == "!=":
-            return pa.array([True] * ctx.n)
+            return pa.array([True] * ctx.n, pa.bool_())
         raise
 
 
@@ -741,7 +742,7 @@ class StatementGroupExecutor:
                 gate = m if gate is None else pc.or_kleene(gate, m)
             gate = pc.fill_null(gate, False)
         else:
-            gate = pa.array([True] * ctx.n)
+            gate = pa.array([True] * ctx.n, pa.bool_())
         for st in stmts:
             try:
                 ctx.batch = self._apply(ctx, st, gate)

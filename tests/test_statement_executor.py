@@ -439,3 +439,19 @@ def test_instrumentation_scope_name_path():
         "statements": ['set(attributes["s"], instrumentation_scope.name)'],
     }])
     assert attrs_of(fn(t))["s"] == "my.lib"
+
+
+def test_empty_batch_through_executor():
+    empty = pa.table({
+        "body": pa.array([], pa.string()),
+        "attributes": pa.array([], pa.map_(pa.string(), pa.string())),
+    })
+    fn = transform_processor([{
+        "conditions": ['body == "x"'],
+        "statements": ['set(attributes["k"], "v")',
+                       'delete_key(attributes, "x")',
+                       'set(body, "z") where body == "a"'],
+    }])
+    out = fn(empty)
+    assert out.num_rows == 0
+    assert set(out.column_names) == {"body", "attributes"}
