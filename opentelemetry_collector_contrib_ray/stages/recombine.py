@@ -36,12 +36,23 @@ FIRST_ENTRY_RE = r"^\S"  # classic multiline rule: non-indented line starts an e
 def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
                    order_col: str = "turn_idx", body_col: str = "text",
                    is_first_re: str = FIRST_ENTRY_RE,
-                   combine_with: str = "\n") -> pa.Table:
+                   is_last_re: str | None = None,
+                   combine_with: str = "\n",
+                   overwrite_with: str = "oldest") -> pa.Table:
     """Vectorized segment merge over one block (rows sorted per source).
 
-    Output: one row per logical entry — first row's (source, order, ts)
-    envelope, bodies joined with ``combine_with``, plus ``n_lines``.
+    Boundary rule mirrors the recombine config's one-of is_first_entry /
+    is_last_entry (config.go:39-54): with ``is_first_re`` a matching row
+    STARTS a segment; with ``is_last_re`` a matching row ENDS one (the
+    next row starts fresh). ``overwrite_with``: which row's (source,
+    order, ts) envelope survives — 'oldest' (first row, the default) or
+    'newest' (last row).
+
+    Output: one row per logical entry — envelope per overwrite_with,
+    bodies joined with ``combine_with``, plus ``n_lines``.
     """
+    if overwrite_with not in ("oldest", "newest"):
+        raise ValueError("overwrite_with must be oldest|newest")
     if batch.num_rows == 0:
         return pa.table({
             source_col: pa.array([], pa.string()),
@@ -53,33 +64,44 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     body = batch[body_col]
     if isinstance(body, pa.ChunkedArray):
         body = body.combine_chunks()
-    is_first = pc.fill_null(pc.match_substring_regex(body, is_first_re), True)
-    # conversation boundaries always start a segment (first turn is never a
+    n = batch.num_rows
+    # source boundaries always start a segment (first turn is never a
     # continuation by construction; belt-and-braces: OR with source change)
     src = batch[source_col]
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
-    if len(src) > 1:
+    if n > 1:
         neq = pc.fill_null(
-            pc.not_equal(src.slice(1), src.slice(0, len(src) - 1)), True)
+            pc.not_equal(src.slice(1), src.slice(0, n - 1)), True)
         changed = pa.concat_arrays([pa.array([True]), neq.combine_chunks()
                                     if isinstance(neq, pa.ChunkedArray) else neq])
     else:
         changed = pa.array([True])
-    starts = pc.or_(is_first, changed)
+    if is_last_re is not None:
+        # a match ENDS the segment: row i starts one iff row i-1 matched
+        is_last = pc.fill_null(pc.match_substring_regex(body, is_last_re),
+                               False)
+        prev_last = pa.concat_arrays(
+            [pa.array([True]), is_last.slice(0, n - 1)])
+        starts = pc.or_(prev_last, changed)
+    else:
+        is_first = pc.fill_null(pc.match_substring_regex(body, is_first_re),
+                                True)
+        starts = pc.or_(is_first, changed)
     seg = pc.cumulative_sum(pc.cast(starts, pa.int64()))
     work = batch.select([source_col, order_col, "ts", body_col]) \
         .append_column("_seg", seg)
+    env = "first" if overwrite_with == "oldest" else "last"
     agg = work.group_by(["_seg"], use_threads=False).aggregate([
-        (source_col, "first"), (order_col, "first"), ("ts", "first"),
+        (source_col, env), (order_col, env), ("ts", env),
         (body_col, "list"), (body_col, "count"),
     ])
     joined = pc.binary_join(agg[f"{body_col}_list"].combine_chunks(),
                             combine_with)
     return pa.table({
-        source_col: agg[f"{source_col}_first"],
-        order_col: agg[f"{order_col}_first"],
-        "ts": agg["ts_first"],
+        source_col: agg[f"{source_col}_{env}"],
+        order_col: agg[f"{order_col}_{env}"],
+        "ts": agg[f"ts_{env}"],
         body_col: joined,
         "n_lines": pc.cast(agg[f"{body_col}_count"], pa.int64()),
     })

@@ -3,6 +3,8 @@
 
 import datetime
 
+import pytest
+
 import pyarrow as pa
 import ray.data
 
@@ -57,3 +59,35 @@ def test_recombine_grouped_equals_blocks_on_aligned_input():
         .sort_values(["conv_id", "turn_idx"], ignore_index=True)
     assert a[["conv_id", "turn_idx", "text", "n_lines"]].equals(
         b[["conv_id", "turn_idx", "text", "n_lines"]])
+
+
+def test_is_last_entry_mode():
+    """is_last_entry: a matching row ENDS the segment (recombine
+    config.go one-of is_first_entry/is_last_entry; e.g. stack traces
+    terminated by 'END')."""
+    t = pa.table({
+        "conv_id": ["c"] * 5,
+        "turn_idx": pa.array(range(5), pa.int32()),
+        "ts": pa.array([None] * 5, pa.timestamp("us")),
+        "text": ["part a", "part b END", "next 1", "next 2", "tail END"],
+    })
+    out = merge_segments(t, is_last_re=r"END$").sort_by("turn_idx")
+    assert out["text"].to_pylist() == [
+        "part a\npart b END", "next 1\nnext 2\ntail END"]
+    assert out["n_lines"].to_pylist() == [2, 3]
+
+
+def test_overwrite_with_newest():
+    t = pa.table({
+        "conv_id": ["c"] * 3,
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "ts": pa.array([None] * 3, pa.timestamp("us")),
+        "text": ["head", " cont1", " cont2"],
+    })
+    oldest = merge_segments(t)
+    newest = merge_segments(t, overwrite_with="newest")
+    assert oldest["turn_idx"].to_pylist() == [0]
+    assert newest["turn_idx"].to_pylist() == [2]
+    assert newest["text"].to_pylist() == oldest["text"].to_pylist()
+    with pytest.raises(ValueError, match="overwrite_with"):
+        merge_segments(t, overwrite_with="latest")
