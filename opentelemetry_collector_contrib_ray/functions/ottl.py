@@ -851,5 +851,15 @@ REGISTRY.update({
 })
 # Duration was previously bound to the array-only variant; Hex gains the
 # typed dispatch; GetXML gains the xpath form under its reference name.
+def _extract_grok_registry(col, pattern: str, named_only: bool = True):
+    """ExtractGrokPatterns as a registry converter: named captures -> map
+    (compiled via the grok library in functions/grok.py)."""
+    from .grok import GrokCompiler
+    regex, _types = GrokCompiler().compile(pattern)
+    _ = named_only  # RE2 registry form captures named groups only
+    return extract_patterns(col, regex)
+
+
+REGISTRY["ExtractGrokPatterns"] = _extract_grok_registry
 REGISTRY["Hex"] = hex_typed
 REGISTRY["GetXML"] = get_xml_xpath

@@ -310,7 +310,8 @@ def compile_operators(op_cfgs: list[dict]):
 
 
 def compile_routes(cfg: dict) -> RouteTable:
-    routes = [Route(r["sink"], parse_condition(r["condition"]))
+    routes = [Route(r["sink"], parse_condition(r["condition"]),
+                    attributes=r.get("attributes"))
               for r in cfg.get("routes", [])]
     return RouteTable(routes, default=cfg.get("default_sink", "default"))
 

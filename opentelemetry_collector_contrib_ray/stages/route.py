@@ -27,9 +27,15 @@ from ..expr import Expr, col
 
 
 class Route:
-    def __init__(self, sink: str, condition: Expr):
+    """One route: condition -> sink, with optional attributes stamped onto
+    matching rows (stanza router's per-route Attributer —
+    transformer/router/config.go attributes field)."""
+
+    def __init__(self, sink: str, condition: Expr,
+                 attributes: dict[str, str] | None = None):
         self.sink = sink
         self.condition = condition
+        self.attributes = attributes or {}
 
 
 class RouteTable:
@@ -43,15 +49,33 @@ class RouteTable:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # walk in table order; later routes only claim still-unrouted rows
-        out = pa.nulls(batch.num_rows, pa.string())
-        unclaimed = pa.array([True] * batch.num_rows) if batch.num_rows else \
-            pa.array([], pa.bool_())
+        n = batch.num_rows
+        out = pa.nulls(n, pa.string())
+        unclaimed = pa.array([True] * n, pa.bool_())
+        attr_masks: list[tuple[pa.Array, dict[str, str]]] = []
         for route in self.routes:
             m = route.condition.mask(batch)
             take = pc.and_(m, unclaimed)
             out = pc.if_else(take, pa.scalar(route.sink), out)
+            if route.attributes:
+                attr_masks.append((take, route.attributes))
             unclaimed = pc.and_(unclaimed, pc.invert(take))
         out = pc.fill_null(out, self.default)
+        # per-route attached attributes: masked constant columns
+        attr_cols: dict[str, pa.Array] = {}
+        for take, attrs in attr_masks:
+            for k, v in attrs.items():
+                cur = attr_cols.get(k, pa.nulls(n, pa.string()))
+                attr_cols[k] = pc.if_else(take, pa.scalar(v), cur)
+        for k, arr in attr_cols.items():
+            if k in batch.column_names:
+                old = batch[k]
+                if isinstance(old, pa.ChunkedArray):
+                    old = old.combine_chunks()
+                arr = pc.coalesce(arr, pc.cast(old, pa.string()))
+                batch = batch.set_column(batch.column_names.index(k), k, arr)
+            else:
+                batch = batch.append_column(k, arr)
         if self.sink_col in batch.column_names:
             return batch.set_column(batch.column_names.index(self.sink_col),
                                     self.sink_col, out)

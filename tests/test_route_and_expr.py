@@ -61,3 +61,24 @@ def test_expr_kernels():
         [False, True, False]
     assert col("n").isin([1, 3]).mask(b).to_pylist() == [True, False, True]
     assert (~(col("n") == 2)).mask(b).to_pylist() == [True, False, True]
+
+
+def test_route_attached_attributes():
+    """stanza router per-route attributes (transformer/router Attributer):
+    matched rows get the route's constant attrs; first-match wins."""
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.route import (
+        Route,
+        RouteTable,
+    )
+
+    t = pa.table({"sev": pa.array([20, 3, 18], pa.int32())})
+    rt = RouteTable([
+        Route("errors", col("sev") >= 17, attributes={"team": "oncall"}),
+        Route("low", col("sev") < 5, attributes={"team": "archive",
+                                                 "tier": "cold"}),
+    ])
+    out = rt(t)
+    assert out["sink"].to_pylist() == ["errors", "low", "errors"]
+    assert out["team"].to_pylist() == ["oncall", "archive", "oncall"]
+    assert out["tier"].to_pylist() == [None, "cold", None]
