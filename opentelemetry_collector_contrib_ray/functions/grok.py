@@ -68,12 +68,20 @@ BASE_PATTERNS: dict[str, str] = {
                         r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:[0-5][0-9])"),
 }
 
-# COMMONAPACHELOG built from the pieces (classic combined/common log format)
+# composite patterns built from the pieces (classic logstash core set)
 BASE_PATTERNS["COMMONAPACHELOG"] = (
     r'%{IPV4:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
     r'\[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}'
     r'(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
     r'%{NONNEGINT:response:int} (?:%{NONNEGINT:bytes:int}|-)')
+BASE_PATTERNS["COMBINEDAPACHELOG"] = (
+    r'%{COMMONAPACHELOG} "(?P<referrer>[^"]*)" "(?P<agent>[^"]*)"')
+BASE_PATTERNS["PROG"] = r"[^\[\s:]+"
+BASE_PATTERNS["SYSLOGPROG"] = (
+    r'%{PROG:program}(?:\[%{POSINT:pid:int}\])?')
+BASE_PATTERNS["SYSLOGLINE"] = (
+    r'%{SYSLOGTIMESTAMP:timestamp} %{NOTSPACE:logsource} '
+    r'%{SYSLOGPROG}: %{GREEDYDATA:message}')
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")
 

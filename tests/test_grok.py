@@ -74,3 +74,23 @@ def test_month_capture_full_token():
     fn = extract_grok_patterns("^%{MONTH:m} ")
     out = fn(pa.table({"text": ["March 3", "Jul 9"]}))
     assert out["m"].to_pylist() == ["March", "Jul"]
+
+
+def test_combined_apache_and_syslogline():
+    fn = extract_grok_patterns("%{COMBINEDAPACHELOG}")
+    line = ('192.168.1.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /index.html HTTP/1.0" 200 2326 '
+            '"http://ref.example/" "Mozilla/5.0"')
+    out = fn(pa.table({"text": [line]}))
+    assert out["clientip"].to_pylist() == ["192.168.1.1"]
+    assert out["response"].to_pylist() == [200]
+    assert out["referrer"].to_pylist() == ["http://ref.example/"]
+    assert out["agent"].to_pylist() == ["Mozilla/5.0"]
+
+    fn2 = extract_grok_patterns("%{SYSLOGLINE}")
+    out2 = fn2(pa.table({"text": [
+        "Oct 11 22:14:15 myhost sshd[4123]: Accepted publickey for root"]}))
+    assert out2["logsource"].to_pylist() == ["myhost"]
+    assert out2["program"].to_pylist() == ["sshd"]
+    assert out2["pid"].to_pylist() == [4123]
+    assert out2["message"].to_pylist() == ["Accepted publickey for root"]
