@@ -10,10 +10,11 @@ Comparison-rule fidelity notes (LANGUAGE.md):
   - cross-type comparisons are "not equal" -> we surface them as Arrow cast
     errors at compile time instead of silently false; our conformance tests
     pin the common same-type cases.
-  - null (pcommon empty) compares not-equal to everything except null == null;
-    Arrow kernels yield null for null inputs, so predicates used for routing
-    and filtering are wrapped by ``mask()`` which treats null as False — the
-    same observable behavior.
+  - null (pcommon empty) compares not-equal to everything except null == null:
+    ``!=`` fills null comparisons to True and ``~`` inverts the OTTL truth
+    value (null -> False first), so routing/filter masks match the rule;
+    ``== None`` / ``!= None`` dispatch to validity checks. Remaining kernels
+    yield null for null inputs and ``mask()`` coerces null to False.
 
 Usage:
     from opentelemetry_collector_contrib_ray.expr import col, lit
@@ -40,10 +41,15 @@ class Expr:
 
     # comparisons
     def __eq__(self, other):  # type: ignore[override]
+        if other is None:
+            return _IsNull(self)
         return _Cmp("equal", self, _wrap(other))
 
     def __ne__(self, other):  # type: ignore[override]
-        return _Cmp("not_equal", self, _wrap(other))
+        if other is None:
+            return _Not(_IsNull(self))
+        # OTTL: null != x is TRUE (LANGUAGE.md) — fill the null comparison
+        return _FillNull(_Cmp("not_equal", self, _wrap(other)), True)
 
     def __lt__(self, other):
         return _Cmp("less", self, _wrap(other))
@@ -131,7 +137,17 @@ class _Not(Expr):
         self.inner = inner
 
     def evaluate(self, batch):
-        return pc.invert(self.inner.evaluate(batch))
+        # invert the OTTL truth value: a null condition is False, so its
+        # negation must be True (plain pc.invert would keep it null)
+        return pc.invert(pc.fill_null(self.inner.evaluate(batch), False))
+
+
+class _FillNull(Expr):
+    def __init__(self, inner, fill: bool):
+        self.inner, self.fill = inner, fill
+
+    def evaluate(self, batch):
+        return pc.fill_null(self.inner.evaluate(batch), self.fill)
 
 
 class _IsIn(Expr):

@@ -94,17 +94,22 @@ def build_parsed(sf_dir: str, *, concurrency=None) -> ray.data.Dataset:
 
 def make_sink_writer(parts_dir: str):
     """Fused fan-out sink: writes each batch's (part, sink) slices straight
-    to ``parts_dir/part=<p>/sink=<s>/<uuid>.parquet`` and RETURNS the per-
-    slice row counts as the stage output.
+    to ``parts_dir/part=<p>/sink=<s>/<digest>.parquet`` and RETURNS the
+    per-slice row counts as the stage output.
 
     This replaces Ray's write operator for the fan-out: the write runs
     inside the same fused map stage as parse/enrich/route (no materialized
     boundary, write overlaps compute) and the count-connector totals fall
     out of the write itself — measured ~2x faster end-to-end than
-    write_parquet(partition_cols=...) + footer scans. File names are
-    uuids; idempotence comes from partition-level commit (incomplete
-    partition dirs are wiped before rebuild)."""
-    import uuid
+    write_parquet(partition_cols=...) + footer scans.
+
+    Idempotence under Ray TASK RETRY: file names are a content digest of
+    the slice's identity (part, sink, first/last (conv_id, turn_idx),
+    row count) — a re-executed task reprocesses the same input block and
+    overwrites the same file instead of adding a duplicate under a fresh
+    uuid. Cross-RUN idempotence comes from partition-level commit
+    (incomplete partition dirs are wiped before rebuild)."""
+    import hashlib
 
     import pyarrow.parquet as pq
 
@@ -122,11 +127,20 @@ def make_sink_writer(parts_dir: str):
             sub = batch.filter(pc.equal(key, kv)).drop_columns(["part"])
             d = os.path.join(parts_dir, f"part={p}", f"sink={s}")
             os.makedirs(d, exist_ok=True)
+            ident = "|".join(map(str, (
+                p, s, sub.num_rows,
+                sub["conv_id"][0].as_py(), sub["turn_idx"][0].as_py(),
+                sub["conv_id"][-1].as_py(), sub["turn_idx"][-1].as_py())))
+            name = hashlib.md5(ident.encode()).hexdigest()
             # zstd-3: measured faster than snappy end-to-end AND ~32%
             # smaller (text-heavy payloads) — trades idle CPU for the
-            # scarce resource, sink bandwidth
-            pq.write_table(sub, os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
-                           compression="zstd", compression_level=3)
+            # scarce resource, sink bandwidth. Write tmp + rename: a
+            # concurrently-retried task never exposes a half-written file
+            final = os.path.join(d, f"{name}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(sub, tmp, compression="zstd",
+                           compression_level=3)
+            os.replace(tmp, final)
             rows_p.append(p)
             rows_s.append(s)
             rows_n.append(sub.num_rows)
@@ -144,14 +158,16 @@ def run_flagship(sf_dir: str, out_dir: str, *, resume: bool = True,
 
     The unit of resume is an input partition = a group of input files. ALL
     pending partitions run as ONE streaming Ray Data job (no per-partition
-    scheduling overhead): each row carries a ``part`` column derived from its
-    input file path, and a single ``write_parquet(partition_cols=[part,
-    sink])`` call fans the whole input out to
-    ``out_dir/parts/part=<pid>/sink=<s>/`` in one pass. Manifests are
-    committed per partition only after the write succeeds; on resume,
-    completed partitions are skipped (their files are not even read) and
-    directories of interrupted partitions are removed and rebuilt —
-    idempotent, at-least-once -> exactly-once output. This is the batch
+    scheduling overhead): each row carries a ``part`` column derived from
+    its input file path, and the fused ``make_sink_writer`` stage fans the
+    whole input out to ``out_dir/parts/part=<pid>/sink=<s>/`` in one pass
+    (content-digest file names make task retries overwrite, not
+    duplicate). Manifests are committed per partition only after the write
+    succeeds; on resume, completed partitions are skipped (their files are
+    not even read) — a manifest whose recorded input list no longer
+    matches the current file-group assignment is treated as pending and
+    rebuilt — and directories of interrupted partitions are removed and
+    rebuilt. Idempotent, at-least-once -> exactly-once output; the batch
     analogue of the collector's offset checkpointing
     (pkg/stanza/adapter/receiver.go:42-45).
 
@@ -167,6 +183,15 @@ def run_flagship(sf_dir: str, out_dir: str, *, resume: bool = True,
     groups = [frags[i:i + group_size] for i in range(0, len(frags), group_size)]
     part_ids = [f"{i:04d}" for i in range(len(groups))]
     pending = set(store.pending(part_ids) if resume else part_ids)
+    # a committed manifest is only trusted if its recorded inputs still
+    # match this run's file-group assignment (changed input set or
+    # group_size would otherwise silently skip the wrong data)
+    for pid, files in zip(part_ids, groups):
+        if pid in pending:
+            continue
+        m = store.load(pid)
+        if m is None or m.inputs != files:
+            pending.add(pid)
     skipped = sorted(set(part_ids) - pending)
     parts_dir = os.path.join(out_dir, "parts")
 

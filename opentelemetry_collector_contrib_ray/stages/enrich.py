@@ -143,19 +143,23 @@ class RangeLookupEnricher:
 
     @staticmethod
     def ip_to_int(col: pa.Array):
-        """Vectorized dotted-quad IPv4 -> uint32 (no per-row Python)."""
-        import numpy as np
-
+        """Vectorized dotted-quad IPv4 -> uint32 (no per-row Python).
+        Octets are validated <= 255 — a malformed address like 1.2.3.300
+        must read as invalid (null/default), not alias to 1.2.4.44."""
         st = pc.extract_regex(
             col, r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$")
         parts = [pc.cast(pc.struct_field(st, g), pa.uint64())
                  for g in ("a", "b", "c", "d")]
+        ok = None
+        for p in parts:
+            le = pc.less_equal(p, pa.scalar(255, pa.uint64()))
+            ok = le if ok is None else pc.and_(ok, le)
         out = pc.add(pc.add(pc.multiply(parts[0], pa.scalar(1 << 24, pa.uint64())),
                             pc.multiply(parts[1], pa.scalar(1 << 16, pa.uint64()))),
                      pc.add(pc.multiply(parts[2], pa.scalar(1 << 8, pa.uint64())),
                             parts[3]))
-        _ = np
-        return out
+        return pc.if_else(pc.fill_null(ok, False), out,
+                          pa.nulls(len(out), pa.uint64()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -163,7 +167,16 @@ class RangeLookupEnricher:
         col = batch[self.key_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        keys = self.ip_to_int(col) if self.key_is_ip else pc.cast(col, pa.uint64())
+        if self.key_is_ip:
+            keys = self.ip_to_int(col)
+        else:
+            # out-of-range integer keys (negative sentinels etc.) map to
+            # the default instead of crashing the cast
+            as64 = pc.cast(col, pa.int64())
+            nonneg = pc.fill_null(pc.greater_equal(as64, 0), False)
+            keys = pc.cast(pc.if_else(nonneg, as64,
+                                      pa.nulls(len(as64), pa.int64())),
+                           pa.uint64())
         valid = pc.is_valid(keys)
         k = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
         idx = np.searchsorted(self.starts, k, side="right") - 1

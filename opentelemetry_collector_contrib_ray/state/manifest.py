@@ -50,20 +50,38 @@ class ManifestStore:
         return [p for p in partition_ids if not self.is_complete(p)]
 
     def commit(self, manifest: PartitionManifest) -> None:
-        """Atomic write: a manifest only ever exists complete."""
+        """Atomic + durable: fsync the temp file before the rename and the
+        directory after, so a power loss can't journal the rename without
+        the data blocks (an empty part-*.json would otherwise mark an
+        incomplete partition complete)."""
         manifest.completed_at = time.time()
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(asdict(manifest), f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._path(manifest.partition_id))
+        dfd = os.open(self.dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
-    def load(self, partition_id: str) -> PartitionManifest:
-        with open(self._path(partition_id)) as f:
-            return PartitionManifest(**json.load(f))
+    def load(self, partition_id: str) -> PartitionManifest | None:
+        """None for a missing OR unreadable manifest — a corrupt file must
+        read as 'partition incomplete' (wipe + rebuild), not crash every
+        subsequent resume."""
+        try:
+            with open(self._path(partition_id)) as f:
+                return PartitionManifest(**json.load(f))
+        except (FileNotFoundError, json.JSONDecodeError, TypeError):
+            return None
 
     def all(self) -> list[PartitionManifest]:
         out = []
         for name in sorted(os.listdir(self.dir)):
             if name.startswith("part-") and name.endswith(".json"):
-                out.append(self.load(name[len("part-"):-len(".json")]))
+                m = self.load(name[len("part-"):-len(".json")])
+                if m is not None:
+                    out.append(m)
         return out

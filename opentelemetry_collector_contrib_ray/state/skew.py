@@ -35,7 +35,11 @@ def detect_hot_keys(ds: Dataset, key: str, *, threshold_fraction: float = 0.01,
                     sample_limit: int | None = None) -> dict[str, int]:
     """Keys holding more than threshold_fraction of all rows, via the
     pre-aggregated count path (cheap: one partial-count pass, no raw-row
-    shuffle). Returns {key: count}."""
+    shuffle). ``sample_limit`` caps the probe to the first N rows — a
+    cheaper estimate whose fractions apply to the sampled prefix.
+    Returns {key: count}."""
+    if sample_limit is not None:
+        ds = ds.limit(sample_limit)
     counts = count_by(ds, [key], count_col="_n").to_pandas()
     total = int(counts["_n"].sum())
     cut = max(1, int(total * threshold_fraction))

@@ -75,3 +75,83 @@ def test_transcript_cache_reused():
     p1 = ensure_transcripts(SF_DIR)
     p2 = ensure_transcripts(SF_DIR)
     assert p1 == p2 and os.path.isdir(p1)
+
+
+def test_resume_rejects_stale_manifest_grouping(ray_session, tmp_path):
+    """A committed manifest whose recorded inputs no longer match the
+    current file-group assignment must be rebuilt, not trusted."""
+    out = str(tmp_path / "out")
+    r1 = run_flagship("/root/testdata/sf0.001", out, group_size=2)
+    assert r1["skipped"] == []
+    # same grouping resumes clean: everything skipped
+    r2 = run_flagship("/root/testdata/sf0.001", out, group_size=2)
+    assert len(r2["skipped"]) == r2["partitions"]
+    assert r2["rows_in"] == r1["rows_in"]
+    # different group_size shifts the assignment: nothing may be skipped
+    r3 = run_flagship("/root/testdata/sf0.001", out, group_size=4)
+    assert r3["skipped"] == []
+    assert r3["rows_in"] == r1["rows_in"]
+
+
+def test_sink_writer_filenames_deterministic(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        make_sink_writer,
+    )
+
+    batch = pa.table({
+        "part": ["0000", "0000"],
+        "sink": ["a", "a"],
+        "conv_id": ["c1", "c2"],
+        "turn_idx": pa.array([0, 1], pa.int32()),
+    })
+    d = str(tmp_path / "parts")
+    w = make_sink_writer(d)
+    w(batch)
+    files1 = sorted(os.listdir(os.path.join(d, "part=0000", "sink=a")))
+    w(batch)  # simulated task retry: same content -> same file, no dup
+    files2 = sorted(os.listdir(os.path.join(d, "part=0000", "sink=a")))
+    assert files1 == files2 and len(files1) == 1
+
+
+def test_manifest_corrupt_file_reads_as_incomplete(tmp_path):
+    from opentelemetry_collector_contrib_ray.state.manifest import (
+        ManifestStore,
+        PartitionManifest,
+    )
+
+    store = ManifestStore(str(tmp_path))
+    store.commit(PartitionManifest(partition_id="0001", inputs=["x"]))
+    assert store.load("0001") is not None
+    with open(store._path("0001"), "w") as f:
+        f.write("")  # simulated torn write
+    assert store.load("0001") is None
+    assert store.pending(["0001"]) == []  # existence says complete...
+    assert store.load("0001") is None     # ...but load says rebuild
+
+
+def test_compaction_repair_removes_stale_originals(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.state.compact import (
+        compact_sink_dirs,
+        repair,
+    )
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({"x": [i]}), str(d / f"f{i}.parquet"))
+    res = compact_sink_dirs(str(tmp_path), target_mb=256)
+    assert sum(res.values()) == 3
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1 and files[0].startswith("compacted-")
+    # simulate the crash window: re-create one original alongside
+    pq.write_table(pa.table({"x": [1]}), str(d / "f1.parquet"))
+    removed = repair(str(tmp_path))
+    assert removed == 1
+    assert [f for f in os.listdir(d) if f.endswith(".parquet")] == files

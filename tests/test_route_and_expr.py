@@ -82,3 +82,40 @@ def test_route_attached_attributes():
     assert out["sink"].to_pylist() == ["errors", "low", "errors"]
     assert out["team"].to_pylist() == ["oncall", "archive", "oncall"]
     assert out["tier"].to_pylist() == [None, "cold", None]
+
+
+def test_expr_null_comparison_rules():
+    """OTTL LANGUAGE.md: null != x is TRUE; null == null via is-null; ~
+    inverts the truth value (null condition counts as False)."""
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    t = pa.table({"x": ["a", None, "b"]})
+    assert (col("x") != "a").mask(t).to_pylist() == [False, True, True]
+    assert (col("x") == "a").mask(t).to_pylist() == [True, False, False]
+    assert (col("x") == None).mask(t).to_pylist() == [False, True, False]  # noqa: E711
+    assert (col("x") != None).mask(t).to_pylist() == [True, False, True]  # noqa: E711
+    assert (~(col("x") == "a")).mask(t).to_pylist() == [False, True, True]
+
+
+def test_range_lookup_rejects_bad_ips_and_negative_keys(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        RangeLookupEnricher,
+    )
+
+    ranges = [(0, 100, "low"), (101, 1000, "high")]
+    t = pa.table({"k": pa.array([5, -1, 500], pa.int64())})
+    out = ray.data.from_arrow(t).map_batches(
+        RangeLookupEnricher, fn_constructor_args=(ranges, "k", "zone",
+                                                  False, "unknown"),
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out.zone) == ["low", "unknown", "high"]
+
+    ips = pa.table({"ip": ["1.2.3.300", "0.0.0.50"]})
+    ip_ranges = [(0, 1 << 32, "any")]
+    out2 = ray.data.from_arrow(ips).map_batches(
+        RangeLookupEnricher, fn_constructor_args=(ip_ranges, "ip", "zone",
+                                                  True, "invalid"),
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out2.zone) == ["invalid", "any"]

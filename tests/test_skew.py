@@ -64,3 +64,19 @@ def test_salted_map_groups_equals_unsalted():
         .rename(columns={"count()": "n"})
     m = salted.merge(plain, on="conv_id", suffixes=("_s", "_p"))
     assert (m["n_s"] == m["n_p"]).all() and len(m) == len(plain)
+
+
+def test_detect_hot_keys_sample_limit(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.state.skew import detect_hot_keys
+
+    t = pa.table({"k": ["hot"] * 90 + ["c%d" % i for i in range(10)]})
+    full = detect_hot_keys(ray.data.from_arrow(t), "k",
+                           threshold_fraction=0.5)
+    assert set(full) == {"hot"}
+    # sampled probe only sees the prefix
+    sampled = detect_hot_keys(ray.data.from_arrow(t), "k",
+                              threshold_fraction=0.5, sample_limit=50)
+    assert set(sampled) == {"hot"} and sampled["hot"] <= 50
