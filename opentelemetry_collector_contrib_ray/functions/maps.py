@@ -22,14 +22,41 @@ import pyarrow.compute as pc
 
 
 def _map_parts(arr: pa.Array):
-    """-> (offsets int64[n+1], keys, items, validity bool[n])."""
+    """-> (offsets int64[n+1], keys, items, validity bool[n]).
+
+    SLICED arrays are normalized: a slice's ``offsets`` are absolute into
+    the FULL child arrays while ``keys``/``items`` return the full
+    children — without rebasing, every kernel here would silently read and
+    write neighboring rows' entries (verified). Children are sliced to the
+    window and offsets rebased to 0."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    offsets = np.asarray(arr.offsets)
+    offsets = np.asarray(arr.offsets).astype(np.int64)
     keys = arr.keys
     items = arr.items
+    start, end = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
+    if start != 0 or end != len(keys):
+        keys = keys.slice(start, end - start)
+        items = items.slice(start, end - start)
+        offsets = offsets - start
     valid = ~np.asarray(pc.is_null(arr))
     return arr, offsets, keys, items, valid
+
+
+def list_parts(arr: pa.Array):
+    """Same slice normalization for plain list arrays: -> (rebased offsets
+    int64[n+1], values window, validity bool[n]). Shared by list_append /
+    assign_keys / every offsets+values consumer."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets).astype(np.int64)
+    values = arr.values
+    start, end = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
+    if start != 0 or end != len(values):
+        values = values.slice(start, end - start)
+        offsets = offsets - start
+    valid = ~np.asarray(pc.is_null(arr))
+    return offsets, values, valid
 
 
 def _offsets_arr(new_offsets: np.ndarray, valid: np.ndarray) -> pa.Array:
@@ -226,10 +253,7 @@ def to_key_value_string(col, delimiter: str = "=",
 
 def slice_to_map(col, keys_for_positions: list[str]) -> pa.MapArray:
     """func_slice_to_map.go: list column -> map with positional keys."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    offsets = np.asarray(col.offsets)
-    values = col.values
+    offsets, values, _v = list_parts(col)
     n = len(keys_for_positions)
     idx = np.arange(len(values))
     pos_in_row = idx - offsets[np.searchsorted(offsets[1:], idx, side="right")]

@@ -430,10 +430,10 @@ def register(name: str, fn) -> None:
 
 def list_append(col, value):
     """func_append.go: append a scalar (or per-row values) to a list column."""
+    from .maps import list_parts
     a = _arr(col)
-    offsets = np.asarray(a.offsets)
+    offsets, vals, _valid = list_parts(a)   # slice-normalized
     n = len(a)
-    vals = a.values
     if isinstance(value, (pa.Array, pa.ChunkedArray)):
         value = _arr(value)
     else:

@@ -105,7 +105,7 @@ class _Ctx:
 
 def _map_len(col):
     a = _arr(col)
-    off = np.asarray(a.offsets)
+    off = np.asarray(a.offsets).astype(np.int64)  # lengths are slice-safe
     valid = ~np.asarray(pc.is_null(a))
     ln = off[1:] - off[:-1]
     return pc.if_else(pa.array(valid), pa.array(ln, pa.int64()),

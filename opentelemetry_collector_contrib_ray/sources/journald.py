@@ -41,14 +41,16 @@ def write_journald_fixture(sf_dir: str, out_dir: str) -> str:
     for name in sorted(os.listdir(src)):
         if not name.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(src, name),
-                          columns=["conv_id", "turn_idx", "role", "text",
-                                   "ts"])
         out = os.path.join(out_dir, name.replace(".parquet", ".journal.json"))
         if os.path.exists(out):
             continue
+        t = pq.read_table(os.path.join(src, name),
+                          columns=["conv_id", "turn_idx", "role", "text",
+                                   "ts"])
         ts_us = pc.cast(t["ts"], pa.int64()).to_pylist()
-        tmp = out + ".tmp"
+        # unique tmp per writer: concurrent builders must not truncate
+        # each other's half-written file (os.replace is last-wins)
+        tmp = f"{out}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             for cid, idx, role, text, us in zip(
                     t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),

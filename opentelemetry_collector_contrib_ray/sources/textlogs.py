@@ -31,11 +31,12 @@ def write_text_fixture(sf_dir: str, out_dir: str) -> str:
     for name in sorted(os.listdir(src)):
         if not name.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(src, name), columns=["text"])
         out = os.path.join(out_dir, name.replace(".parquet", ".log"))
         if os.path.exists(out):
             continue
-        tmp = out + ".tmp"
+        t = pq.read_table(os.path.join(src, name), columns=["text"])
+        # unique tmp per writer (concurrent builders; last os.replace wins)
+        tmp = f"{out}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             for line in t["text"].to_pylist():
                 f.write(line.replace("\n", "\\n") + "\n")

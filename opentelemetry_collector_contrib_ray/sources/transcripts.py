@@ -198,7 +198,13 @@ def ensure_transcripts(sf_dir: str) -> str:
             pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"),
                            row_group_size=65536)
         if not os.path.exists(path):
-            os.replace(tmp, path)
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                # lost the race: another generator already installed the
+                # (identical, deterministic) output — adopt it
+                if not os.path.isdir(path):
+                    raise
     finally:
         if os.path.exists(tmp) and tmp != path:
             import shutil

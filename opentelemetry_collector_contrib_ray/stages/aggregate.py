@@ -63,12 +63,20 @@ def _merge_partials(partials: Dataset, keys: list[str],
 
 
 def _fill_defaults(batch: pa.Table, keys: list[str], default: str) -> pa.Table:
-    """countconnector's default_value for missing attributes (counter.go:42-73)."""
+    """countconnector's default_value for missing attributes (counter.go:42-73).
+    Non-string key columns that can't hold the string default are cast to
+    string first (attributes are stringly in the reference) instead of
+    crashing the fill."""
     for k in keys:
         c = batch[k]
-        if c.null_count:
-            batch = batch.set_column(batch.column_names.index(k), k,
-                                     pc.fill_null(c, default))
+        if not c.null_count:
+            continue
+        i = batch.column_names.index(k)
+        try:
+            batch = batch.set_column(i, k, pc.fill_null(c, default))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            batch = batch.set_column(
+                i, k, pc.fill_null(pc.cast(c, pa.string()), default))
     return batch
 
 
@@ -152,24 +160,36 @@ def dedup_counts(ds: Dataset, identity_cols: list[str], ts_col: str = "ts",
     through as per-group constants. Pre-aggregated per block like count_by so
     the shuffle moves only partials.
     """
+    from .shuffle import adaptive_n_parts
+    n_parts = adaptive_n_parts()
+
     def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
         sel = batch.select(identity_cols + [ts_col])
         # pin all-null blocks to string so cross-block schemas unify
         for i, f in enumerate(sel.schema):
             if pa.types.is_null(f.type):
                 sel = sel.set_column(i, f.name, pc.cast(sel.column(i), pa.string()))
-        sel = sel.append_column("_id", canonical_identity(sel, identity_cols))
-        aggs = [([], "count_all"), (ts_col, "min"), (ts_col, "max")]
+        ident = canonical_identity(sel, identity_cols)
+        sel = sel.append_column("_id", ident)
+        # identity cardinality can be O(N) (body text in the identity):
+        # hash-partition the merge like exact_dedup, never a 1-block fan-in
+        ih = pl.from_arrow(ident).hash(seed=31).to_numpy()
+        sel = sel.append_column(
+            "_mp", pa.array((ih % n_parts).astype("int64"), pa.int64()))
+        aggs = [("_mp", "min"), ([], "count_all"),
+                (ts_col, "min"), (ts_col, "max")]
         aggs += [(c, "min") for c in identity_cols]  # constant per group
         out = sel.group_by(["_id"]).aggregate(aggs)
         return out.rename_columns(
-            ["_id", "_n", "_first", "_last"] + identity_cols)
+            ["_id", "_mp", "_n", "_first", "_last"] + identity_cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     agg = _merge_partials(
         partials, ["_id"],
         [("_n", "sum"), ("_first", "min"), ("_last", "max")] +
         [(c, "min") for c in identity_cols],
-        [count_col, "first_observed_ts", "last_observed_ts"] + identity_cols)
+        [count_col, "first_observed_ts", "last_observed_ts"] + identity_cols,
+        part_col="_mp")
     return agg.select_columns(
         identity_cols + [count_col, "first_observed_ts", "last_observed_ts"])

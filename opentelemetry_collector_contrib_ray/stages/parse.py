@@ -103,7 +103,13 @@ def parse_transcript_batch(batch: pa.Table) -> pa.Table:
 
     # per-template severity
     status = pc.cast(f(ap, "status"), pa.int32())
-    sev_ap = pc.take(_HTTP_SEV, pc.divide(status, 100))
+    bucket = pc.divide(status, 100)
+    # statuses >= 600 (nonstandard proxies) must pass through with null
+    # severity, not ArrowIndexError the whole batch (on_error=send)
+    bucket = pc.if_else(pc.and_(pc.greater_equal(bucket, 0),
+                                pc.less_equal(bucket, 5)),
+                        bucket, pa.nulls(len(text), pa.int32()))
+    sev_ap = pc.take(_HTTP_SEV, bucket)
     sev_kv = map_severity_tokens(f(kv, "level"))
     sev_js = map_severity_tokens(f(js, "sev"))
     pri = pc.cast(f(sy, "pri"), pa.int32())
@@ -184,11 +190,16 @@ def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
     small control data).
     """
     if keys:
+        import re as _re
         # two passes per key: quoted value first, bare token second (a single
         # alternation won't do — RE2 reports non-participating groups as ""
-        # through pc.extract_regex, losing the null/empty distinction)
-        pats = {k: (rf'(?:^|{pair_delimiter}){k}{delimiter}"(?P<q>[^"]*)"',
-                    rf'(?:^|{pair_delimiter}){k}{delimiter}(?P<v>[^\s"]\S*)')
+        # through pc.extract_regex, losing the null/empty distinction).
+        # Keys and delimiters are regex-escaped; the bare-value class is
+        # derived from pair_delimiter so 'k=v|k2=v2' parses with pd='|'.
+        pd, dl = _re.escape(pair_delimiter), _re.escape(delimiter)
+        stop = _re.escape(pair_delimiter)
+        pats = {k: (rf'(?:^|{pd}){_re.escape(k)}{dl}"(?P<q>[^"]*)"',
+                    rf'(?:^|{pd}){_re.escape(k)}{dl}(?P<v>[^"{stop}][^{stop}]*)')
                 for k in keys}
 
         def fn(batch: pa.Table) -> pa.Table:
@@ -240,9 +251,25 @@ def json_parser(parse_from: str = "text", fields: dict[str, str] | None = None,
                 arr = s.str.json_path_match(path).to_arrow()
                 batch = batch.append_column(prefix + out, pc.cast(arr, pa.string()))
             return batch
-        decoded = s.str.json_decode()
+        try:
+            decoded = s.str.json_decode()
+        except pl.exceptions.ComputeError:
+            # malformed rows -> null instead of failing the batch
+            import json as _json
+            ok = [None if v is None else
+                  (v if _is_json(v) else None) for v in s.to_list()]
+            decoded = pl.Series(ok).str.json_decode()
         return batch.append_column("parsed", decoded.to_arrow())
     return fn
+
+
+def _is_json(v: str) -> bool:
+    import json as _json
+    try:
+        _json.loads(v)
+        return True
+    except ValueError:
+        return False
 
 
 def csv_parser(parse_from: str = "text", header: list[str] | None = None,
@@ -372,12 +399,21 @@ def syslog_rfc3164_parser(parse_from: str = "text", prefix: str = "syslog_"):
         batch = _set_column(batch, prefix + "pri", pri)
         batch = _set_column(batch, prefix + "facility",
                             pc.cast(pc.divide(pri, 8), pa.int32()))
+        parsed_num = pc.take(_SYSLOG_SEV, sev_idx)
+        parsed_txt = pc.take(_SYSLOG_TEXT, sev_idx)
+        # unmatched rows keep any severity set by earlier parsers
+        # (on_error=send must not clobber the chain)
+        old_num = batch["severity_number"] \
+            if "severity_number" in batch.column_names \
+            else pa.nulls(batch.num_rows, pa.int32())
+        old_txt = batch["severity_text"] \
+            if "severity_text" in batch.column_names \
+            else pa.nulls(batch.num_rows, pa.string())
         batch = _set_column(batch, "severity_number",
-                            pc.coalesce(pc.take(_SYSLOG_SEV, sev_idx),
+                            pc.coalesce(parsed_num, old_num,
                                         pa.scalar(0, pa.int32())))
         batch = _set_column(batch, "severity_text",
-                            pc.coalesce(pc.take(_SYSLOG_TEXT, sev_idx),
-                                        pa.scalar("")))
+                            pc.coalesce(parsed_txt, old_txt, pa.scalar("")))
         return batch
     return fn
 
@@ -397,7 +433,28 @@ def jsonarray_parser(parse_from: str = "text", header: list[str] | None = None,
         s = pl.from_arrow(batch[parse_from])
         if isinstance(s, pl.DataFrame):
             s = s.to_series()
-        lst = s.str.json_decode(pl.List(pl.Utf8)).to_arrow()
+        try:
+            lst = s.str.json_decode(pl.List(pl.Utf8)).to_arrow()
+        except pl.exceptions.ComputeError:
+            # a malformed row fails polars' whole-column decode; fall back
+            # per row with null for bad JSON (on_error=send)
+            import json as _json
+
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    d = _json.loads(v)
+                except ValueError:
+                    return None
+                if not isinstance(d, list):
+                    return None
+                return ["true" if x is True else "false" if x is False
+                        else _json.dumps(x, separators=(",", ":"))
+                        if isinstance(x, (dict, list)) else str(x)
+                        for x in d]
+            lst = pa.array([one(v) for v in s.to_list()],
+                           pa.list_(pa.string()))
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
         lst = lst.cast(pa.list_(pa.string()))

@@ -327,6 +327,13 @@ def redact(fields: list[str], blocked_values: list[str],
 
     def fn(batch: pa.Table) -> pa.Table:
         hits_total = np.zeros(batch.num_rows, np.int64)
+        if not blocked_values:
+            # empty pattern list masks NOTHING (an empty regex would match
+            # at every position and garble all values)
+            if summary_col:
+                batch = _set(batch, summary_col,
+                             pa.array(hits_total, pa.int64()))
+            return batch
         for f in fields:
             if f not in batch.column_names:
                 continue
@@ -358,12 +365,13 @@ def assign_keys(src: str, keys: list[str], dest_prefix: str = "",
     zip a list column's values with the configured key list -> named
     columns (positional list -> struct-with-names, flattened)."""
     def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.maps import list_parts
         col = _get(batch, src)
         # pc.list_element raises on ragged lists; positional access with
         # null for missing positions via offset arithmetic instead
-        offsets = np.asarray(col.offsets)
+        # (list_parts rebases sliced arrays)
+        offsets, values, _valid = list_parts(col)
         lengths = offsets[1:] - offsets[:-1]
-        values = col.values
         for i, k in enumerate(keys):
             has = lengths > i
             take = pa.array(np.where(has, offsets[:-1] + i, 0), pa.int64())

@@ -64,3 +64,15 @@ def test_count_by_missing_skip(ray_session):
     dflt = count_by(ray.data.from_arrow(t), ["k"],
                     default_value="<none>").to_pandas()
     assert dict(zip(dflt.k, dflt["count"])) == {"a": 2, "<none>": 1}
+
+
+def test_count_by_int_key_with_nulls(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import count_by
+
+    t = pa.table({"status": pa.array([200, None, 500], pa.int32())})
+    out = count_by(ray.data.from_arrow(t), ["status"],
+                   default_value="<none>").to_pandas()
+    got = dict(zip(out.status.astype(str), out["count"]))
+    assert got["200"] == 1 and got["500"] == 1 and got["<none>"] == 1

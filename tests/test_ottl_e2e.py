@@ -198,3 +198,22 @@ def test_e2e_statement_cases_block2():
         else t["foo"]
     nested = pc.struct_field(foo, "nested")
     assert pc.struct_field(nested, "test").to_pylist() == ["pass"]
+
+
+def test_map_kernels_on_sliced_arrays():
+    """Regression: sliced map arrays expose ABSOLUTE offsets over FULL
+    children — kernels must rebase or they read neighboring rows."""
+    m = pa.array([[("a", "1"), ("b", "2")], [("a", "3")],
+                  [("c", "4"), ("a", "5")]],
+                 pa.map_(pa.string(), pa.string()))
+    s = m.slice(1)
+    assert M.map_get(s, "a").to_pylist() == ["3", "5"]
+    assert M.keep_keys(s, ["a"]).to_pylist() == \
+        [[("a", "3")], [("a", "5")]]
+    assert M.delete_key(s, "a").to_pylist() == [[], [("c", "4")]]
+    out = M.map_set(s, "z", "9")
+    assert dict(out.to_pylist()[0]) == {"a": "3", "z": "9"}
+
+    lst = pa.array([[1, 2], [3], [4, 5]], pa.list_(pa.int64()))
+    assert ottl.list_append(lst.slice(1), 9).to_pylist() == \
+        [[3, 9], [4, 5, 9]]

@@ -183,3 +183,53 @@ def test_severity_parser_tuple_ranges():
     fn = severity_parser("tok", mapping={(250, 252): 21})
     out = fn(pa.table({"tok": ["250", "252", "253"]}))
     assert out["severity_number"].to_pylist() == [21, 21, 0]
+
+
+def test_parse_transcript_6xx_status_passes_through():
+    t = pa.table({"text": [
+        '1.2.3.4 - bob [x] "GET /a HTTP/1.1" 605 12',
+        '1.2.3.4 - bob [x] "GET /a HTTP/1.1" 200 12',
+    ]})
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        parse_transcript_batch,
+    )
+
+    out = parse_transcript_batch(t)
+    assert out["template"].to_pylist() == ["apache", "apache"]
+    assert out["severity_number"].to_pylist() == [0, 9]  # 6xx: no severity
+
+
+def test_keyvalue_parser_custom_pair_delimiter_and_metachars():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        keyvalue_parser,
+    )
+
+    fn = keyvalue_parser(keys=["k", "other"], pair_delimiter="|")
+    out = fn(pa.table({"text": ["risk=5|k=7|other=1"]}))
+    assert out["attr_k"].to_pylist() == ["7"]      # not risk=5's tail
+    assert out["attr_other"].to_pylist() == ["1"]
+
+
+def test_jsonarray_parser_malformed_rows_null():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        jsonarray_parser,
+    )
+
+    out = jsonarray_parser(header=["a"])(
+        pa.table({"text": ['["x"]', "not json", None]}))
+    assert out["a"].to_pylist() == ["x", None, None]
+
+
+def test_rfc3164_preserves_existing_severity_on_unmatched():
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        syslog_rfc3164_parser,
+    )
+
+    t = pa.table({
+        "text": ["<13>Oct 11 22:14:15 h app: msg", "plain line"],
+        "severity_number": pa.array([9, 17], pa.int32()),
+        "severity_text": ["info", "error"],
+    })
+    out = syslog_rfc3164_parser()(t)
+    assert out["severity_number"].to_pylist()[1] == 17  # untouched
+    assert out["severity_text"].to_pylist()[1] == "error"

@@ -218,3 +218,12 @@ def test_schema_transform_double_rename_last_wins():
                            "1.0.0", "1.1.0")(t)
     assert out.column_names == ["c"]
     assert out["c"].to_pylist() == ["vb"]  # last rename wins
+
+
+def test_redact_empty_blocked_values_is_noop():
+    from opentelemetry_collector_contrib_ray.stages.transform import redact
+
+    t = pa.table({"x": ["hello"]})
+    out = redact(["x"], [])(t)
+    assert out["x"].to_pylist() == ["hello"]
+    assert out["redacted_count"].to_pylist() == [0]
