@@ -30,7 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():  # the driver contract owns init elsewhere
-        ray.init(address="local", include_dashboard=False)
+        # no explicit address: ray.init() honors RAY_ADDRESS, so `ray job
+        # submit` connects to the submitting cluster (address="local"
+        # would silently spin up an isolated single-node instance there);
+        # the sandbox presets RAY_ADDRESS=local, so local runs unchanged
+        ray.init(include_dashboard=False)
 
     from .pipelines.flagship import run_flagship
 

@@ -715,53 +715,50 @@ def q_simhash(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
-def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+def _query_vectors(sf_dir: str, n: int = 10):
+    """The first n embedding vectors as the ANN query set — predicate
+    pushed into the parquet scan so the driver reads n rows, not the
+    corpus."""
     import pyarrow.parquet as pq
 
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])
+    return t["embedding"].to_pylist(), t["vec_id"].to_pylist()
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
     from ..stages.similarity import ann_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    q = tbl.filter(pc.less(tbl["vec_id"], 10))
-    qm = [row for row in q["embedding"].to_pylist()]
+    qm, qids = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ann_topk(ds, qm, q["vec_id"].to_pylist(), k=5, round_digits=4)
+    return ann_topk(ds, qm, qids, k=5, round_digits=4)
 
 
 def q_ann_lsh(sf_dir: str):
     """Scale-path ANN: hyperplane-LSH candidate pruning + exact re-rank
     (approximate by design -> rows-only; recall vs brute force pinned in
     tests/test_training_data_ops.py)."""
-    import pyarrow.parquet as pq
-
     from ..stages.similarity import ann_lsh_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qm, qids = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ann_lsh_topk(ds, q["embedding"].to_pylist(),
-                        q["vec_id"].to_pylist(), k=5, n_bits=6, n_tables=12)
+    return ann_lsh_topk(ds, qm, qids, k=5, n_bits=6, n_tables=12)
 
 
 def q_ann_ivf(sf_dir: str):
     """IVF-Flat ANN: spherical-kmeans coarse quantizer + nprobe-cell exact
     search (the FAISS IVF plan; approximate by design -> rows-only, recall
     vs brute force pinned in tests/test_training_data_ops.py)."""
-    import pyarrow.parquet as pq
-
     from ..stages.similarity import ann_ivf_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qm, qids = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ann_ivf_topk(ds, q["embedding"].to_pylist(),
-                        q["vec_id"].to_pylist(), k=5, nlist=8, nprobe=3)
+    return ann_ivf_topk(ds, qm, qids, k=5, nlist=8, nprobe=3)
 
 
 def q_cosine_pairs(sf_dir: str):

@@ -32,7 +32,7 @@ from ray.data import Dataset
 
 from .aggregate import _merge_partials
 from .shuffle import adaptive_n_parts, int_partition_ids, mix64_rows, \
-    partitioned_attach
+    partitioned_attach, round_half_away
 
 # ---------------------------------------------------------------------------
 # tokenize / shingle helpers (shared, vectorized via numpy over object arrays)
@@ -264,7 +264,7 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
         keep = j >= threshold
         kept = batch.filter(pa.array(keep))
         return pa.table({"a": kept["a"], "b": kept["b"],
-                         "jaccard": pa.array(np.round(j[keep], 6))})
+                         "jaccard": pa.array(round_half_away(j[keep], 6))})
 
     return with_nb.map_batches(finalize, batch_format="pyarrow",
                                batch_size=None)
@@ -277,13 +277,11 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _perm_params(num_perm: int, seed: int = 42):
+def _perm_params(num_perm: int, seed: int = 42) -> np.ndarray:
+    """ODD multipliers for the multiply family a*h mod 2^64 (odd a is a
+    bijection on uint64; even a collapses low bits)."""
     rng = np.random.default_rng(seed)
-    # ODD multipliers: the multiply family a*h mod 2^64 needs odd a to be
-    # a bijection on uint64 (even a collapses low bits)
-    a = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64) * 2 + 1
-    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
-    return a, b
+    return rng.integers(0, 1 << 63, num_perm, dtype=np.uint64) * 2 + 1
 
 
 def _shingle_hashes(shingles: set[str]) -> np.ndarray:
@@ -380,7 +378,7 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 128, k: int = 3, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id"):
-        self.a, self.b = _perm_params(num_perm, seed)
+        self.a = _perm_params(num_perm, seed)
         self.num_perm, self.k = num_perm, k
         self.text_col, self.id_col = text_col, id_col
 
@@ -571,7 +569,7 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             "chunk scheme guarantees recall only for distance <= 3 "
             "(pigeonhole); use more/narrower chunks for larger radii")
     def sign(batch: pa.Table) -> pa.Table:
-        sig = simhash64(batch[text_col].to_pylist())
+        sig = simhash64(batch[text_col])  # arrow in, no pylist round-trip
         return pa.table({id_col: batch[id_col],
                          "sig": pa.array(sig.astype(np.int64))})
 
@@ -768,8 +766,13 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
             c = batch[col]
             if isinstance(c, pa.ChunkedArray):
                 c = c.combine_chunks()
-            return np.frombuffer(
-                b"".join(c.to_pylist()), np.int64).reshape(n, num_perm)
+            # fixed-size-binary data buffer is contiguous: zero-copy view
+            # (to_pylist + join would copy per row on the scale path)
+            buf = c.buffers()[1]
+            off = c.offset * num_perm * 8
+            return np.frombuffer(buf, np.int64,
+                                 count=n * num_perm,
+                                 offset=off).reshape(n, num_perm)
 
         sa, sb = unpack("sig_a"), unpack("sig_b")
         est = (sa == sb).mean(axis=1)

@@ -33,6 +33,14 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
+def round_half_away(x, digits: int):
+    """numpy rounding matching DuckDB ROUND (half away from zero);
+    np.round's half-to-even diverges on exact halfway values — a verified
+    oracle-gate flake class for ratio columns."""
+    f = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(np.asarray(x)) * f + 0.5), x) / f
+
+
 def cluster_cpus(default: int = 32) -> int:
     import ray
     if ray.is_initialized():

@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .shuffle import round_half_away
+
 
 def _mat(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
@@ -106,7 +108,7 @@ def cosine_pairs_within(ds: Dataset, *, partition_col: str = "label",
                                     type=group[partition_col].type),
             "a": pa.array(ids[iu[0][keep]], pa.int64()),
             "b": pa.array(ids[iu[1][keep]], pa.int64()),
-            "sim": pa.array(np.round(sims[iu][keep], round_digits)),
+            "sim": pa.array(round_half_away(sims[iu][keep], round_digits)),
         })
 
     return ds.groupby(partition_col).map_groups(per_group,
@@ -145,7 +147,7 @@ def ann_lsh_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
     a candidate iff it shares >= 1 bucket with >= 1 query in any table. Only
     candidates reach the exact top-k stage, so per-batch work drops from
     O(corpus x queries) to O(candidates x queries) — the recall/cost dial is
-    (n_bits, n_tables). Returns (topk_dataset, stats_dict)."""
+    (n_bits, n_tables). Returns the top-k Dataset."""
     q = np.asarray(query_vectors, np.float64)
     dim = q.shape[1]
     lsh = HyperplaneLSH(dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
@@ -185,7 +187,7 @@ def _merge_topk(partials: Dataset, k: int, id_col: str,
             idx = np.lexsort((vid[m], -sim[m]))[:k]
             out_q.extend([q] * len(idx))
             out_v.extend(vid[m][idx])
-            out_s.extend(np.round(sim[m][idx], round_digits))
+            out_s.extend(round_half_away(sim[m][idx], round_digits))
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             id_col: pa.array(np.array(out_v, np.int64)),

@@ -31,7 +31,7 @@ def token_stats(text_col: str = "text", id_col: str = "doc_id"):
         n_chars = pc.cast(pc.utf8_length(text), pa.int64())
         avg_len = pc.round(pc.divide(
             pc.cast(n_chars, pa.float64()), pc.cast(n_tokens, pa.float64())),
-            ndigits=6)
+            ndigits=6, round_mode="half_towards_infinity")  # DuckDB ROUND
         # space-doubling trick: ' a a ' -> '  a  a  ' so token windows
         # ' a ' can never overlap — substring counting is then identical
         # across regex engines (RE2 vs DuckDB differ on overlap restarts)
@@ -43,6 +43,7 @@ def token_stats(text_col: str = "text", id_col: str = "doc_id"):
             stop_hits = c if stop_hits is None else pc.add(stop_hits, c)
         stop_ratio = pc.round(pc.divide(
             pc.cast(stop_hits, pa.float64()), pc.cast(n_tokens, pa.float64())),
+            round_mode="half_towards_infinity",
             ndigits=6)
         return pa.table({
             id_col: batch[id_col],
