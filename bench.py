@@ -77,7 +77,7 @@ def run_once(num_cpus: int) -> dict:
     ds = build_parsed(SF_DIR)
     from opentelemetry_collector_contrib_ray.stages.aggregate import dedup_counts
     dedup_counts(ds, ["template", "severity_number", "error_code"],
-                 ts_col="ts").to_pandas()
+                 ts_col="ts", wide=False).to_pandas()
     queries["log_dedup"] = time.time() - t0
 
     # OTTL statement-group executor throughput (3 statements incl. a

@@ -230,8 +230,10 @@ def q_dedup(sf_dir: str):
     """logdedupprocessor: one row per (template, severity_number, error_code)
     identity with count + first/last observed ts."""
     ds = build_parsed(sf_dir)
+    # identity = template x severity x code: known low cardinality -> the
+    # single-task merge (wide=False) skips the fixed shuffle cost
     return dedup_counts(ds, ["template", "severity_number", "error_code"],
-                        ts_col="ts")
+                        ts_col="ts", wide=False)
 
 
 def _raw_transcripts(sf_dir: str):

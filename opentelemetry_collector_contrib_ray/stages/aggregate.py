@@ -152,16 +152,22 @@ def canonical_identity(batch: pa.Table, cols: list[str]) -> pa.Array:
 
 
 def dedup_counts(ds: Dataset, identity_cols: list[str], ts_col: str = "ts",
-                 count_col: str = "log_count") -> Dataset:
+                 count_col: str = "log_count", wide: bool = True) -> Dataset:
     """logdedupprocessor: one row per identity with count + first/last observed.
 
     Groups on a canonical identity string (never null — Ray's sort-based
     shuffle cannot key on nullable columns), carrying the identity columns
     through as per-group constants. Pre-aggregated per block like count_by so
     the shuffle moves only partials.
+
+    ``wide`` (default True): hash-partition the final merge — identity
+    cardinality can be O(N) when body text is in the identity. Callers that
+    KNOW the identity is low-cardinality (template/severity/code tuples)
+    may pass wide=False for the single-task merge, which skips ~2s of
+    fixed sort-shuffle cost.
     """
     from .shuffle import adaptive_n_parts
-    n_parts = adaptive_n_parts()
+    n_parts = adaptive_n_parts() if wide else 1
 
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -190,6 +196,6 @@ def dedup_counts(ds: Dataset, identity_cols: list[str], ts_col: str = "ts",
         [("_n", "sum"), ("_first", "min"), ("_last", "max")] +
         [(c, "min") for c in identity_cols],
         [count_col, "first_observed_ts", "last_observed_ts"] + identity_cols,
-        part_col="_mp")
+        part_col="_mp" if wide else None)
     return agg.select_columns(
         identity_cols + [count_col, "first_observed_ts", "last_observed_ts"])
