@@ -152,7 +152,12 @@ def extract_grok_patterns(expression: str, parse_from: str = "text",
                 if pa.types.is_boolean(types[name]):
                     arr = pc.equal(arr, "true")
                 else:
-                    arr = pc.cast(arr, types[name])
+                    # INT/NUMBER allow a leading '+' that Arrow's numeric
+                    # cast rejects — strip it so '+5' parses instead of
+                    # failing the whole batch
+                    arr = pc.cast(
+                        pc.replace_substring_regex(arr, r"^\+", ""),
+                        types[name])
             batch = batch.append_column(prefix + name, arr)
         if on_error == "drop":
             batch = batch.filter(st.is_valid())

@@ -390,8 +390,13 @@ def useragent_parse(col):
         hit = st.is_valid()
         name = pc.if_else(hit, pa.scalar(nm), name)
         version = pc.if_else(hit, pc.struct_field(st, "version"), version)
-    return pa.StructArray.from_arrays(
+    st = pa.StructArray.from_arrays(
         [pc.fill_null(name, "Other"), version], ["name", "version"])
+    # null UA in -> null struct out (not a concrete 'Other' classification)
+    valid = pc.is_valid(a)
+    if pc.all(valid).as_py():
+        return st
+    return pc.if_else(valid, st, pa.nulls(len(a), st.type))
 
 
 # --- registry (the function-factory map, ottlfuncs/functions.go) -----------
@@ -645,9 +650,12 @@ dur_nanoseconds = _dur_component(1e-9, True)
 
 
 def nanosecond(col):
-    """func_nanosecond.go: t.Nanosecond() — ns within the second."""
-    us = pc.cast(_arr(col), pa.int64()).to_numpy(zero_copy_only=False)
-    return pa.array((us % 1_000_000) * 1000, pa.int64())
+    """func_nanosecond.go: t.Nanosecond() — ns within the second
+    (null in -> null out; the numpy round-trip would NaN-crash)."""
+    a = _arr(col)
+    us = pc.fill_null(pc.cast(a, pa.int64()), 0)         .to_numpy(zero_copy_only=False)
+    out = pa.array((us % 1_000_000) * 1000, pa.int64())
+    return pc.if_else(pc.is_valid(a), out, pa.nulls(len(a), pa.int64()))
 
 
 def millisecond(col):
@@ -655,8 +663,10 @@ def millisecond(col):
 
 
 def microsecond(col):
-    us = pc.cast(_arr(col), pa.int64()).to_numpy(zero_copy_only=False)
-    return pa.array(us % 1_000_000, pa.int64())
+    a = _arr(col)
+    us = pc.fill_null(pc.cast(a, pa.int64()), 0)         .to_numpy(zero_copy_only=False)
+    out = pa.array(us % 1_000_000, pa.int64())
+    return pc.if_else(pc.is_valid(a), out, pa.nulls(len(a), pa.int64()))
 
 
 def hex_typed(col):

@@ -57,6 +57,9 @@ def _unescape(s: str) -> str:
             .replace("\\n", "\n").replace("\\t", "\t").replace("\x00", "\\"))
 
 
+_VALUE_END = ("num", "str", "hex", "rparen", "rbrack")
+
+
 def tokenize(s: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(s):
@@ -65,7 +68,15 @@ def tokenize(s: str) -> list[tuple[str, str]]:
             if s[pos:].strip():
                 raise ValueError(f"OTTL tokenize error near: {s[pos:]!r}")
             break
-        out.append((m.lastgroup, m.group(m.lastgroup)))
+        kind, text = m.lastgroup, m.group(m.lastgroup)
+        # the num rule greedily lexes '-1' — after a value (Len(x)-1) that
+        # '-' is a BINARY operator, not a sign; split it
+        if kind == "num" and text.startswith("-") and out:
+            pk, pv = out[-1]
+            if pk in _VALUE_END or (pk == "name" and pv not in _KEYWORDS):
+                out.append(("op", "-"))
+                text = text[1:]
+        out.append((kind, text))
         pos = m.end()
     out.append(("eof", ""))
     return out
@@ -234,6 +245,10 @@ class Parser:
                 args.append(self.parse_expr())
             if self.peek()[0] == "comma":
                 self.eat()
+            elif self.peek()[0] != "rparen":
+                raise ValueError(
+                    f"OTTL parse: expected ',' or ')' between arguments, "
+                    f"got {self.peek()!r}")
         self.eat("rparen")
         return args, kwargs
 
@@ -244,6 +259,10 @@ class Parser:
             out.append(self.parse_expr())
             if self.peek()[0] == "comma":
                 self.eat()
+            elif self.peek()[0] != "rbrack":
+                raise ValueError(
+                    f"OTTL parse: expected ',' or ']' in list, "
+                    f"got {self.peek()!r}")
         self.eat("rbrack")
         return out
 

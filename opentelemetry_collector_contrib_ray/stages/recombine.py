@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from .metrics import key_change_mask
 from .shuffle import adaptive_n_parts, key_partitioner
 
 FIRST_ENTRY_RE = r"^\S"  # classic multiline rule: non-indented line starts an entry
@@ -54,11 +55,16 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     if overwrite_with not in ("oldest", "newest"):
         raise ValueError("overwrite_with must be oldest|newest")
     if batch.num_rows == 0:
+        # empty result derives its schema from the INPUT (hardcoded types
+        # would conflict with non-empty blocks at concat time)
+        sch = batch.schema
+        def _t(name, fallback):
+            return sch.field(name).type if name in sch.names else fallback
         return pa.table({
-            source_col: pa.array([], pa.string()),
-            order_col: pa.array([], pa.int32()),
-            "ts": pa.array([], pa.timestamp("us")),
-            body_col: pa.array([], pa.string()),
+            source_col: pa.array([], _t(source_col, pa.string())),
+            order_col: pa.array([], _t(order_col, pa.int32())),
+            "ts": pa.array([], _t("ts", pa.timestamp("us"))),
+            body_col: pa.array([], _t(body_col, pa.string())),
             "n_lines": pa.array([], pa.int64()),
         })
     body = batch[body_col]
@@ -70,13 +76,10 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     src = batch[source_col]
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
-    if n > 1:
-        neq = pc.fill_null(
-            pc.not_equal(src.slice(1), src.slice(0, n - 1)), True)
-        changed = pa.concat_arrays([pa.array([True]), neq.combine_chunks()
-                                    if isinstance(neq, pa.ChunkedArray) else neq])
-    else:
-        changed = pa.array([True])
+    # nulls-equal change detection (key_change_mask): consecutive
+    # null-source rows are ONE source, not a segment break per row
+    changed = pa.array(key_change_mask(src, n)) if n > 1 \
+        else pa.array([True] * n, pa.bool_())
     if is_last_re is not None:
         # a match ENDS the segment: row i starts one iff row i-1 matched
         is_last = pc.fill_null(pc.match_substring_regex(body, is_last_re),
@@ -92,9 +95,19 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     work = batch.select([source_col, order_col, "ts", body_col]) \
         .append_column("_seg", seg)
     env = "first" if overwrite_with == "oldest" else "last"
+    # row-faithful envelope: first/last must take the actual first/last
+    # row's value even when null (Arrow aggregations skip nulls by
+    # default); count mode 'all' so null bodies still count as lines
+    keep_nulls = pc.ScalarAggregateOptions(skip_nulls=False)
+    count_all = pc.CountOptions(mode="all")
+    # a null body line must not null the whole joined entry
+    i_body = work.column_names.index(body_col)
+    work = work.set_column(i_body, body_col,
+                           pc.fill_null(work[body_col], ""))
     agg = work.group_by(["_seg"], use_threads=False).aggregate([
-        (source_col, env), (order_col, env), ("ts", env),
-        (body_col, "list"), (body_col, "count"),
+        (source_col, env, keep_nulls), (order_col, env, keep_nulls),
+        ("ts", env, keep_nulls),
+        (body_col, "list"), (body_col, "count", count_all),
     ])
     joined = pc.binary_join(agg[f"{body_col}_list"].combine_chunks(),
                             combine_with)

@@ -34,7 +34,16 @@ def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
     add_part = key_partitioner(key_col, n_parts)
 
     def per_partition(group: pa.Table) -> pa.Table:
-        group = group.drop_columns(["_part"]).sort_by(
+        group = group.drop_columns(["_part"])
+        tcol = group[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        if tcol.null_count:
+            # a null timestamp has no position in any gap sequence — drop
+            # (matches SQL, where a null ts sorts outside every session
+            # window); keeping them crashed the int64 round-trip via NaN
+            group = group.filter(pc.is_valid(tcol))
+        group = group.sort_by(
             [(key_col, "ascending"), (ts_col, "ascending")])
         n = group.num_rows
         key_t = group[key_col].type

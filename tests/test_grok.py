@@ -94,3 +94,9 @@ def test_combined_apache_and_syslogline():
     assert out2["program"].to_pylist() == ["sshd"]
     assert out2["pid"].to_pylist() == [4123]
     assert out2["message"].to_pylist() == ["Accepted publickey for root"]
+
+
+def test_typed_capture_plus_signed_int():
+    fn = extract_grok_patterns("val=%{INT:v:int}")
+    out = fn(pa.table({"text": ["val=+5", "val=3", "val=-2"]}))
+    assert out["v"].to_pylist() == [5, 3, -2]

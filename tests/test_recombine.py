@@ -91,3 +91,33 @@ def test_overwrite_with_newest():
     assert newest["text"].to_pylist() == oldest["text"].to_pylist()
     with pytest.raises(ValueError, match="overwrite_with"):
         merge_segments(t, overwrite_with="latest")
+
+
+def test_merge_segments_empty_batch_keeps_input_schema():
+    t = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),   # int64, not default int32
+        "ts": pa.array([], pa.timestamp("us")),
+        "text": pa.array([], pa.string()),
+    })
+    out = merge_segments(t)
+    assert out["turn_idx"].type == pa.int64()
+
+
+def test_merge_segments_null_body_and_envelope():
+    t = pa.table({
+        "conv_id": ["c"] * 3,
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "ts": pa.array([None, datetime.datetime(2024, 1, 1), None],
+                       pa.timestamp("us")),
+        "text": ["start", None, " end"],
+    })
+    out = merge_segments(t).sort_by("turn_idx")
+    # a null body can't prove it's a continuation -> starts a segment
+    # (is_first fill_null=True); within a segment a null body joins as ''
+    # and still counts as a line; a null first-row ts survives as the
+    # envelope (skip_nulls=False first)
+    assert out["n_lines"].to_pylist() == [1, 2]
+    assert out["text"].to_pylist() == ["start", "\n end"]
+    assert out["ts"].to_pylist() == [None,
+                                     datetime.datetime(2024, 1, 1)]

@@ -41,3 +41,23 @@ def test_single_event_sessions_and_unordered_input():
     out = sessionize(ray.data.from_arrow(t), key_col="user_id",
                      gap="10m").to_pandas()
     assert len(out) == 2 and (out["n_events"] == 1).all()
+
+
+def test_sessionize_drops_null_timestamps(ray_session):
+    import datetime
+
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.sessionize import (
+        sessionize,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "user_id": ["u"] * 3,
+        "ts": pa.array([base, None, base + datetime.timedelta(minutes=5)],
+                       pa.timestamp("us")),
+    })
+    out = sessionize(ray.data.from_arrow(t), key_col="user_id",
+                     gap="30m", n_parts=2).to_pandas()
+    assert len(out) == 1 and int(out.n_events.iloc[0]) == 2

@@ -455,3 +455,12 @@ def test_empty_batch_through_executor():
     out = fn(empty)
     assert out.num_rows == 0
     assert set(out.column_names) == {"body", "attributes"}
+
+
+def test_parser_binary_minus_without_spaces():
+    """Regression: '-1' after a value is a binary minus, not a second
+    argument (e2e: attributes["things"][Len(attributes["things"]) - 1])."""
+    out = run1('set(attributes["d"], Len(attributes["flags"])-1)')
+    assert attrs_of(out)["d"] == "4"  # len("A|B|C") == 5
+    with pytest.raises(ValueError, match="expected ','"):
+        run1('set(attributes["d"], 1 2)')
