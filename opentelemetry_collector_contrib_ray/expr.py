@@ -10,11 +10,12 @@ Comparison-rule fidelity notes (LANGUAGE.md):
   - cross-type comparisons are "not equal" -> we surface them as Arrow cast
     errors at compile time instead of silently false; our conformance tests
     pin the common same-type cases.
-  - null (pcommon empty) compares not-equal to everything except null == null:
-    ``!=`` fills null comparisons to True and ``~`` inverts the OTTL truth
-    value (null -> False first), so routing/filter masks match the rule;
-    ``== None`` / ``!= None`` dispatch to validity checks. Remaining kernels
-    yield null for null inputs and ``mask()`` coerces null to False.
+  - null (pcommon empty) compares not-equal to everything except null == null
+    ("two nil values are equal", equality only): ``==`` fills null slots with
+    both-null, ``!=`` with exactly-one-null (xor of validities), and ``~``
+    inverts the OTTL truth value (null -> False first). ``== None`` /
+    ``!= None`` dispatch to validity checks. Remaining kernels yield null for
+    null inputs and ``mask()`` coerces null to False.
 
 Usage:
     from opentelemetry_collector_contrib_ray.expr import col, lit
@@ -48,8 +49,7 @@ class Expr:
     def __ne__(self, other):  # type: ignore[override]
         if other is None:
             return _Not(_IsNull(self))
-        # OTTL: null != x is TRUE (LANGUAGE.md) — fill the null comparison
-        return _FillNull(_Cmp("not_equal", self, _wrap(other)), True)
+        return _Cmp("not_equal", self, _wrap(other))
 
     def __lt__(self, other):
         return _Cmp("less", self, _wrap(other))
@@ -119,8 +119,37 @@ class _Cmp(Expr):
         self.op, self.left, self.right = op, left, right
 
     def evaluate(self, batch):
-        return getattr(pc, self.op)(self.left.evaluate(batch),
-                                    self.right.evaluate(batch))
+        lhs = self.left.evaluate(batch)
+        rhs = self.right.evaluate(batch)
+        out = getattr(pc, self.op)(lhs, rhs)
+        if self.op in ("equal", "not_equal"):
+            out = _null_aware_eq(out, lhs, rhs, self.op == "not_equal")
+        return out
+
+
+def _null_aware_eq(out, lhs, rhs, negate: bool):
+    """OTTL LANGUAGE.md "Comparison Rules": nil == nil is true (equality
+    only); nil vs non-nil is not-equal. Arrow's equal/not_equal yield null
+    whenever either side is null, so fill only those slots: equal gets
+    both-null, not_equal gets exactly-one-null (xor of validities)."""
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    if isinstance(out, pa.Scalar):
+        if out.is_valid:
+            return out
+    elif not out.null_count:
+        return out
+    lv = pc.is_valid(lhs)
+    rv = pc.is_valid(rhs)
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    if isinstance(rv, pa.ChunkedArray):
+        rv = rv.combine_chunks()
+    if negate:
+        fill = pc.xor(lv, rv)             # exactly one side null -> True
+    else:
+        fill = pc.invert(pc.or_(lv, rv))  # both null -> True
+    return pc.if_else(pc.and_(lv, rv), out, fill)
 
 
 class _Bool(Expr):

@@ -620,24 +620,42 @@ def duration(s):
 
 
 def _duration_scalar(s: str) -> float:
+    # Go ParseDuration: a single optional leading sign only — interior
+    # signs ('1h-30m') are rejected.
+    body = s[1:] if s[:1] in "+-" else s
+    if body == "0":  # Go ParseDuration special-cases unitless zero
+        return 0.0
     total, matched = 0.0, 0
-    for m in _DUR_RE.finditer(s):
+    for m in _DUR_RE.finditer(body):
         total += float(m.group(1)) * _DUR_FACTOR[m.group(2)]
         matched += len(m.group(0))
-    if matched != len(s.replace("+", "").replace("-", "")):
+    if matched != len(body) or not body:
         raise ValueError(f"invalid duration {s!r}")
     return -total if s.startswith("-") else total
 
 
 def _dur_component(factor: float, as_int: bool):
     """Go time.Duration components: Hours/Minutes/Seconds -> float64;
-    Milliseconds/Microseconds/Nanoseconds -> int64 (func_hours.go etc.)."""
+    Milliseconds/Microseconds/Nanoseconds -> int64 (func_hours.go etc.).
+    The int components TRUNCATE toward zero like Go's integer division
+    (Duration("1.5ms").Milliseconds() == 1), never round."""
+    fns = int(round(factor * 1e9))  # component size in integer nanoseconds
+
     def f(x):
         if isinstance(x, (pa.Array, pa.ChunkedArray)):
-            out = pc.divide(pc.cast(_arr(x), pa.float64()), factor)
-            return pc.cast(pc.round(out), pa.int64()) if as_int else out
-        v = x / factor
-        return int(round(v)) if as_int else v
+            xs = pc.cast(_arr(x), pa.float64())
+            if not as_int:
+                return pc.divide(xs, factor)
+            # Go stores Durations as int64 ns and integer-divides, which
+            # truncates toward zero; mirror that exactly (float trunc after
+            # division is off-by-one-prone: 0.002/0.001 can be 1.999...).
+            ns = pc.cast(pc.round(pc.multiply(xs, 1e9)), pa.int64())
+            return pc.divide(ns, fns)
+        if not as_int:
+            return x / factor
+        ns = int(round(x * 1e9))
+        q = abs(ns) // fns
+        return -q if ns < 0 else q
     return f
 
 

@@ -447,10 +447,14 @@ def _eval_binop(node, ctx: _Ctx):
              "<=": pc.less_equal, ">": pc.greater,
              ">=": pc.greater_equal}[op]
         out = k(a, b)
-        if op == "==":
-            out = pc.fill_null(out, False)
-        elif op == "!=":
-            out = pc.fill_null(out, True)
+        if op in ("==", "!="):
+            # LANGUAGE.md: nil == nil is true (equality only); nil vs
+            # non-nil is not-equal. Fill only the null comparison slots:
+            # == gets both-null, != gets exactly-one-null (xor validity).
+            lv_m, rv_m = pc.is_valid(a), pc.is_valid(b)
+            fill = (pc.xor(lv_m, rv_m) if op == "!="
+                    else pc.invert(pc.or_(lv_m, rv_m)))
+            out = pc.if_else(pc.and_(lv_m, rv_m), out, fill)
         return out
     except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
         # cross-type: == -> false, != -> true (LANGUAGE.md comparison rules)

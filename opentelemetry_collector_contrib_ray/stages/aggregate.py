@@ -64,19 +64,26 @@ def _merge_partials(partials: Dataset, keys: list[str],
 
 def _fill_defaults(batch: pa.Table, keys: list[str], default: str) -> pa.Table:
     """countconnector's default_value for missing attributes (counter.go:42-73).
-    Non-string key columns that can't hold the string default are cast to
-    string first (attributes are stringly in the reference) instead of
-    crashing the fill."""
+
+    The cast decision is made from the column TYPE, never from this block's
+    null presence: a non-string key column that cannot represent the string
+    default is cast to string in EVERY block (attributes are stringly in the
+    reference), so partial schemas agree across blocks even when only some
+    blocks contain nulls."""
     for k in keys:
         c = batch[k]
-        if not c.null_count:
-            continue
         i = batch.column_names.index(k)
-        try:
-            batch = batch.set_column(i, k, pc.fill_null(c, default))
-        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-            batch = batch.set_column(
-                i, k, pc.fill_null(pc.cast(c, pa.string()), default))
+        t = c.type
+        fill: object = default
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            try:  # typed default (e.g. default="0" into an int column)?
+                fill = pa.scalar(default).cast(t)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                c = pc.cast(c, pa.string())
+                batch = batch.set_column(i, k, c)
+        if c.null_count:
+            batch = batch.set_column(i, k, pc.fill_null(c, fill))
     return batch
 
 

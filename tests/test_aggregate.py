@@ -76,3 +76,34 @@ def test_count_by_int_key_with_nulls(ray_session):
                    default_value="<none>").to_pandas()
     got = dict(zip(out.status.astype(str), out["count"]))
     assert got["200"] == 1 and got["500"] == 1 and got["<none>"] == 1
+
+
+def test_count_by_int_key_nulls_in_some_blocks_only(ray_session):
+    """The cast decision must come from the TYPE, not per-block null
+    presence: an int key with nulls in only one of two blocks previously
+    produced int32 partials in clean blocks and string partials in nully
+    ones, crashing the merge with an Arrow schema conflict."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import count_by
+
+    clean = pa.table({"status": pa.array([200, 200, 500], pa.int32())})
+    nully = pa.table({"status": pa.array([200, None], pa.int32())})
+    ds = ray.data.from_arrow(clean).union(ray.data.from_arrow(nully))
+    out = count_by(ds, ["status"], default_value="<none>").to_pandas()
+    got = dict(zip(out.status.astype(str), out["count"]))
+    assert got == {"200": 3, "500": 1, "<none>": 1}
+
+
+def test_count_by_typed_default_keeps_int_schema(ray_session):
+    """A default value the key type can hold ('0' into int) fills typed and
+    keeps the int column type instead of widening to string."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import count_by
+
+    t = pa.table({"status": pa.array([200, None, 200], pa.int32())})
+    out = count_by(ray.data.from_arrow(t), ["status"],
+                   default_value="0").to_pandas()
+    got = dict(zip(out.status, out["count"]))
+    assert got == {200: 2, 0: 1}

@@ -91,6 +91,30 @@ def test_duration():
     assert got.to_pylist()[3] is None
 
 
+def test_duration_sign_rules():
+    """Go ParseDuration: one optional LEADING sign only; interior signs
+    ('1h-30m') are invalid; unitless '0' is valid."""
+    assert ottl._duration_scalar("-1h30m") == pytest.approx(-5400.0)
+    assert ottl._duration_scalar("+2s") == pytest.approx(2.0)
+    assert ottl._duration_scalar("0") == 0.0
+    assert ottl._duration_scalar("-0") == 0.0
+    for bad in ("1h-30m", "1h+30m", "--1s", "+", "-", ""):
+        with pytest.raises(ValueError):
+            ottl._duration_scalar(bad)
+
+
+def test_duration_int_components_truncate():
+    """Go Duration.Milliseconds()/... integer-divide int64 ns (truncate
+    toward zero): 1.5ms -> 1 ms, never 2; negative truncates toward 0."""
+    d = pa.array([1.5e-3, 2e-3, 0.999e-3, -1.5e-3], pa.float64())
+    assert ottl.dur_milliseconds(d).to_pylist() == [1, 2, 0, -1]
+    assert ottl.dur_microseconds(pa.array([2.7e-6])).to_pylist() == [2]
+    assert ottl.dur_milliseconds(1.5e-3) == 1
+    assert ottl.dur_milliseconds(-1.5e-3) == -1
+    # float components still divide exactly
+    assert ottl.dur_hours(pa.array([5400.0])).to_pylist() == [1.5]
+
+
 def test_type_conversions():
     assert ottl.to_int(pa.array(["12", "x"])).to_pylist() == [12, None]
     assert ottl.to_double(pa.array(["1.5"])).to_pylist() == [1.5]

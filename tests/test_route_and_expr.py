@@ -97,6 +97,19 @@ def test_expr_null_comparison_rules():
     assert (~(col("x") == "a")).mask(t).to_pylist() == [False, True, True]
 
 
+def test_expr_null_comparison_col_vs_col():
+    """LANGUAGE.md nil-vs-nil: equal ONLY for ==. A both-null row yields
+    == True and != False; exactly-one-null yields == False, != True."""
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    t = pa.table({"a": ["x", None, None, "y"],
+                  "b": ["x", None, "z", None]})
+    assert (col("a") == col("b")).mask(t).to_pylist() == [
+        True, True, False, False]
+    assert (col("a") != col("b")).mask(t).to_pylist() == [
+        False, False, True, True]
+
+
 def test_range_lookup_rejects_bad_ips_and_negative_keys(ray_session):
     import ray.data
 
