@@ -329,7 +329,11 @@ def q_window_counts(sf_dir: str):
             "window", pc.floor_temporal(b["ts"].combine_chunks(), unit="hour"))
 
     ds = ds.map_batches(add_window, batch_format="pyarrow", batch_size=None)
-    return count_by(ds, ["window", "event_type"], count_col="n")
+    # missing='skip': window/event_type are derived non-null keys; the
+    # 'default' mode would widen the timestamp key to string (the string
+    # default can't live in a timestamp column).
+    return count_by(ds, ["window", "event_type"], count_col="n",
+                    missing="skip")
 
 
 def _hex_of_binary(col: pa.Array) -> pa.Array:
