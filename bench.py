@@ -259,6 +259,88 @@ def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
     }
 
 
+def run_dedup_blowup(num_cpus: int = NUM_CPUS,
+                     cluster: int = 100_000,
+                     background: int = 900_000) -> dict:
+    """Adversarial skew proof for the near-dup family (VERDICT r2 item 1):
+    MinHash+LSH over a 1M-doc corpus with a PLANTED 100k-member exact-dup
+    cluster — every member lands in the same bucket in every band, so the
+    uncapped plan would emit C(100k,2) ≈ 5e9 pairs from one task. With the
+    default max_bucket cap the oversized buckets take the representative-
+    star path: bounded pairs/task (reported from ds.stats()), the full
+    cluster still connected through doc 0."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        minhash_lsh_pairs_scale)
+
+    dup_text = ("the same boilerplate paragraph repeated across the whole "
+                "mirror of the site over and over again")
+    n_total = cluster + background
+
+    def make_docs(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        # background docs: 12 hash-derived words from a 50k vocab -> no
+        # accidental near-dups, deterministic per id
+        texts = np.empty(len(ids), object)
+        in_cluster = ids < cluster
+        texts[in_cluster] = dup_text
+        bg = ids[~in_cluster]
+        if len(bg):
+            # splitmix64-style finalizer: uniform words, so background
+            # docs are genuinely distinct (no accidental near-dups)
+            with np.errstate(over="ignore"):
+                z = (bg[:, None].astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)
+                     + np.arange(12, dtype=np.uint64)[None, :])
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(0xBF58476D1CE4E5B9)
+                z ^= z >> np.uint64(27)
+                z *= np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+            h = z % np.uint64(50_000)
+            texts[~in_cluster] = [" ".join("w%d" % w for w in row)
+                                  for row in h]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts.tolist(), pa.string())})
+
+    ds = rd.range(n_total).map_batches(make_docs, batch_format="pyarrow")
+    t0 = time.time()
+    pairs = minhash_lsh_pairs_scale(ds, threshold=0.5).materialize()
+    sec = time.time() - t0
+    n_pairs = pairs.count()
+
+    # the candidate stage's emitted pairs == output rows of partition_pairs
+    stats = pairs.stats()
+    max_rows = None
+    m = re.search(r"partition_pairs[^%]*?Output rows per task: \d+ min, "
+                  r"(\d+) max", stats, re.S)
+    if m:
+        max_rows = int(m.group(1))
+
+    # connectivity: every cluster member reachable from the representative
+    conn = pairs.filter(expr=f"a == 0 and b < {cluster}").count()
+
+    return {
+        "metric": "minhash+lsh over 1M docs with planted 100k-dup cluster",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "rows": n_total,
+        "num_cpus": num_cpus,
+        "pairs_out": n_pairs,
+        "cluster_members_linked_to_rep": conn,
+        "max_pairs_per_candidate_task": max_rows,
+        "uncapped_worst_case_pairs": cluster * (cluster - 1) // 2,
+    }
+
+
 def run_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     """Same job, same input, two fresh ray.init sessions at N and 4N CPUs
     (the sandbox proxy for N- vs 4N-node clusters; default N=4). The input
@@ -319,6 +401,8 @@ def main() -> None:
         print(json.dumps(run_once(n)))
     elif "--dedup-scale" in sys.argv:
         print(json.dumps(run_dedup_scale()))
+    elif "--dedup-blowup" in sys.argv:
+        print(json.dumps(run_dedup_blowup()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

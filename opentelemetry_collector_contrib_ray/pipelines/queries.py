@@ -694,12 +694,14 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shingle-join)."""
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shingle-join).
+    max_df=256 (the scale guard) is explicit here and mirrored in the SQL
+    oracle's df CTE, so Ray and DuckDB agree at any sf."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, k=3, threshold=0.5)
+    return ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
 
 
 def q_minhash_lsh(sf_dir: str):
@@ -1228,8 +1230,12 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') arr FROM documents),
 sh AS (SELECT DISTINCT doc_id, arr[i]||' '||arr[i+1]||' '||arr[i+2] AS sh
        FROM d, unnest(generate_series(1, len(arr)-2)) t(i)),
 sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+-- df cap mirrors ngram_jaccard_pairs(max_df=256): stopword shingles in
+-- > 256 docs contribute no intersection counts (sizes still count them)
+rare AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 256),
 inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
-          FROM sh x JOIN sh y USING (sh) WHERE x.doc_id < y.doc_id
+          FROM sh x JOIN sh y USING (sh) JOIN rare USING (sh)
+          WHERE x.doc_id < y.doc_id
           GROUP BY 1, 2)
 SELECT a, b, ROUND(i*1.0/(sa.n+sb.n-i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b

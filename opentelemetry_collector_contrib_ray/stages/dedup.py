@@ -24,6 +24,7 @@ Scale design notes (per operator):
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -33,6 +34,29 @@ from ray.data import Dataset
 from .aggregate import _merge_partials
 from .shuffle import adaptive_n_parts, int_partition_ids, mix64_rows, \
     partitioned_attach, round_half_away
+
+_log = logging.getLogger(__name__)
+
+#: Default per-bucket member cap for LSH/simhash candidate generation and
+#: default shingle document-frequency cap for the exact n-gram join. Web
+#: corpora routinely contain million-member exact-dup clusters; every member
+#: of such a cluster lands in the SAME bucket in EVERY band, so an uncapped
+#: bucket emits O(m^2) pairs in one task (OOM/hang at 100 TB). Buckets over
+#: the cap fall back to a representative STAR (each member paired with the
+#: bucket's min id — O(m) pairs) which preserves dedup connectivity: the
+#: oversized bucket is near-always an exact/near-exact dup cluster, so every
+#: member verifies against the representative. The standard guard in
+#: production MinHash dedup (cf. SlimPajama/Dolma df-capping).
+DEFAULT_MAX_BUCKET = 512
+DEFAULT_MAX_DF = 256
+
+
+def _oversize_warn(kind: str, sizes: list[int]) -> None:
+    if sizes:
+        _log.warning(
+            "%s: %d oversized candidate bucket(s) routed through "
+            "representative-star (sizes: max=%d, total members=%d)",
+            kind, len(sizes), max(sizes), sum(sizes))
 
 # ---------------------------------------------------------------------------
 # tokenize / shingle helpers (shared, vectorized via numpy over object arrays)
@@ -151,13 +175,20 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
 def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None,
+                        max_df: int | None = DEFAULT_MAX_DF,
                         n_parts: int | None = None) -> Dataset:
     """All pairs (a<b) whose distinct word-k-gram sets have Jaccard >=
     threshold. Exact (not sketched): |A∩B| via shingle join; per-doc set
     sizes ride as a small (id, n) Dataset attached to the pair set with two
     reduce-side hash joins — no driver-side materialization and no O(N)
     broadcast, so the plan survives 10^9-doc corpora.
+
+    ``max_df`` (default ON): shingles appearing in more than max_df docs
+    (stopword shingles — the O(d^2) pair bomb) contribute no intersection
+    counts. Set sizes |A|/|B| still count every shingle, so capped results
+    are a LOWER BOUND on true Jaccard — pairs held together only by
+    ultra-common shingles are dropped, which is the standard guard.
+    ``max_df=None`` disables (exact semantics, unsafe on skewed corpora).
     """
     n_parts = n_parts or adaptive_n_parts()
 
@@ -214,15 +245,22 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
         sh, ids = sh[order], ids[order]
         starts = np.concatenate(
             [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [n]])
-        a_out, b_out = [], []
+        a_out, b_out, dropped = [], [], []
         for s, e in zip(starts[:-1], starts[1:]):
             m = e - s
-            if m < 2 or (max_df is not None and m > max_df):
+            if m < 2:
+                continue
+            if max_df is not None and m > max_df:
+                dropped.append(m)
                 continue
             bids = ids[s:e]
             iu = np.triu_indices(m, 1)
             a_out.append(bids[iu[0]])
             b_out.append(bids[iu[1]])
+        if dropped:
+            _log.warning(
+                "ngram_jaccard: dropped %d shingle(s) with df > %d "
+                "(max df seen: %d)", len(dropped), max_df, max(dropped))
         if not a_out:
             return empty
         return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
@@ -430,6 +468,7 @@ _mix64 = mix64_rows
 def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
                       k: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
                       n_parts: int | None = None) -> Dataset:
     """Near-dup pairs via MinHash signatures + LSH banding (small/medium
     corpora: the signature rides along the band explosion, so the estimate
@@ -439,6 +478,10 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
     For large corpora use :func:`minhash_lsh_pairs_scale`, which explodes
     only (bucket, id) 16-byte rows and joins signatures back onto the
     candidate pairs. Output: (a, b, jaccard_est).
+
+    ``max_bucket`` (default ON): buckets with more than max_bucket members
+    fall back to representative-star pairs (see DEFAULT_MAX_BUCKET) —
+    bounded O(m) work per degenerate exact-dup cluster instead of O(m^2).
     """
     n_parts = n_parts or adaptive_n_parts()
     rows_per_band = num_perm // bands
@@ -484,18 +527,31 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
         bucket, ids, sig = bucket[order], ids[order], sig[order]
         starts = np.concatenate(
             [[0], np.nonzero(bucket[1:] != bucket[:-1])[0] + 1, [n]])
-        a_out, b_out, e_out = [], [], []
+        a_out, b_out, e_out, oversized = [], [], [], []
         for s, e in zip(starts[:-1], starts[1:]):
             m = e - s
             if m < 2:
                 continue
             bids, bsig = ids[s:e], sig[s:e]
+            if max_bucket is not None and m > max_bucket:
+                # representative star: each member vs the bucket min id
+                oversized.append(m)
+                rep = int(np.argmin(bids))
+                agree = (bsig == bsig[rep][None, :]).mean(axis=1)
+                neq = bids != bids[rep]
+                lo = np.minimum(bids[neq], bids[rep])
+                hi = np.maximum(bids[neq], bids[rep])
+                a_out.append(lo)
+                b_out.append(hi)
+                e_out.append(agree[neq])
+                continue
             for i in range(m - 1):
                 agree = (bsig[i + 1:] == bsig[i][None, :]).mean(axis=1)
                 neq = bids[i + 1:] != bids[i]
                 a_out.append(np.full(neq.sum(), bids[i]))
                 b_out.append(bids[i + 1:][neq])
                 e_out.append(agree[neq])
+        _oversize_warn("minhash_lsh", oversized)
         if not a_out:
             return empty
         return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
@@ -557,12 +613,17 @@ def simhash64(texts, k: int = 1) -> np.ndarray:
 
 def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET,
                   n_parts: int | None = None) -> Dataset:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
     Buckets by each of the 4 16-bit signature chunks (pigeonhole: any pair
     within distance 3 agrees on >= one chunk), so candidate generation is a
-    hash shuffle on (chunk_idx, chunk_value)."""
+    hash shuffle on (chunk_idx, chunk_value).
+
+    ``max_bucket`` (default ON): chunk buckets with more than max_bucket
+    members fall back to representative-star pairs (see DEFAULT_MAX_BUCKET)
+    — bounded O(m) work per degenerate exact-dup cluster."""
     if max_hamming > 3:
         raise ValueError(
             f"simhash_pairs max_hamming={max_hamming} > 3: the 4x16-bit "
@@ -611,12 +672,25 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
         bucket, ids, sig = bucket[order], ids[order], sig[order]
         starts = np.concatenate(
             [[0], np.nonzero(bucket[1:] != bucket[:-1])[0] + 1, [n]])
-        a, b, d = [], [], []
+        a, b, d, oversized = [], [], [], []
         for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
+            m = e - s
+            if m < 2:
                 continue
             bids, bsig = ids[s:e], sig[s:e]
-            for i in range(len(bids) - 1):
+            if max_bucket is not None and m > max_bucket:
+                oversized.append(m)
+                rep = int(np.argmin(bids))
+                x = (bsig ^ bsig[rep]).view(np.uint8).reshape(-1, 8)
+                ham = _POP[x].sum(axis=1).astype(np.int64)
+                keep = (ham <= max_hamming) & (bids != bids[rep])
+                lo = np.minimum(bids[keep], bids[rep])
+                hi = np.maximum(bids[keep], bids[rep])
+                a.append(lo)
+                b.append(hi)
+                d.append(ham[keep])
+                continue
+            for i in range(m - 1):
                 x = (bsig[i] ^ bsig[i + 1:]).view(np.uint8) \
                     .reshape(-1, 8)
                 ham = _POP[x].sum(axis=1).astype(np.int64)
@@ -624,6 +698,7 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
                 a.append(np.full(keep.sum(), bids[i]))
                 b.append(bids[i + 1:][keep])
                 d.append(ham[keep])
+        _oversize_warn("simhash", oversized)
         if not a:
             return empty
         return pa.table({"a": pa.array(np.concatenate(a), pa.int64()),
@@ -649,6 +724,7 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
                             bands: int = 32, k: int = 3,
                             threshold: float = 0.5, text_col: str = "text",
                             id_col: str = "doc_id",
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET,
                             n_parts: int | None = None) -> Dataset:
     """Scale plan for MinHash+LSH: the band explosion carries ONLY
     (bucket:int64, id:int64) — 16 bytes/row instead of bands x 1KB
@@ -662,7 +738,10 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
     O(near-dup pairs); signature attach = 2 hash-partitioned joins against
     the N x (num_perm x 8B) signature table. Signatures are materialized
     once (object store, never the driver) instead of recomputing MinHash
-    per consumer. This is the plan that survives 10^9-doc corpora."""
+    per consumer. ``max_bucket`` (default ON) routes degenerate buckets
+    (giant exact-dup clusters) through representative-star pairs — O(m)
+    instead of O(m^2) per bucket. This is the plan that survives 10^9-doc
+    corpora."""
     n_parts = n_parts or adaptive_n_parts()
     rows_per_band = num_perm // bands
     signed = ds.map_batches(
@@ -699,7 +778,7 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
         bucket, ids = bucket[order], ids[order]
         starts = np.concatenate(
             [[0], np.nonzero(bucket[1:] != bucket[:-1])[0] + 1, [n]])
-        a_out, b_out = [], []
+        a_out, b_out, oversized = [], [], []
         for s, e in zip(starts[:-1], starts[1:]):
             m = e - s
             if m < 2:
@@ -707,9 +786,16 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
             bids = np.unique(ids[s:e])
             if len(bids) < 2:
                 continue
+            if max_bucket is not None and len(bids) > max_bucket:
+                # representative star: bids is sorted, bids[0] is the min
+                oversized.append(len(bids))
+                a_out.append(np.full(len(bids) - 1, bids[0]))
+                b_out.append(bids[1:])
+                continue
             iu = np.triu_indices(len(bids), 1)
             a_out.append(bids[iu[0]])
             b_out.append(bids[iu[1]])
+        _oversize_warn("minhash_lsh_scale", oversized)
         if not a_out:
             return empty
         t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),

@@ -289,3 +289,79 @@ def test_minhash_signature_matches_minhasher():
         .astype(np.uint64)
     ref = minhash_signature(text, mh.a, k=3)
     assert (sig == ref).all()
+
+
+# ---------------------------------------------------------------------------
+# bucket / df caps (the 100-TB skewed-dup-cluster guard)
+# ---------------------------------------------------------------------------
+
+def _planted_cluster_ds(cluster: int = 60, distinct: int = 20):
+    """cluster identical docs (one giant LSH bucket in every band) plus
+    some unrelated docs."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rng = np.random.default_rng(7)
+    words = ["w%d" % i for i in range(200)]
+    texts = [dup] * cluster + [
+        " ".join(rng.choice(words, 12)) for _ in range(distinct)]
+    ids = list(range(cluster + distinct))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    return ray.data.from_arrow(t), cluster
+
+
+def test_minhash_lsh_bucket_cap_star():
+    ds, m = _planted_cluster_ds()
+    got = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=16).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    # star fallback: every cluster member connects to the representative
+    # (min id 0) with estimate 1.0 -> connectivity preserved ...
+    for x in range(1, m):
+        assert (0, x) in pairs
+    # ... but the O(m^2) clique is NOT emitted: bounded pair count
+    assert len(pairs) < m * (m - 1) // 2
+    est = {(a, b): e for a, b, e in
+           zip(got["a"], got["b"], got["jaccard_est"])}
+    assert all(est[(0, x)] == 1.0 for x in range(1, m))
+
+
+def test_minhash_lsh_scale_bucket_cap_star():
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        minhash_lsh_pairs_scale,
+    )
+
+    ds, m = _planted_cluster_ds()
+    got = minhash_lsh_pairs_scale(
+        ds, threshold=0.5, max_bucket=16).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    for x in range(1, m):
+        assert (0, x) in pairs
+    assert len(pairs) < m * (m - 1) // 2
+
+
+def test_simhash_bucket_cap_star():
+    ds, m = _planted_cluster_ds()
+    got = simhash_pairs(ds, max_hamming=3, max_bucket=16).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    for x in range(1, m):
+        assert (0, x) in pairs
+    assert len(pairs) < m * (m - 1) // 2
+    assert (got["hamming"] == 0).all()
+
+
+def test_ngram_jaccard_max_df_drops_stopword_shingle():
+    # 30 docs share ONE common 3-gram but are otherwise disjoint ->
+    # with the df cap the shared shingle contributes no intersections
+    common = "the common phrase"
+    texts = ["%s unique%da unique%db unique%dc" % (common, i, i, i)
+             for i in range(30)]
+    t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    # uncapped: every pair shares 1 of 4 shingles -> jaccard 1/7 < 0.5;
+    # use threshold 0.1 so uncapped finds all pairs
+    got_uncapped = ngram_jaccard_pairs(
+        ds, threshold=0.1, max_df=None).to_pandas()
+    assert len(got_uncapped) == 30 * 29 // 2
+    got_capped = ngram_jaccard_pairs(
+        ds, threshold=0.1, max_df=10).to_pandas()
+    assert len(got_capped) == 0
