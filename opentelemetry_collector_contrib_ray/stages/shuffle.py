@@ -12,7 +12,7 @@ recurring pieces:
   task). Derived from cluster CPUs, with an optional input-bytes override
   so each partition targets a bounded in-task footprint.
 - ``key_partitioner``: the cross-worker-deterministic coarse partition tag
-  (crc32 of each DISTINCT key) used by recombine/sessionize/metrics.
+  (vectorized seeded polars hash) used by recombine/sessionize/metrics.
 - ``mix64_rows``: vectorized splitmix-style row hash of an int64 matrix —
   the partition hash for integer keys (dedup pair merges, LSH buckets).
 - ``partitioned_attach``: a reduce-side hash join (attach one lookup column
@@ -25,7 +25,6 @@ recurring pieces:
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -80,20 +79,23 @@ def dir_size_bytes(path: str) -> int:
 
 
 def key_partitioner(key_col: str, n_parts: int, out_col: str = "_part"):
-    """map_batches fn tagging rows with crc32(key) % n_parts — deterministic
-    across workers (unlike Python's randomized hash()), computed once per
-    DISTINCT key via dictionary encoding."""
+    """map_batches fn tagging rows with hash(key) % n_parts — deterministic
+    across workers (unlike Python's randomized hash()). Fully vectorized:
+    seeded polars hash over the string-cast column (Rust kernel, verified
+    cross-process-stable — same machinery as doc_shingle_hashes), no
+    Python per value; nulls all land in partition 0."""
+    import polars as pl
+
     def fn(batch: pa.Table) -> pa.Table:
         k = batch[key_col]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
-        d = pc.dictionary_encode(pc.cast(k, pa.string()))
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        per_uniq = pa.array(
-            [zlib.crc32(str(v).encode()) % n_parts if v is not None else 0
-             for v in d.dictionary.to_pylist()], pa.int64())
-        return batch.append_column(out_col, pc.take(per_uniq, d.indices))
+        s = pc.cast(k, pa.string())
+        h = pl.from_arrow(s).hash(seed=4242).to_numpy().astype(np.uint64)
+        part = (h % np.uint64(n_parts)).astype(np.int64)
+        if s.null_count:
+            part[~np.asarray(pc.is_valid(s))] = 0
+        return batch.append_column(out_col, pa.array(part))
     return fn
 
 

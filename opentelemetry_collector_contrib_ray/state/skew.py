@@ -28,22 +28,43 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from ..stages.aggregate import count_by
+from ..stages.aggregate import _merge_partials
+from ..stages.shuffle import adaptive_n_parts, key_partitioner
 
 
 def detect_hot_keys(ds: Dataset, key: str, *, threshold_fraction: float = 0.01,
-                    sample_limit: int | None = None) -> dict[str, int]:
+                    sample_limit: int | None = None,
+                    n_parts: int | None = None) -> dict[str, int]:
     """Keys holding more than threshold_fraction of all rows, via the
     pre-aggregated count path (cheap: one partial-count pass, no raw-row
     shuffle). ``sample_limit`` caps the probe to the first N rows — a
     cheaper estimate whose fractions apply to the sampled prefix.
-    Returns {key: count}."""
+    Returns {key: count}.
+
+    Scale: per-block partial counts merge through the hash-partitioned
+    path (bounded per-task key sets), the total is reduced to ONE scalar
+    distributed-side, and the ``count > cut`` filter runs distributed-side
+    too — the driver only ever receives the hot tail (a handful of rows),
+    never the full distinct-key count table (at 10^9 conv_ids that table
+    is itself a driver OOM)."""
     if sample_limit is not None:
         ds = ds.limit(sample_limit)
-    counts = count_by(ds, [key], count_col="_n").to_pandas()
-    total = int(counts["_n"].sum())
+    n_parts = n_parts or adaptive_n_parts()
+    tag = key_partitioner(key, n_parts, "_mp")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
+        return tag(t.rename_columns([key, "_partial"]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    # materialized once (object store, never the driver): consumed by both
+    # the scalar total and the hot-tail filter
+    merged = _merge_partials(partials, [key], [("_partial", "sum")], ["_n"],
+                             part_col="_mp").materialize()
+    total = int(merged.sum("_n") or 0)
     cut = max(1, int(total * threshold_fraction))
-    hot = counts[counts["_n"] > cut]
+    hot = merged.filter(expr=f"_n > {cut}").to_pandas()
     return dict(zip(hot[key], (int(v) for v in hot["_n"])))
 
 

@@ -80,3 +80,18 @@ def test_detect_hot_keys_sample_limit(ray_session):
     sampled = detect_hot_keys(ray.data.from_arrow(t), "k",
                               threshold_fraction=0.5, sample_limit=50)
     assert set(sampled) == {"hot"} and sampled["hot"] <= 50
+
+
+def test_detect_hot_keys_high_cardinality_driver_only_sees_hot_tail():
+    # >10^5 distinct cold keys + 2 planted hot keys: the merge runs
+    # hash-partitioned distributed-side and only the hot tail (2 rows)
+    # crosses to the driver
+    import numpy as np
+
+    n_cold = 120_000
+    cold = pa.array(["k%07d" % i for i in range(n_cold)])
+    hot = pa.array(["hotA"] * 5_000 + ["hotB"] * 4_000)
+    t = pa.table({"k": pa.concat_arrays([cold, hot])})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = detect_hot_keys(ds, "k", threshold_fraction=0.02)
+    assert got == {"hotA": 5_000, "hotB": 4_000}
