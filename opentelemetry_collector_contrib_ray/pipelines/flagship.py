@@ -56,14 +56,10 @@ def add_severity_bucket(batch: pa.Table) -> pa.Table:
 
 
 def _default_pool() -> tuple[int, int]:
-    """Enrich actor-pool size from cluster CPUs: min = cpus/8 (leave the
-    task stages room to start — a min-pool that grabs every core deadlocks
-    the fused upstream on small clusters), max = cpus/2."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001 - not initialised yet
-        cpus = 8
-    return (max(1, cpus // 8), max(2, cpus // 2))
+    """Enrich actor-pool size — delegates to the shared cluster-CPU-derived
+    helper (stages/shuffle.actor_pool_size)."""
+    from ..stages.shuffle import actor_pool_size
+    return actor_pool_size()
 
 
 def _transform(ds: ray.data.Dataset, *, concurrency=None) -> ray.data.Dataset:

@@ -22,6 +22,7 @@ import ray.data
 from ..expr import col
 from ..sources.transcripts import ensure_transcripts
 from ..stages.aggregate import count_by, dedup_counts, sum_by
+from ..stages.shuffle import actor_pool_size
 from .flagship import build_parsed
 
 PARSED_COLS = [
@@ -833,7 +834,7 @@ def q_multimodal(sf_dir: str):
     ds = ray.data.from_arrow(synth_media_table(256))
     return ds.map_batches(ImageDecoder, fn_constructor_args=(True,),
                           batch_format="pyarrow", batch_size=32,
-                          concurrency=(1, 4))
+                          concurrency=actor_pool_size())
 
 
 # 203.0.113.x split into two synthetic "networks" for the geoip analogue
@@ -854,7 +855,8 @@ def q_geoip(sf_dir: str):
     ds = ds.map_batches(
         RangeLookupEnricher,
         fn_constructor_args=(GEO_RANGES, "client_ip", "net", True, "other"),
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=None,
+        concurrency=actor_pool_size())
 
     def only_apache(b: pa.Table) -> pa.Table:
         t = b["template"]

@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .shuffle import actor_pool_size
 from .similarity import _mat, _normalize
 
 
@@ -74,7 +75,7 @@ def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
         partials = ds.map_batches(
             _AssignPartial, fn_constructor_args=(ref, vec_col),
             batch_format="pyarrow", batch_size=None,
-            concurrency=(1, 8)).to_pandas()
+            concurrency=actor_pool_size()).to_pandas()
         dim = centroids.shape[1]
         sums = np.zeros((k, dim))
         counts = np.zeros(k, np.int64)
@@ -118,4 +119,4 @@ def kmeans_assign(ds: Dataset, centroids: np.ndarray, *,
 
     return ds.map_batches(Assign, fn_constructor_args=(ref,),
                           batch_format="pyarrow", batch_size=None,
-                          concurrency=(1, 8))
+                          concurrency=actor_pool_size())

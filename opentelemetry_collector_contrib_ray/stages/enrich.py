@@ -32,7 +32,7 @@ class BroadcastLookupEnricher:
 
     Use as:
         ds.map_batches(BroadcastLookupEnricher, fn_constructor_args=(spec,),
-                       batch_format="pyarrow", concurrency=(2, 8))
+                       batch_format="pyarrow", concurrency=actor_pool_size())
     """
 
     def __init__(self, spec):

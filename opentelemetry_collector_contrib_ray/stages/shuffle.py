@@ -47,6 +47,16 @@ def cluster_cpus(default: int = 32) -> int:
     return default
 
 
+def actor_pool_size(min_div: int = 8, max_div: int = 2) -> tuple[int, int]:
+    """(min, max) actor-pool concurrency derived from cluster CPUs:
+    min = cpus/min_div (leave task stages room to start — a min-pool that
+    grabs every core deadlocks the fused upstream on small clusters),
+    max = cpus/max_div. Replaces hard-coded (1, 8)-style tuples that cap
+    parallelism at 8 tasks on a 256-CPU cluster."""
+    cpus = cluster_cpus(default=8)
+    return (max(1, cpus // min_div), max(2, cpus // max_div))
+
+
 def adaptive_n_parts(size_bytes: int | None = None, *,
                      target_bytes: int = 256 << 20, floor: int = 32) -> int:
     """Partition count for coarse-partitioned group stages.

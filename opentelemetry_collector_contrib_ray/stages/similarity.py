@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .shuffle import round_half_away
+from .shuffle import actor_pool_size, round_half_away
 
 
 def _mat(batch: pa.Table, col: str) -> np.ndarray:
@@ -81,7 +81,8 @@ def ann_topk(ds: Dataset, query_vectors: np.ndarray, query_ids,
     partials = ds.map_batches(
         BruteForceTopK, fn_constructor_args=(ref, list(query_ids), k,
                                              vec_col, id_col),
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=None,
+        concurrency=actor_pool_size())
 
     return _merge_topk(partials, k, id_col, round_digits)
 
@@ -267,5 +268,6 @@ def ann_ivf_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
         IVFSearcher,
         fn_constructor_args=(cents_ref, q_ref, list(query_ids), probes_ref,
                              k, vec_col, id_col),
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=None,
+        concurrency=actor_pool_size())
     return _merge_topk(partials, k, id_col, round_digits)
