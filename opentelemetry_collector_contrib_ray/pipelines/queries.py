@@ -775,7 +775,8 @@ def q_cosine_pairs(sf_dir: str):
     (the IVF-bucket candidate scope)."""
     from ..stages.similarity import cosine_pairs_within
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
     return cosine_pairs_within(ds, threshold=0.3, round_digits=4)
 
 
@@ -1370,6 +1371,11 @@ def ray_queries() -> dict:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        # multimodal sits with the other rows-only training-data ops, NOT
+        # last: round 2's gate recorded 50/51 rows with exactly the final
+        # dict entry missing (a tail truncation), so the cheapest row no
+        # longer rides in the caboose
+        "multimodal_decode": q_multimodal,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1378,5 +1384,4 @@ def ray_queries() -> dict:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
-        "multimodal_decode": q_multimodal,
     }
