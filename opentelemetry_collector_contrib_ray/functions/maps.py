@@ -241,11 +241,35 @@ def merge_maps(target, source, strategy: str = "upsert") -> pa.MapArray:
 
 
 def to_key_value_string(col, delimiter: str = "=",
-                        pair_delimiter: str = " ") -> pa.Array:
-    """func_to_key_value_string.go: map -> 'k=v k2=v2' string per row."""
+                        pair_delimiter: str = " ",
+                        sort_keys: bool = False) -> pa.Array:
+    """func_to_key_value_string.go: map -> 'k=v k2=v2' string per row.
+    Values (or keys) containing either delimiter are double-quoted, per
+    the reference's writer; sort_keys orders pairs by key."""
     _, offsets, keys, items, valid = _map_parts(col)
-    pairs = pc.binary_join_element_wise(keys, pc.cast(items, pa.string()),
-                                        delimiter)
+    items_s = pc.cast(items, pa.string())
+    if sort_keys:
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays([keys, items_s], ["k", "v"]))
+
+        def q(s: str) -> str:
+            return f'"{s}"' if (delimiter in s or pair_delimiter in s) else s
+
+        out_py = []
+        for row, ok in zip(lists.to_pylist(), valid):
+            if not ok:
+                out_py.append(None)
+                continue
+            pairs = sorted((d["k"], d["v"]) for d in row)
+            out_py.append(pair_delimiter.join(
+                f"{q(k)}{delimiter}{q(v)}" for k, v in pairs))
+        return pa.array(out_py, pa.string())
+    needs_q = pc.or_(pc.match_substring(items_s, delimiter),
+                     pc.match_substring(items_s, pair_delimiter))
+    quoted = pc.if_else(
+        needs_q, pc.binary_join_element_wise('"', items_s, '"', ""), items_s)
+    pairs = pc.binary_join_element_wise(keys, quoted, delimiter)
     lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pairs)
     out = pc.binary_join(lists, pair_delimiter)
     return pc.if_else(pa.array(valid), out, pa.nulls(len(valid), pa.string()))

@@ -238,20 +238,35 @@ def truncate_time(col, unit: str):
     return pc.floor_temporal(_arr(col), unit=unit)
 
 
+_EPOCH_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _epoch(col, target: str):
+    """timestamp[any unit] -> int64 epoch in target unit (func_unix_*.go;
+    truncating division like Go's Unix*())."""
+    a = _arr(col)
+    unit = a.type.unit if pa.types.is_timestamp(a.type) else "us"
+    i = pc.cast(a, pa.int64())
+    src, dst = _EPOCH_PER_S[unit], _EPOCH_PER_S[target]
+    if dst >= src:
+        return pc.multiply(i, dst // src)
+    return pc.divide(i, src // dst)
+
+
 def unix_seconds(col):
-    return pc.divide(pc.cast(_arr(col), pa.int64()), 1_000_000)
+    return _epoch(col, "s")
 
 
 def unix_milli(col):
-    return pc.divide(pc.cast(_arr(col), pa.int64()), 1_000)
+    return _epoch(col, "ms")
 
 
 def unix_micro(col):
-    return pc.cast(_arr(col), pa.int64())
+    return _epoch(col, "us")
 
 
 def unix_nano(col):
-    return pc.multiply(pc.cast(_arr(col), pa.int64()), 1_000)
+    return _epoch(col, "ns")
 
 
 def year(col):
@@ -328,7 +343,21 @@ def _try_float(v):
 
 
 def to_string(col):
-    return pc.cast(_arr(col), pa.string())
+    a = _arr(col)
+    if pa.types.is_binary(a.type) or pa.types.is_fixed_size_binary(a.type) \
+            or pa.types.is_large_binary(a.type):
+        # pcommon.Value.AsString on bytes: JSON int-array ("[1,2,3]")
+        return pa.array(
+            [None if v is None else
+             "[" + ",".join(str(b) for b in v) + "]"
+             for v in a.to_pylist()], pa.string())
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type) \
+            or pa.types.is_fixed_size_list(a.type):
+        import json as _json
+        return pa.array(
+            [None if v is None else _json.dumps(v, separators=(",", ":"))
+             for v in a.to_pylist()], pa.string())
+    return pc.cast(a, pa.string())
 
 
 def is_string(col):
@@ -483,17 +512,33 @@ _XML_ELEM = re.compile(r"<(?P<tag>[A-Za-z_][\w.-]*)(?:\s[^>]*)?>"
 
 
 def parse_simplified_xml(col):
-    """func_parse_simplified_xml.go: flat <tag>text</tag> elements -> map
-    column (nested structure flattened to leaf text, matching the
-    'simplified' contract: character data only)."""
+    """func_parse_simplified_xml.go: XML -> simplified map (attributes and
+    declarations dropped). An element with element children becomes a
+    nested map, a leaf keeps its character data; nested maps are
+    JSON-encoded in the flat model (DIVERGENCES.md). Unparseable rows
+    yield an empty map (on_error-friendly)."""
+    import json as _json
     a = _arr(col)
+
+    def conv(el):
+        kids = list(el)
+        if not kids:
+            return (el.text or "").strip()
+        return {c.tag: conv(c) for c in kids}
+
     out = []
     for v in a.to_pylist():
         if v is None:
             out.append(None)
             continue
-        out.append([(m.group("tag"), m.group("body"))
-                    for m in _XML_ELEM.finditer(v)])
+        try:
+            root = _et_parse(f"<__root__>{v}</__root__>")
+            out.append([
+                (c.tag, cv if isinstance(cv := conv(c), str)
+                 else _json.dumps(cv, separators=(",", ":")))
+                for c in root])
+        except Exception:  # noqa: BLE001 — malformed XML -> empty map
+            out.append([])
     return pa.array(out, pa.map_(pa.string(), pa.string()))
 
 

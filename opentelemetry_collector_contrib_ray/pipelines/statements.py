@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions import jsonpath as J
 from ..functions import maps as M
 from ..functions import ottl as F
 from ..functions.ottl_parser import parse_ottl_condition, parse_statement
@@ -120,10 +121,38 @@ def _adapter_len(ctx, args, kwargs):
             return _map_len(a)
         if pa.types.is_list(a.type) or pa.types.is_fixed_size_list(a.type):
             return pc.cast(pc.list_value_length(a), pa.int64())
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            # flat model: container-shaped strings are nested values
+            return J.smart_len(a)
         return F.str_len(a)
     if isinstance(x, (list, dict, str)):
         return len(x)
     raise ValueError(f"Len: unsupported operand {type(x)}")
+
+
+def _adapter_ismap(ctx, args, kwargs):
+    x = args[0]
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        a = _arr(x)
+        if pa.types.is_map(a.type) or pa.types.is_struct(a.type):
+            return pc.is_valid(a)
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            return J.is_json_map(a)
+        return False
+    return isinstance(x, dict)
+
+
+def _adapter_islist(ctx, args, kwargs):
+    x = args[0]
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        a = _arr(x)
+        if pa.types.is_list(a.type) or pa.types.is_large_list(a.type) \
+                or pa.types.is_fixed_size_list(a.type):
+            return pc.is_valid(a)
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            return J.is_json_list(a)
+        return False
+    return isinstance(x, (list, tuple))
 
 
 def _adapter_concat(ctx, args, kwargs):
@@ -138,16 +167,36 @@ def _adapter_format(ctx, args, kwargs):
     return F.format_str(fmt, parts)
 
 
+def _sort_values(vals: list, order: str) -> list:
+    """func_sort.go element ordering: homogeneous bool/number/string sort
+    natively; mixed types compare string representations but keep the
+    typed values."""
+    rev = order == "desc"
+    if all(isinstance(v, bool) for v in vals) \
+            or all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                   for v in vals) \
+            or all(isinstance(v, str) for v in vals):
+        return sorted(vals, reverse=rev)
+    return sorted(vals, key=J.encode_val, reverse=rev)
+
+
 def _adapter_sort(ctx, args, kwargs):
     target = args[0]
     order = args[1] if len(args) > 1 else kwargs.get("order", "asc")
     if isinstance(target, list):  # literal list -> python sort, OTTL rules
-        if all(isinstance(v, bool) for v in target):
-            return sorted(target, reverse=(order == "desc"))
-        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
-               for v in target):
-            return sorted(target, reverse=(order == "desc"))
-        return sorted(map(str, target), reverse=(order == "desc"))
+        if not any(isinstance(v, (pa.Array, pa.ChunkedArray))
+                   for v in target):
+            return _sort_values(target, order)
+        # converter elements evaluated to per-row arrays: sort per row,
+        # return flat-model JSON list strings
+        import json as _json
+        cols = [(_arr(v).to_pylist()
+                 if isinstance(v, (pa.Array, pa.ChunkedArray))
+                 else [v] * ctx.n) for v in target]
+        return pa.array(
+            [_json.dumps(_sort_values(list(r), order),
+                         separators=(",", ":"))
+             for r in zip(*cols)], pa.string())
     return F.list_sort(_arr(target), order)
 
 
@@ -235,15 +284,20 @@ def _adapter_parse_json(ctx, args, kwargs):
             return _json.dumps(v, separators=(",", ":"))
         return str(v)
 
-    def one(v: str):
-        d = _json.loads(v)
-        if isinstance(d, dict):
-            return [(k, enc(x)) for k, x in d.items()]
-        return [(str(i), enc(x)) for i, x in enumerate(d)]
-
     a = _broadcast(args[0], ctx.n)
-    py = [None if v is None else one(v)
-          for v in _arr(pc.cast(a, pa.string())).to_pylist()]
+    raw = [None if v is None else _json.loads(v)
+           for v in _arr(pc.cast(a, pa.string())).to_pylist()]
+    # pcommon distinguishes top-level object (pmap) from array (pslice);
+    # the flat model keeps arrays as compact-JSON strings
+    if raw and all(isinstance(d, list) for d in raw if d is not None) \
+            and any(d is not None for d in raw):
+        return pa.array(
+            [None if d is None else _json.dumps(d, separators=(",", ":"))
+             for d in raw], pa.string())
+    py = [None if d is None else
+          ([(k, enc(x)) for k, x in d.items()] if isinstance(d, dict)
+           else [(str(i), enc(x)) for i, x in enumerate(d)])
+          for d in raw]
     return pa.array(py, pa.map_(pa.string(), pa.string()))
 
 
@@ -251,7 +305,9 @@ def _adapter_tokv(ctx, args, kwargs):
     target = args[0]
     delim = args[1] if len(args) > 1 else "="
     pair = args[2] if len(args) > 2 else " "
-    return M.to_key_value_string(_arr(target), delim, pair)
+    sort_keys = bool(args[3]) if len(args) > 3 \
+        else bool(kwargs.get("sortKeys", False))
+    return M.to_key_value_string(_arr(target), delim, pair, sort_keys)
 
 
 def _adapter_grok(ctx, args, kwargs):
@@ -262,8 +318,41 @@ def _adapter_grok(ctx, args, kwargs):
 
 
 def _adapter_slice_to_map(ctx, args, kwargs):
+    """func_slice_to_map.go: key each slice element by keyPath; valuePath
+    optionally projects the stored value. Flat-model inputs are
+    JSON-encoded list strings -> JSON-encoded object strings."""
     target = args[0]
-    keys = args[1]
+    keys = [str(k) for k in (args[1] if len(args) > 1
+                             else kwargs.get("keyPath", []))]
+    vpath = args[2] if len(args) > 2 else kwargs.get("valuePath")
+    vpath = [str(k) for k in vpath] if vpath else None
+    if isinstance(target, (pa.Array, pa.ChunkedArray)):
+        a = _arr(target)
+        if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            import json as _json
+
+            def walk(el, path):
+                cur = el
+                for p in path:
+                    if not isinstance(cur, dict):
+                        return None
+                    cur = cur.get(p)
+                return cur
+
+            out = []
+            for v in a.to_pylist():
+                doc = J._try_decode(v)
+                if not isinstance(doc, list):
+                    out.append(None)
+                    continue
+                obj = {}
+                for el in doc:
+                    k = walk(el, keys) if isinstance(el, dict) else None
+                    if k is None:
+                        continue
+                    obj[str(k)] = walk(el, vpath) if vpath else el
+                out.append(_json.dumps(obj, separators=(",", ":")))
+            return pa.array(out, pa.string())
     return M.slice_to_map(_arr(target), list(keys))
 
 
@@ -279,6 +368,7 @@ _ADAPTERS = {
     "ParseKeyValue": _adapter_parse_keyvalue, "ParseCSV": _adapter_parse_csv,
     "ParseJSON": _adapter_parse_json, "ToKeyValueString": _adapter_tokv,
     "ExtractGrokPatterns": _adapter_grok, "SliceToMap": _adapter_slice_to_map,
+    "IsMap": _adapter_ismap, "IsList": _adapter_islist,
 }
 
 
@@ -372,7 +462,16 @@ def _index_into(cur, key, ctx: _Ctx):
     if pa.types.is_map(a.type):
         if dynamic:  # attributes[attributes["flags"]] — per-row key
             return M.map_get_dyn(a, pc.cast(_arr(key), pa.string()))
-        return M.map_get(a, str(key))
+        if not isinstance(key, str):
+            # ctxutil GetMapValue: map keys must be strings
+            raise ValueError("unable to resolve a string index in map: "
+                             "invalid key type")
+        return M.map_get(a, key)
+    if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+        # flat model: nested values are JSON-encoded strings
+        if dynamic:
+            return J.json_get_dyn(a, [_arr(key)])
+        return J.json_get(a, [key])
     if dynamic:
         raise ValueError(f"dynamic index into {a.type} unsupported")
     if pa.types.is_list(a.type) or pa.types.is_fixed_size_list(a.type):
@@ -399,6 +498,15 @@ def _eval_call(node, ctx: _Ctx):
     if _is_scalar(head) or isinstance(head, list):
         head = _broadcast(head, ctx.n)
     return fn(head, *args[1:], **kwargs)
+
+
+def _coerce_numeric(a: pa.Array) -> pa.Array:
+    if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+        try:
+            return pc.cast(a, pa.int64())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return pc.cast(a, pa.float64())
+    return a
 
 
 def _cmp_scalars(op: str, lv, rv):
@@ -432,7 +540,13 @@ def _eval_binop(node, ctx: _Ctx):
         a, b = _broadcast(lv, ctx.n), _broadcast(rv, ctx.n)
         k = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
              "/": pc.divide}[op]
-        return k(a, b)
+        try:
+            return k(a, b)
+        except (pa.ArrowNotImplementedError, pa.ArrowTypeError,
+                pa.ArrowInvalid):
+            # flat model stores typed map values as strings; numeric
+            # strings participate in arithmetic (attributes["n"] + 1)
+            return k(_coerce_numeric(a), _coerce_numeric(b))
     # comparisons
     if both_scalar:
         return _cmp_scalars(op, lv, rv)
@@ -477,8 +591,11 @@ def _set_column(batch: pa.Table, name: str, arr) -> pa.Table:
 
 def _resolve_target(segs, ctx: _Ctx, allow_dyn: bool = False):
     """-> ("column", colname) | ("mapkey", colname, key) |
-    ("mapkey_dyn", colname, key_array) | ("map", colname) | ("cache", key).
-    Dynamic per-row keys raise unless the editor opts in (only `set`)."""
+    ("mapkey_dyn", colname, key_array) | ("map", colname) | ("cache", key) |
+    ("json_path", colname, key_or_array, rest_segs).
+    json_path = more than one index (``attributes["foo"]["bar"]``): the
+    edit happens inside the flat-model JSON-encoded map value.
+    Dynamic per-row keys raise unless the editor opts in."""
     name, idxs = segs[0]
     if name == "cache":
         key = str(eval_expr(idxs[0], ctx))
@@ -498,11 +615,16 @@ def _resolve_target(segs, ctx: _Ctx, allow_dyn: bool = False):
             return ("map", colname)
         return ("column", colname)
     key = eval_expr(idxs[0], ctx)
+    rest = [eval_expr(e, ctx) for e in idxs[1:]]
     if isinstance(key, (pa.Array, pa.ChunkedArray)):
         if not allow_dyn:
             raise ValueError(
                 "dynamic (per-row) map keys are only supported by `set`")
-        return ("mapkey_dyn", colname, pc.cast(_arr(key), pa.string()))
+        key = pc.cast(_arr(key), pa.string())
+        return ("json_path", colname, key, rest) if rest \
+            else ("mapkey_dyn", colname, key)
+    if rest:
+        return ("json_path", colname, str(key), rest)
     return ("mapkey", colname, str(key))
 
 
@@ -515,6 +637,23 @@ def _apply_set(ctx: _Ctx, args, mask):
     if tgt[0] == "cache":
         ctx.cache[tgt[1]] = _broadcast(value, ctx.n)
         return ctx.batch
+    if isinstance(value, (dict, list)) and tgt[0] == "map":
+        # replace the whole map column with a map literal
+        if not isinstance(value, dict):
+            raise ValueError("cannot set a map column to a non-map value")
+        if J._contains_array(value):
+            raise ValueError("per-row values unsupported in whole-map set")
+        rows = [[(k, J.encode_val(J._pyify(v))) for k, v in value.items()]]
+        new = pa.array(rows * ctx.n, pa.map_(pa.string(), pa.string()))
+        old = _arr(ctx.batch[tgt[1]]) if tgt[1] in ctx.batch.column_names \
+            else pa.array([[]] * ctx.n, pa.map_(pa.string(), pa.string()))
+        return _set_column(ctx.batch, tgt[1], _choose_rows(mask, new, old))
+    if isinstance(value, (dict, list)):
+        # map/list literal -> flat-model compact JSON (per-row when the
+        # literal embeds path expressions)
+        value = J.encode_rowwise(value, ctx.n)
+    if tgt[0] == "json_path":
+        return _apply_set_json(ctx, tgt, value, mask)
     varr = _broadcast(value, ctx.n)
     eff = pc.and_(mask, pc.is_valid(varr))  # nil values don't overwrite
     if tgt[0] in ("mapkey", "mapkey_dyn"):
@@ -546,6 +685,32 @@ def _apply_set(ctx: _Ctx, args, mask):
     return _set_column(ctx.batch, colname, _choose_rows(eff, varr, old))
 
 
+def _map_col_or_empty(ctx: _Ctx, colname: str) -> pa.Array:
+    if colname in ctx.batch.column_names:
+        old = _arr(ctx.batch[colname])
+        if not pa.types.is_map(old.type):
+            raise ValueError(f"{colname} is not a map column")
+        return old
+    return pa.array([[]] * ctx.n, pa.map_(pa.string(), pa.string()))
+
+
+def _apply_set_json(ctx: _Ctx, tgt, value, mask):
+    """set(attributes["foo"]["bar"...], v): patch inside the JSON-encoded
+    map value (ctxutil SetMapValue semantics)."""
+    _, colname, key0, rest = tgt
+    old = _map_col_or_empty(ctx, colname)
+    dyn = isinstance(key0, (pa.Array, pa.ChunkedArray))
+    vals = M.map_get_dyn(old, key0) if dyn else M.map_get(old, key0)
+    varr = _broadcast(value, ctx.n)
+    new_vals = J.json_set(vals, rest, _arr(varr).to_pylist())
+    new = M.map_set_dyn(old, key0, new_vals) if dyn \
+        else M.map_set(old, key0, new_vals)
+    eff = pc.and_(mask, pc.is_valid(new_vals))
+    if dyn:
+        eff = pc.and_(eff, pc.is_valid(key0))
+    return _set_column(ctx.batch, colname, _choose_rows(eff, new, old))
+
+
 def _coerce_map_value(varr: pa.Array) -> pa.Array:
     """Value array -> string items for a map<string,string> slot. Nested
     values (map/list/struct) are JSON-encoded — flat model, same
@@ -564,25 +729,100 @@ def _coerce_map_value(varr: pa.Array) -> pa.Array:
     return varr
 
 
-def _map_editor(fn):
-    """Wrap an (old_map, *args) -> new_map kernel as a masked editor."""
+def _map_editor(fn, dict_fn=None):
+    """Wrap an (old_map, *args) -> new_map kernel as a masked editor.
+    With dict_fn, a nested target (``attributes["test"]``) applies the
+    dict-level op inside the JSON-encoded map value."""
     def apply(ctx: _Ctx, args, mask):
         tgt = _resolve_target(args[0][1], ctx)
-        if tgt[0] != "map":
-            raise ValueError("editor target must be a map column")
+        extra = [eval_expr(a, ctx) for a in args[1:]]
+        if tgt[0] == "map":
+            colname = tgt[1]
+            old = _arr(ctx.batch[colname])
+            new = fn(old, *extra)
+            return _set_column(ctx.batch, colname,
+                               _choose_rows(mask, new, old))
+        if tgt[0] == "mapkey" and dict_fn is not None:
+            colname, key0 = tgt[1], tgt[2]
+            old = _map_col_or_empty(ctx, colname)
+            cur = M.map_get(old, key0)
+            new_vals = J.obj_apply(cur, lambda d: dict_fn(d, *extra))
+            new = M.map_set(old, key0, new_vals)
+            eff = pc.and_(mask, pc.is_valid(cur))
+            return _set_column(ctx.batch, colname,
+                               _choose_rows(eff, new, old))
+        raise ValueError("editor target must be a map column")
+    return apply
+
+
+# dict-level map ops for nested (JSON-encoded) targets
+def _d_keep_keys(d, keys):
+    ks = set(keys)
+    return {k: v for k, v in d.items() if k in ks}
+
+
+def _d_delete_key(d, key):
+    return {k: v for k, v in d.items() if k != key}
+
+
+def _d_delete_matching(d, pattern):
+    import re as _re
+    r = _re.compile(pattern)
+    return {k: v for k, v in d.items() if not r.search(k)}
+
+
+def _d_keep_matching(d, pattern):
+    import re as _re
+    r = _re.compile(pattern)
+    return {k: v for k, v in d.items() if r.search(k)}
+
+
+def _apply_flatten(ctx: _Ctx, args, kwargs, mask):
+    """func_flatten.go: flatten(target, prefix?, depth=, resolveConflicts=)
+    on the map column, or on a nested JSON object value."""
+    tgt = _resolve_target(args[0][1], ctx)
+    prefix = eval_expr(args[1], ctx) if len(args) > 1 else (
+        eval_expr(kwargs["prefix"], ctx) if "prefix" in kwargs else "")
+    depth = None
+    if len(args) > 2:
+        depth = int(eval_expr(args[2], ctx))
+    elif "depth" in kwargs:
+        depth = int(eval_expr(kwargs["depth"], ctx))
+    if depth is not None and depth < 1:
+        raise ValueError(f"invalid depth '{depth}' for flatten function, "
+                         "must be greater than 0")
+    resolve = bool(eval_expr(kwargs["resolveConflicts"], ctx)) \
+        if "resolveConflicts" in kwargs else False
+    if tgt[0] == "map":
         colname = tgt[1]
         old = _arr(ctx.batch[colname])
-        extra = [eval_expr(a, ctx) for a in args[1:]]
-        new = fn(old, *extra)
-        return _set_column(ctx.batch, colname,
-                           _choose_rows(mask, new, old))
-    return apply
+        new = J.flatten_map_rows(old, prefix, depth, resolve)
+        return _set_column(ctx.batch, colname, _choose_rows(mask, new, old))
+    if tgt[0] == "mapkey":
+        colname, key0 = tgt[1], tgt[2]
+        old = _map_col_or_empty(ctx, colname)
+        cur = M.map_get(old, key0)
+        new_vals = J.obj_apply(
+            cur, lambda d: J.flatten_native(d, prefix, depth, resolve))
+        new = M.map_set(old, key0, new_vals)
+        eff = pc.and_(mask, pc.is_valid(cur))
+        return _set_column(ctx.batch, colname, _choose_rows(eff, new, old))
+    raise ValueError("flatten target must be a map column or map value")
 
 
 def _apply_replace_pattern(ctx: _Ctx, args, mask, glob: bool = False):
     target_node = args[0]
     pattern = eval_expr(args[1], ctx)
     repl = eval_expr(args[2], ctx)
+    if len(args) > 3 and not glob:
+        # optional `function` arg hashes the replacement string
+        # (func_replace_pattern.go: replacementFn applied per substitution)
+        fnode = args[3]
+        if not (fnode[0] == "path" and len(fnode[1]) == 1
+                and not fnode[1][0][1] and fnode[1][0][0] in F.REGISTRY):
+            raise ValueError("replace_pattern: 4th arg must be a converter")
+        hash_fn = F.REGISTRY[fnode[1][0][0]]
+        repl = hash_fn(pa.array([repl], pa.string())).to_pylist()[0]
     tgt = _resolve_target(target_node[1], ctx)
     fn = F.replace_match if glob else F.replace_pattern
     if tgt[0] == "mapkey":
@@ -644,8 +884,15 @@ def _apply_truncate_all(ctx: _Ctx, args, mask):
     limit = int(eval_expr(args[1], ctx))
     colname = tgt[1]
     old = _arr(ctx.batch[colname])
-    new = _map_values_rewrite(
-        old, lambda it: pc.utf8_slice_codeunits(it, 0, limit))
+
+    def trunc(it):
+        # reference truncates ValueTypeStr only — container-shaped values
+        # are nested maps/slices in the flat model, leave them whole
+        shaped = pc.fill_null(pc.or_(pc.starts_with(it, "{"),
+                                     pc.starts_with(it, "[")), False)
+        return pc.if_else(shaped, it, pc.utf8_slice_codeunits(it, 0, limit))
+
+    new = _map_values_rewrite(old, trunc)
     return _set_column(ctx.batch, colname, _choose_rows(mask, new, old))
 
 
@@ -655,9 +902,21 @@ def _apply_append(ctx: _Ctx, args, kwargs, mask):
         vals = eval_expr(kwargs["values"], ctx)
     else:
         vals = [eval_expr(args[1], ctx)]
-    colname = tgt[1] if tgt[0] == "column" else None
-    if colname is None:
-        raise ValueError("append supports top-level list columns only")
+    if tgt[0] in ("mapkey", "json_path"):
+        # func_append.go at a (possibly nested) map value: slice extends,
+        # scalar converts to slice, missing creates (flat-model JSON)
+        colname, key0 = tgt[1], tgt[2]
+        rest = tgt[3] if tgt[0] == "json_path" else []
+        if any(isinstance(v, (pa.Array, pa.ChunkedArray)) for v in vals):
+            raise ValueError("append values must be literals")
+        old = _map_col_or_empty(ctx, colname)
+        cur = M.map_get(old, key0)
+        new_vals = J.json_append(cur, rest, vals)
+        new = M.map_set(old, key0, new_vals)
+        return _set_column(ctx.batch, colname, _choose_rows(mask, new, old))
+    if tgt[0] != "column":
+        raise ValueError("append target must be a list column or map value")
+    colname = tgt[1]
     old = _arr(ctx.batch[colname])
     new = old
     for v in vals:
@@ -673,10 +932,16 @@ def _apply_merge_maps(ctx: _Ctx, args, mask):
     old = _arr(ctx.batch[colname])
     if isinstance(source, dict):
         source = pa.array(
-            [[(k, str(v)) for k, v in source.items()]] * ctx.n,
-            pa.map_(pa.string(), pa.string()))
+            [[(k, J.encode_val(J._pyify(v))) for k, v in source.items()]]
+            * ctx.n, pa.map_(pa.string(), pa.string()))
+    else:
+        s = _arr(source)
+        if pa.types.is_string(s.type) or pa.types.is_large_string(s.type):
+            # nested map value (flat-model JSON object) as merge source
+            source = J.obj_to_map_rows(s)
     new = M.merge_maps(old, _arr(source), strategy)
-    return _set_column(ctx.batch, colname, _choose_rows(mask, new, old))
+    eff = pc.and_(mask, pc.is_valid(_arr(source)))
+    return _set_column(ctx.batch, colname, _choose_rows(eff, new, old))
 
 
 def _apply_limit(ctx: _Ctx, args, mask):
@@ -688,6 +953,57 @@ def _apply_limit(ctx: _Ctx, args, mask):
     old = _arr(ctx.batch[colname])
     new = M.limit_map(old, n, priority)
     return _set_column(ctx.batch, colname, _choose_rows(mask, new, old))
+
+
+def _concat_aligned(tables: list[pa.Table]) -> pa.Table:
+    """Concat row-slices whose schemas may have drifted (a statement
+    created a column on one half only): missing columns null-fill, type
+    conflicts promote permissively, string as the last resort."""
+    names: list[str] = []
+    for t in tables:
+        for c in t.column_names:
+            if c not in names:
+                names.append(c)
+    fixed = []
+    for t in tables:
+        for c in names:
+            if c not in t.column_names:
+                # type borrowed from the first table that has the column
+                donor = next(x[c].type for x in tables
+                             if c in x.column_names)
+                t = t.append_column(c, pa.nulls(t.num_rows, donor))
+        fixed.append(t.select(names))
+    try:
+        return pa.concat_tables(fixed, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        casted = []
+        for t in fixed:
+            cols = []
+            for c in names:
+                a = _arr(t[c])
+                types = {str(x[c].type) for x in fixed}
+                if len(types) > 1 and not pa.types.is_map(a.type):
+                    a = pc.cast(a, pa.string())
+                cols.append(a)
+            casted.append(pa.table(dict(zip(names, cols))))
+        return pa.concat_tables(casted, promote_options="permissive")
+
+
+def _merge_caches(caches: list[dict], lengths: list[int]) -> dict:
+    """Row-slice cache dicts -> one cache; keys a failing slice never
+    wrote null-fill for its rows."""
+    keys = {k for c in caches for k in c}
+    out = {}
+    for k in keys:
+        donor = _arr(next(c[k] for c in caches if k in c))
+        parts = [_arr(c[k]) if k in c else pa.nulls(ln, donor.type)
+                 for c, ln in zip(caches, lengths)]
+        try:
+            out[k] = pa.concat_arrays(parts)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            out[k] = pa.concat_arrays(
+                [pc.cast(p, pa.string()) for p in parts])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -755,8 +1071,49 @@ class StatementGroupExecutor:
                     raise
                 if mode == "ignore":
                     logger.warning("OTTL statement failed (ignored): %s", e)
-                # ignore/silent: skip this statement, keep going
+                # ignore/silent: the reference isolates per record
+                # (transformprocessor internal/logs/processor.go:31-77) —
+                # retry on row subsets so only the failing records skip
+                # this statement
+                ctx.batch, ctx.cache = self._apply_rowsafe(
+                    ctx.batch, ctx.cache, ctx.colmap, st, gate)
         return ctx.batch
+
+    def _apply_rowsafe(self, batch, cache, colmap, st, gate):
+        """Bisecting per-record retry after a statement failed on the full
+        batch. An empty-slice probe separates config-level errors (unknown
+        function, bad arguments — raise with no rows, skip the statement
+        for everyone, O(1)) from data-dependent errors (bisect to the
+        failing rows, O(k log n) attempts for k poisoned rows)."""
+        try:
+            probe = _Ctx(batch.slice(0, 0), colmap)
+            self._apply(probe, st, gate.slice(0, 0))
+        except Exception:  # noqa: BLE001 — config-level: skip for all rows
+            return batch, cache
+        return self._bisect_apply(batch, cache, colmap, st, _arr(gate))
+
+    def _bisect_apply(self, batch, cache, colmap, st, gate):
+        n = batch.num_rows
+        if n == 0:
+            return batch, cache
+        ctx = _Ctx(batch, colmap)
+        ctx.cache = dict(cache)
+        try:
+            out = self._apply(ctx, st, gate)
+            return out, ctx.cache
+        except Exception:  # noqa: BLE001
+            if n == 1:  # this record skips the statement, keeps prior edits
+                return batch, cache
+            mid = n // 2
+            outs, caches = [], []
+            for lo, sz in ((0, mid), (mid, n - mid)):
+                c = {k: _arr(v).slice(lo, sz) for k, v in cache.items()}
+                o, c2 = self._bisect_apply(
+                    batch.slice(lo, sz), c, colmap, st, gate.slice(lo, sz))
+                outs.append(o)
+                caches.append(c2)
+            return (_concat_aligned(outs),
+                    _merge_caches(caches, [mid, n - mid]))
 
     def _apply(self, ctx: _Ctx, st, gate):
         _, name, args, kwargs, where = st
@@ -767,14 +1124,15 @@ class StatementGroupExecutor:
         if name == "set":
             return _apply_set(ctx, args, mask)
         if name == "delete_key":
-            return _map_editor(M.delete_key)(
-                ctx, args, mask)
+            return _map_editor(M.delete_key, _d_delete_key)(ctx, args, mask)
         if name == "delete_matching_keys":
-            return _map_editor(M.delete_matching_keys)(ctx, args, mask)
+            return _map_editor(M.delete_matching_keys,
+                               _d_delete_matching)(ctx, args, mask)
         if name == "keep_matching_keys":
-            return _map_editor(M.keep_matching_keys)(ctx, args, mask)
+            return _map_editor(M.keep_matching_keys,
+                               _d_keep_matching)(ctx, args, mask)
         if name == "keep_keys":
-            return _map_editor(M.keep_keys)(ctx, args, mask)
+            return _map_editor(M.keep_keys, _d_keep_keys)(ctx, args, mask)
         if name == "truncate_all":
             return _apply_truncate_all(ctx, args, mask)
         if name == "limit":
@@ -792,10 +1150,7 @@ class StatementGroupExecutor:
         if name == "append":
             return _apply_append(ctx, args, kwargs, mask)
         if name == "flatten":
-            raise ValueError(
-                "flatten(attributes) needs nested maps — flat model keeps "
-                "attributes single-level (DIVERGENCES.md); use "
-                "functions.maps.flatten_struct for struct columns")
+            return _apply_flatten(ctx, args, kwargs, mask)
         raise ValueError(f"unknown editor {name!r}")
 
 
@@ -806,5 +1161,21 @@ def transform_processor(groups: list[dict],
 
     def fn(batch: pa.Table) -> pa.Table:
         return ex(batch)
+
+    return fn
+
+
+def value_expression(expr: str, colmap: dict[str, str] | None = None):
+    """ottl ParseValueExpression analogue (pkg/ottl/parser.go
+    ParseValueExpression; replayed by e2e Test_e2e_ottl_value_expressions):
+    compile a bare OTTL expression to a callable(batch) -> per-row value
+    (pa.Array) or scalar for literal-only expressions. Flat-model return
+    encoding: nested map/slice values come back as compact JSON text."""
+    node = parse_ottl_condition(expr)
+    cmap = dict(DEFAULT_COLMAP, **(colmap or {}))
+
+    def fn(batch: pa.Table):
+        ctx = _Ctx(batch, cmap)
+        return eval_expr(node, ctx)
 
     return fn

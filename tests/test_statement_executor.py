@@ -5,6 +5,11 @@ Statements below are transcribed VERBATIM from pkg/ottl/e2e/e2e_test.go
 the `want` bodies translated to the flat-table model. Flat-model
 divergences (typed map values stringified, nested values JSON-encoded) are
 documented in DIVERGENCES.md.
+
+Fixtures mirror the reference's three context constructors:
+  fixture()          <- constructLogTransformContext (converters/features)
+  fixture_editors()  <- constructLogTransformContextEditors
+  fixture_valexpr()  <- constructLogTransformContextValueExpressions
 """
 
 import datetime
@@ -17,35 +22,87 @@ import pytest
 from opentelemetry_collector_contrib_ray.pipelines.statements import (
     StatementGroupExecutor,
     transform_processor,
+    value_expression,
 )
 
+TRACE_ID = bytes(range(1, 17))
+SPAN_ID = bytes(range(1, 9))
+TS_NS = 1581452772000000321       # 2020-02-11T20:26:12.000000321Z
+OBS_NS = 1581452773000000789
 
-def fixture() -> pa.Table:
-    """The e2e canonical log record (e2e_test.go constructTransformContext)
-    as a one-row flat table."""
-    attrs = pa.array([[("http.method", "get"), ("http.path", "/health"),
-                       ("http.url", "http://localhost/health"),
-                       ("flags", "A|B|C"), ("total.string", "123456789")]],
-                     pa.map_(pa.string(), pa.string()))
-    res = pa.array([[("host.name", "localhost")]],
-                   pa.map_(pa.string(), pa.string()))
+FOO_JSON = ('{"bar":"pass","flags":"pass","slice":["val"],'
+            '"nested":{"test":"pass"}}')
+THINGS_JSON = '[{"name":"foo","value":2},{"name":"bar","value":5}]'
+
+
+def _envelope(attrs: pa.Array, res: pa.Array) -> pa.Table:
     return pa.table({
         "body": pa.array(["operationA"]),
-        "ts": pa.array([datetime.datetime(2020, 2, 11, 20, 26, 12, 321)],
-                       pa.timestamp("us")),
+        "ts": pa.array([TS_NS], pa.timestamp("ns")),
+        "observed_ts": pa.array([OBS_NS], pa.timestamp("ns")),
         "severity_number": pa.array([1], pa.int32()),
         "severity_text": pa.array([""]),
+        "trace_id": pa.array([TRACE_ID], pa.binary()),
+        "span_id": pa.array([SPAN_ID], pa.binary()),
+        "flags": pa.array([1], pa.uint32()),
         "attributes": attrs,
         "resource": res,
     })
 
 
-def run1(statement: str, conditions=None, error_mode="propagate") -> pa.Table:
+def fixture() -> pa.Table:
+    """constructLogTransformContext (e2e_test.go:1629) flat-encoded."""
+    attrs = pa.array([[
+        ("http.method", "get"), ("http.path", "/health"),
+        ("http.url", "http://localhost/health"), ("flags", "A|B|C"),
+        ("total.string", "123456789"), ("A|B|C", "something"),
+        ("foo", FOO_JSON), ("slice", "slice"), ("val", "val2"),
+        ("int_value", "0"), ("array", '["looong"]'),
+        ("things", THINGS_JSON)]], pa.map_(pa.string(), pa.string()))
+    res = pa.array([[("host.name", "localhost"), ("A|B|C", "newValue")]],
+                   pa.map_(pa.string(), pa.string()))
+    return _envelope(attrs, res)
+
+
+def fixture_editors() -> pa.Table:
+    """constructLogTransformContextEditors (e2e_test.go:1680)."""
+    attrs = pa.array([[
+        ("http.method", "get"), ("http.path", "/health"),
+        ("http.url", "http://localhost/health"), ("flags", "A|B|C"),
+        ("total.string", "123456789"),
+        ("conflict", '{"conflict1":{"conflict2":"pass"}}'),
+        ("conflict.conflict1", '{"conflict2":"nopass"}'),
+        ("foo", FOO_JSON), ("things", THINGS_JSON)]],
+        pa.map_(pa.string(), pa.string()))
+    res = pa.array([[("host.name", "localhost")]],
+                   pa.map_(pa.string(), pa.string()))
+    return _envelope(attrs, res)
+
+
+def fixture_valexpr() -> pa.Table:
+    """constructLogTransformContextValueExpressions (e2e_test.go:1727)."""
+    attrs = pa.array([[
+        ("http.method", "get"), ("http.path", "/health"),
+        ("http.url", "http://localhost/health"), ("flags", "A|B|C"),
+        ("total.string", "123456789"), ("A|B|C", "something"),
+        ("foo", '{"bar":"pass"}'), ("slice", "slice"), ("val", "val2"),
+        ("int_value", "0"), ("array", '["looong"]'),
+        ("foo2", '{"slice":["val"]}'),
+        ("foo3", '{"nested":{"test":"pass"}}'),
+        ("things", '[{"name":"foo"},{"name":"bar"}]')]],
+        pa.map_(pa.string(), pa.string()))
+    res = pa.array([[("host.name", "localhost"), ("A|B|C", "newValue")]],
+                   pa.map_(pa.string(), pa.string()))
+    return _envelope(attrs, res)
+
+
+def run1(statement: str, conditions=None, error_mode="propagate",
+         fx=fixture) -> pa.Table:
     fn = transform_processor([{
         "context": "log", "conditions": conditions or [],
         "statements": [statement], "error_mode": error_mode,
     }])
-    return fn(fixture())
+    return fn(fx())
 
 
 def attrs_of(t: pa.Table) -> dict:
@@ -55,9 +112,25 @@ def attrs_of(t: pa.Table) -> dict:
     return dict(a.to_pylist()[0])
 
 
+def res_of(t: pa.Table) -> dict:
+    a = t["resource"]
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return dict(a.to_pylist()[0])
+
+
 BASE = {"http.method": "get", "http.path": "/health",
         "http.url": "http://localhost/health", "flags": "A|B|C",
-        "total.string": "123456789"}
+        "total.string": "123456789", "A|B|C": "something",
+        "foo": FOO_JSON, "slice": "slice", "val": "val2",
+        "int_value": "0", "array": '["looong"]', "things": THINGS_JSON}
+
+EBASE = {"http.method": "get", "http.path": "/health",
+         "http.url": "http://localhost/health", "flags": "A|B|C",
+         "total.string": "123456789",
+         "conflict": '{"conflict1":{"conflict2":"pass"}}',
+         "conflict.conflict1": '{"conflict2":"nopass"}',
+         "foo": FOO_JSON, "things": THINGS_JSON}
 
 
 def _merged(**kv):
@@ -66,53 +139,200 @@ def _merged(**kv):
     return d
 
 
-# (statement, expected-attributes dict or checker(table))
-E2E_CASES = [
-    # --- editors (e2e_test.go Test_e2e_editors) ---
+def _emerged(**kv):
+    d = dict(EBASE)
+    d.update(kv)
+    return d
+
+
+def _jeq(key, want):
+    """checker: attributes[key] JSON-decodes to want."""
+    return lambda t: json.loads(attrs_of(t)[key]) == want
+
+
+_FLAT_STRS = {"http.method": "get", "http.path": "/health",
+              "http.url": "http://localhost/health", "flags": "A|B|C",
+              "total.string": "123456789"}
+
+
+def _prefixed(prefix, d):
+    return {f"{prefix}{k}": v for k, v in d.items()}
+
+
+# ---------------------------------------------------------------------------
+# Test_e2e_editors (fixture_editors)
+# ---------------------------------------------------------------------------
+
+E2E_EDITORS = [
     ('delete_key(attributes, "http.method")',
-     {k: v for k, v in BASE.items() if k != "http.method"}),
+     {k: v for k, v in EBASE.items() if k != "http.method"}),
     ('delete_matching_keys(attributes, "^http")',
-     {"flags": "A|B|C", "total.string": "123456789"}),
+     {k: v for k, v in EBASE.items() if not k.startswith("http")}),
     ('keep_matching_keys(attributes, "^http")',
-     {k: v for k, v in BASE.items() if k.startswith("http")}),
+     {k: v for k, v in EBASE.items() if k.startswith("http")}),
+    ('flatten(attributes)',
+     dict(_FLAT_STRS, **{
+         "conflict.conflict1.conflict2": "nopass",
+         "foo.bar": "pass", "foo.flags": "pass", "foo.slice.0": "val",
+         "foo.nested.test": "pass",
+         "things.0.name": "foo", "things.0.value": "2",
+         "things.1.name": "bar", "things.1.value": "5"})),
+    ('flatten(attributes, "test")',
+     _prefixed("test.", dict(_FLAT_STRS, **{
+         "conflict.conflict1.conflict2": "nopass",
+         "foo.bar": "pass", "foo.flags": "pass", "foo.slice.0": "val",
+         "foo.nested.test": "pass",
+         "things.0.name": "foo", "things.0.value": "2",
+         "things.1.name": "bar", "things.1.value": "5"}))),
+    ('flatten(attributes, "test", resolveConflicts=true)',
+     _prefixed("test.", dict(_FLAT_STRS, **{
+         "conflict.conflict1.conflict2": "pass",
+         "conflict.conflict1.conflict2.0": "nopass",
+         "foo.bar": "pass", "foo.flags": "pass", "foo.slice": "val",
+         "foo.nested.test": "pass",
+         "things.0.name": "foo", "things.0.value": "2",
+         "things.1.name": "bar", "things.1.value": "5"}))),
+    ('flatten(attributes, depth=1)',
+     dict(_FLAT_STRS, **{
+         "conflict.conflict1": '{"conflict2":"pass"}',
+         "conflict.conflict1.conflict2": "nopass",
+         "foo.bar": "pass", "foo.flags": "pass",
+         "foo.slice": '["val"]', "foo.nested": '{"test":"pass"}',
+         "things.0": '{"name":"foo","value":2}',
+         "things.1": '{"name":"bar","value":5}'})),
     ('keep_keys(attributes, ["flags", "total.string"])',
      {"flags": "A|B|C", "total.string": "123456789"}),
-    ('limit(attributes, 100, [])', BASE),
+    ('limit(attributes, 100, [])', EBASE),
     ('limit(attributes, 1, ["total.string"])',
      {"total.string": "123456789"}),
+    ('merge_maps(attributes, attributes["foo"], "insert")',
+     _emerged(bar="pass", slice='["val"]', nested='{"test":"pass"}')),
+    ('merge_maps(attributes, attributes["foo"], "update")',
+     _emerged(flags="pass")),
+    ('merge_maps(attributes, attributes["foo"], "upsert")',
+     _emerged(bar="pass", flags="pass", slice='["val"]',
+              nested='{"test":"pass"}')),
+    ('merge_maps(attributes, {"map_literal": {"list": [{"foo":"bar"}, "test"]}}, "upsert")',
+     _emerged(map_literal='{"list":[{"foo":"bar"},"test"]}')),
     ('replace_all_matches(attributes, "*/*", "test")',
-     _merged(**{"http.path": "test", "http.url": "test"})),
+     _emerged(**{"http.path": "test", "http.url": "test"})),
     ('replace_all_patterns(attributes, "key", "^http", "test")',
-     {"test.method": "get", "test.path": "/health",
-      "test.url": "http://localhost/health", "flags": "A|B|C",
-      "total.string": "123456789"}),
+     {("test" + k[4:] if k.startswith("http") else k): v
+      for k, v in EBASE.items()}),
     ('replace_all_patterns(attributes, "value", "/", "@")',
-     _merged(**{"http.path": "@health",
-                "http.url": "http:@@localhost@health"})),
+     _emerged(**{"http.path": "@health",
+                 "http.url": "http:@@localhost@health"})),
     ('replace_match(attributes["http.path"], "*/*", "test")',
-     _merged(**{"http.path": "test"})),
+     _emerged(**{"http.path": "test"})),
     ('replace_pattern(attributes["http.path"], "/", "@")',
-     _merged(**{"http.path": "@health"})),
-    ('set(attributes["test"], "pass")', _merged(test="pass")),
-    ('set(attributes["test"], nil)', BASE),
-    ('set(attributes["test"], attributes["unknown"])', BASE),
-    ('truncate_all(attributes, 100)', BASE),
+     _emerged(**{"http.path": "@health"})),
+    ('replace_pattern(attributes["http.path"], "/", "@", SHA256)',
+     _emerged(**{"http.path": hashlib.sha256(b"@").hexdigest() + "health"})),
+    ('set(attributes["test"], "pass")', _emerged(test="pass")),
+    ('set(attributes["test"], nil)', EBASE),
+    ('set(attributes["test"], attributes["unknown"])', EBASE),
+    ('set(attributes["foo"]["test"], "pass")',
+     _jeq("foo", {"bar": "pass", "flags": "pass", "slice": ["val"],
+                  "nested": {"test": "pass"}, "test": "pass"})),
+    ('truncate_all(attributes, 100)', EBASE),
     ('truncate_all(attributes, 1)',
-     {"http.method": "g", "http.path": "/", "http.url": "h",
-      "flags": "A", "total.string": "1"}),
-    # --- converters (Test_e2e_converters) ---
+     _emerged(**{"http.method": "g", "http.path": "/", "http.url": "h",
+                 "flags": "A", "total.string": "1"})),
+    ('append(attributes["foo"]["slice"], "sample_value")',
+     _jeq("foo", {"bar": "pass", "flags": "pass",
+                  "slice": ["val", "sample_value"],
+                  "nested": {"test": "pass"}})),
+    ('append(attributes["foo"]["flags"], "sample_value")',
+     _jeq("foo", {"bar": "pass", "flags": ["pass", "sample_value"],
+                  "slice": ["val"], "nested": {"test": "pass"}})),
+    ('append(attributes["foo"]["slice"], values=[5,6])',
+     _jeq("foo", {"bar": "pass", "flags": "pass", "slice": ["val", 5, 6],
+                  "nested": {"test": "pass"}})),
+    ('append(attributes["foo"]["new_slice"], values=[5,6])',
+     _jeq("foo", {"bar": "pass", "flags": "pass", "slice": ["val"],
+                  "nested": {"test": "pass"}, "new_slice": [5, 6]})),
+    ('keep_keys(attributes["foo"], ["\\\\", "bar"])',
+     _jeq("foo", {"bar": "pass"})),
+]
+
+
+@pytest.mark.parametrize("statement,expected", E2E_EDITORS,
+                         ids=[c[0][:70] for c in E2E_EDITORS])
+def test_e2e_editors_replay(statement, expected):
+    out = run1(statement, fx=fixture_editors)
+    if callable(expected):
+        assert expected(out), f"checker failed for {statement}"
+    else:
+        assert attrs_of(out) == expected
+
+
+# ---------------------------------------------------------------------------
+# Test_e2e_converters + Test_e2e_ottl_features (fixture)
+# ---------------------------------------------------------------------------
+
+# (statement, expected-attributes dict or checker(table))
+E2E_CASES = [
+    # --- complex / dynamic indexing (Test_e2e_converters head) ---
+    ('set(attributes[ConvertCase(attributes["A|B|C"], "upper")], "myvalue")',
+     _merged(SOMETHING="myvalue")),
+    ('set(attributes[ConvertCase(attributes[attributes["flags"]], "upper")], "myvalue")',
+     _merged(SOMETHING="myvalue")),
+    ('set(attributes[attributes["flags"]], "something33")',
+     _merged(**{"A|B|C": "something33"})),
+    ('set(attributes[attributes[attributes["flags"]]], "something2")',
+     _merged(something="something2")),
+    ('set(body, attributes["things"][Len(attributes["things"]) - 1]["name"])',
+     lambda t: t["body"].to_pylist() == ["bar"]),
+    ('set(body, attributes["things"][attributes["int_value"] + 1]["name"])',
+     lambda t: t["body"].to_pylist() == ["bar"]),
+    ('set(body, attributes[attributes["foo"][attributes["slice"]][attributes["int_value"] + 1 - 1]])',
+     lambda t: t["body"].to_pylist() == ["val2"]),
+    ('set(body, attributes[attributes["foo"][attributes["slice"]][attributes["int_value"]]])',
+     lambda t: t["body"].to_pylist() == ["val2"]),
+    ('set(resource.attributes[attributes["flags"]], "something33")',
+     lambda t: res_of(t)["A|B|C"] == "something33"),
+    ('set(resource.attributes[resource.attributes[attributes["flags"]]], "something33")',
+     lambda t: res_of(t)["newValue"] == "something33"),
+    ('set(attributes[resource.attributes[attributes["flags"]]], "something33")',
+     _merged(newValue="something33")),
+    ('set(body, attributes["array"])',
+     lambda t: json.loads(t["body"].to_pylist()[0]) == ["looong"]),
+    ('set(attributes["array"][attributes["int_value"]], 3)',
+     _jeq("array", [3])),
+    # --- converters ---
     ('set(attributes["test"], Base64Decode("cGFzcw=="))',
      _merged(test="pass")),
     ('set(attributes["test"], Decode("cGFzcw==", "base64"))',
      _merged(test="pass")),
     ('set(attributes["test"], {"list":[{"foo":"bar"}]})',
-     lambda t: json.loads(attrs_of(t)["test"]) == {"list": [{"foo": "bar"}]}),
+     _jeq("test", {"list": [{"foo": "bar"}]})),
+    ('set(attributes, {"list":[{"foo":"bar"}]})',
+     {"list": '[{"foo":"bar"}]'}),
+    ('set(attributes["arr"], [{"list":[{"foo":"bar"}]}, {"bar":"baz"}])',
+     _jeq("arr", [{"list": [{"foo": "bar"}]}, {"bar": "baz"}])),
+    ('set(attributes["test"], IsList([{"list":[{"foo":"bar"}]}, {"bar":"baz"}]))',
+     _merged(test="true")),
+    ('set(attributes["test"], IsMap({"list":[{"foo":"bar"}]}))',
+     _merged(test="true")),
+    ('set(attributes["test"], Len([{"list":[{"foo":"bar"}]}, {"bar":"baz"}]))',
+     _merged(test="2")),
     ('set(attributes["test"], IsList([1, 2]))', _merged(test="true")),
     ('set(attributes["test"], Len([1, 2, 3]))', _merged(test="3")),
+    ('set(attributes["test"], Len(attributes["foo"]))', _merged(test="4")),
+    ('set(attributes["test"], Len(attributes["things"]))', _merged(test="2")),
     ('set(attributes["test"], String(true))', _merged(test="true")),
+    ('set(attributes["test"], String("test"))', _merged(test="test")),
+    ('set(attributes["test"], String(attributes["http.method"]))',
+     _merged(test="get")),
+    ('set(attributes["test"], String(span_id))',
+     _merged(test="[1,2,3,4,5,6,7,8]")),
+    ('set(attributes["test"], String([1,2,3]))', _merged(test="[1,2,3]")),
     ('set(attributes["test"], ParseCSV("val1,val2,val3","header1|header2|header3",headerDelimiter="|",mode="strict"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == {
-         "header1": "val1", "header2": "val2", "header3": "val3"}),
+     _jeq("test", {"header1": "val1", "header2": "val2",
+                   "header3": "val3"})),
+    ('set(attributes["test"], ParseCSV("val1;val2;val3","header1|header2|header3",";","|","strict"))',
+     _jeq("test", {"header1": "val1", "header2": "val2",
+                   "header3": "val3"})),
     ('set(attributes["test"], "\\\\\\\\")', _merged(test="\\\\")),
     ('set(attributes["test"], Concat(["A","B"], ":"))', _merged(test="A:B")),
     ('set(attributes["test"], ConvertCase(attributes["http.method"], "upper"))',
@@ -130,10 +350,27 @@ E2E_CASES = [
     ('set(attributes["test"], ToUpperCase(attributes["http.method"]))',
      _merged(test="GET")),
     ('set(attributes["test"], ToLowerCase("PASS"))', _merged(test="pass")),
+    ('set(attributes["test"], ConvertAttributesToElementsXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+     _merged(test="<Log><Message>This is a log message!</Message>"
+                  "<id>1</id></Log>")),
+    ('set(body, ConvertTextToElementsXML("<a><b/>foo</a>"))',
+     lambda t: t["body"].to_pylist() ==
+     ["<a><b></b><value>foo</value></a>"]),
+    ('set(body, ConvertTextToElementsXML("<a><b/>foo</a><c><b/>bar</c>", "/a", "custom"))',
+     lambda t: t["body"].to_pylist() ==
+     ["<a><b></b><custom>foo</custom></a><c><b></b>bar</c>"]),
+    ('set(attributes["test"], Double(1.0))',
+     lambda t: float(attrs_of(t)["test"]) == 1.0),
+    ('set(attributes["test"], Double("1"))',
+     lambda t: float(attrs_of(t)["test"]) == 1.0),
+    ('set(attributes["test"], Double(true))',
+     lambda t: float(attrs_of(t)["test"]) == 1.0),
+    ('set(attributes["test"], Double(1))',
+     lambda t: float(attrs_of(t)["test"]) == 1.0),
     ('set(attributes["test"], "pass") where Time("10", "%M") - Time("01", "%M") < Duration("10m")',
      _merged(test="pass")),
     ('set(attributes["test"], ExtractPatterns("aa123bb", "(?P<numbers>\\\\d+)"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == {"numbers": "123"}),
+     _jeq("test", {"numbers": "123"})),
     ('set(attributes["test"], FNV("pass"))',
      _merged(test="266877920130663416")),
     ('set(attributes["test"], Format("%03d-%s", [7, "test"]))',
@@ -157,6 +394,10 @@ E2E_CASES = [
      _merged(test="pass")),
     ('set(attributes["test"], "pass") where IsDouble(1.0)',
      _merged(test="pass")),
+    ('set(attributes["test"], "pass") where IsMap(attributes["foo"])',
+     _merged(test="pass")),
+    ('set(attributes["test"], "pass") where IsList(attributes["foo"]["slice"])',
+     _merged(test="pass")),
     ('set(attributes["test"], "pass") where IsMatch("aa123bb", "\\\\d{3}")',
      _merged(test="pass")),
     ('set(attributes["test"], "pass") where IsString("")',
@@ -179,17 +420,34 @@ E2E_CASES = [
      _merged(test="1000000")),
     ('set(attributes["test"], "pass") where Now() - Now() < Duration("1h")',
      _merged(test="pass")),
-    ('set(attributes["test"], ParseCSV("val1;val2;val3","header1|header2|header3",";","|","strict"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == {
-         "header1": "val1", "header2": "val2", "header3": "val3"}),
     ('set(attributes["test"], ParseJSON("{\\"id\\":1}"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == {"id": "1"}),
+     _jeq("test", {"id": "1"})),
+    ('set(attributes["test"], ParseJSON("[\\"value1\\",\\"value2\\"]"))',
+     _jeq("test", ["value1", "value2"])),
     ('set(attributes["test"], ParseKeyValue("k1=v1 k2=v2"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == {"k1": "v1", "k2": "v2"}),
+     _jeq("test", {"k1": "v1", "k2": "v2"})),
     ('set(attributes["test"], ParseKeyValue("k1!v1_k2!v2", "!", "_"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == {"k1": "v1", "k2": "v2"}),
+     _jeq("test", {"k1": "v1", "k2": "v2"})),
+    ('set(attributes["test"], ParseKeyValue("k1!v1_k2!\\"v2__!__v2\\"", "!", "_"))',
+     _jeq("test", {"k1": "v1", "k2": "v2__!__v2"})),
     ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " ", true))',
      _merged(test="k1=v1 k2=v2")),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1:v1,k2:v2", ":" , ","), ":", ",", true))',
+     _merged(test="k1:v1,k2:v2")),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "!", "+", true))',
+     _merged(test="k1!v1+k2!v2")),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"), "=", " ", true))',
+     _merged(test='k1=v1 k2="v2=v3"')),
+    ('set(attributes["test"], ParseSimplifiedXML("<Log><id>1</id><Message>This is a log message!</Message></Log>"))',
+     lambda t: json.loads(json.loads(attrs_of(t)["test"])["Log"]) ==
+     {"id": "1", "Message": "This is a log message!"}),
+    ('set(attributes["test"], ParseXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+     lambda t: json.loads(attrs_of(t)["test"]) == {
+         "tag": "Log", "attributes": {"id": "1"},
+         "children": [{"tag": "Message",
+                       "content": "This is a log message!"}]}),
+    ('set(attributes["test"], RemoveXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>", "/Log/Message"))',
+     _merged(test='<Log id="1"></Log>')),
     ('set(attributes["test"], Seconds(Duration("1m")))',
      lambda t: float(attrs_of(t)["test"]) == 60.0),
     ('set(attributes["test"], SHA1("pass"))',
@@ -199,13 +457,27 @@ E2E_CASES = [
     ('set(attributes["test"], SHA512("pass"))',
      _merged(test=hashlib.sha512(b"pass").hexdigest())),
     ('set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == ["C", "B", "A"]),
+     _jeq("test", ["C", "B", "A"])),
+    ('set(attributes["test"], Sort([true, false, false]))',
+     _jeq("test", [False, False, True])),
     ('set(attributes["test"], Sort([3, 6, 9], "desc"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == [9, 6, 3]),
+     _jeq("test", [9, 6, 3])),
+    ('set(attributes["test"], Sort([Double(1.5), Double(10.2), Double(2.3), Double(0.5)]))',
+     _jeq("test", [0.5, 1.5, 2.3, 10.2])),
+    ('set(attributes["test"], Sort([Int(11), Double(2.2), Double(-1)]))',
+     _jeq("test", [-1, 2.2, 11])),
+    ('set(attributes["test"], Sort([false, Int(11), Double(2.2), "three"]))',
+     _jeq("test", [11, 2.2, False, "three"])),
+    ('set(span_id, SpanID(0x0000000000000000))',
+     lambda t: t["span_id"].to_pylist() == [b"\x00" * 8]),
+    ('set(trace_id, TraceID(0x00000000000000000000000000000000))',
+     lambda t: t["trace_id"].to_pylist() == [b"\x00" * 16]),
     ('set(attributes["test"], Split(attributes["flags"], "|"))',
-     lambda t: json.loads(attrs_of(t)["test"]) == ["A", "B", "C"]),
-    ('set(attributes["test"], String("test"))', _merged(test="test")),
+     _jeq("test", ["A", "B", "C"])),
     ('set(attributes["test"], Substring("pass", 0, 2))', _merged(test="pa")),
+    ('set(time, TruncateTime(time, Duration("1s")))',
+     lambda t: t["ts"].cast(pa.int64()).to_pylist() ==
+     [1581452772000000000]),
     ('set(attributes["time"], FormatTime(time, "%Y-%m-%d"))',
      _merged(time="2020-02-11")),
     ('set(attributes["test"], "pass") where UnixMicro(time) > 0',
@@ -223,18 +495,36 @@ E2E_CASES = [
     ('set(attributes["test"], UserAgent("curl/7.81.0"))',
      lambda t: json.loads(attrs_of(t)["test"])["name"] == "curl" and
      json.loads(attrs_of(t)["test"])["version"] == "7.81.0"),
-    # --- where clauses (Test_e2e_ottl) ---
+    ('set(attributes["test"], SliceToMap(attributes["things"], ["name"]))',
+     _jeq("test", {"foo": {"name": "foo", "value": 2},
+                   "bar": {"name": "bar", "value": 5}})),
+    ('set(attributes["test"], SliceToMap(attributes["things"], ["name"], ["value"]))',
+     _jeq("test", {"foo": 2, "bar": 5})),
+    # --- Test_e2e_ottl_features ---
     ('set(attributes["test"], "pass") where body == "operationB"', BASE),
     ('set(attributes["test"], "pass") where resource.attributes["host.name"] == "localhost"',
      _merged(test="pass")),
+    ('set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil',
+     _merged(foo="bar")),
     ('set(severity_number, SEVERITY_NUMBER_TRACE2) where severity_number == SEVERITY_NUMBER_TRACE',
      lambda t: t["severity_number"].to_pylist() == [2]),
+    ('set(attributes["test"], "pass") where trace_id == TraceID(0x0102030405060708090a0b0c0d0e0f10)',
+     _merged(test="pass")),
     ('set(attributes["test"], "pass") where IsMatch(body, "operation[AC]")',
      _merged(test="pass")),
     ('set(attributes["test"], "pass") where body == Concat(["operation", "A"], "")',
      _merged(test="pass")),
     ('merge_maps(attributes, ParseJSON("{\\"json_test\\":\\"pass\\"}"), "insert") where body == "operationA"',
      _merged(json_test="pass")),
+    ('set(attributes["test"], attributes["foo"]["bar"])',
+     _merged(test="pass")),
+    ('set(attributes["test"], attributes["metadata"]["uid"])', BASE),
+    ('set(body, {"_raw": body, "test": {"result": attributes["foo"]["bar"], "time": UnixNano(time)}})',
+     lambda t: json.loads(t["body"].to_pylist()[0]) == {
+         "_raw": "operationA",
+         "test": {"result": "pass", "time": 1581452772000000321}}),
+    ('set(attributes["isMap"], IsMap({"foo": {"bar": "baz", "test": "pass"}}))',
+     _merged(isMap="true")),
     ('set(attributes["my.environment.2"], Split(resource.attributes["host.name"],"h")[1])',
      _merged(**{"my.environment.2": "ost"})),
 ]
@@ -248,6 +538,79 @@ def test_e2e_replay(statement, expected):
         assert expected(out), f"checker failed for {statement}"
     else:
         assert attrs_of(out) == expected
+
+
+# Error-expectation cases (e2e errMsg rows): statement errors leave the
+# record unchanged; propagate surfaces the error, ignore swallows it.
+E2E_ERROR_CASES = [
+    'set(attributes["newOne"], attributes[1])',
+    'set(attributes["array"][0.0], "bar")',
+    'set(attributes["array"][ConvertCase(attributes["A|B|C"], "upper")], "bar")',
+]
+
+
+@pytest.mark.parametrize("statement", E2E_ERROR_CASES,
+                         ids=[s[:70] for s in E2E_ERROR_CASES])
+def test_e2e_error_cases(statement):
+    with pytest.raises(ValueError):
+        run1(statement)
+    out = run1(statement, error_mode="ignore")
+    assert attrs_of(out) == BASE
+
+
+# Test_e2e_ottl_statement_sequence: multi-statement flows over nested
+# map literals
+SEQUENCE_CASES = [
+    (['set(attributes["test"], {"foo":"bar", "list":[{"test":"hello"}]})',
+      'delete_key(attributes["test"], "foo")'],
+     _jeq("test", {"list": [{"test": "hello"}]})),
+    (['set(attributes["test"], {"foo":"bar", "list":[{"test":"hello"}]})',
+      'delete_matching_keys(attributes["test"], ".*oo")'],
+     _jeq("test", {"list": [{"test": "hello"}]})),
+    (['set(attributes["test"], {"foo":"bar", "list":[{"test":"hello"}]})',
+      'keep_matching_keys(attributes["test"], ".*ist")'],
+     _jeq("test", {"list": [{"test": "hello"}]})),
+    (['set(attributes["test"], {"foo":"bar", "list":[{"test":"hello"}]})',
+      'flatten(attributes["test"])'],
+     _jeq("test", {"foo": "bar", "list.0.test": "hello"})),
+]
+
+
+@pytest.mark.parametrize("statements,expected", SEQUENCE_CASES,
+                         ids=[c[0][1][:60] for c in SEQUENCE_CASES])
+def test_e2e_statement_sequence(statements, expected):
+    fn = transform_processor([{"statements": statements}])
+    assert expected(fn(fixture()))
+
+
+# Test_e2e_ottl_value_expressions (fixture_valexpr): bare expressions
+# evaluated to values; flat model returns nested values as JSON text.
+VALUE_EXPR_CASES = [
+    ('"foo"', "foo"),
+    ('resource.attributes["host.name"]', "localhost"),
+    ('SEVERITY_NUMBER_TRACE', 1),
+    ('TraceID(0x0102030405060708090a0b0c0d0e0f10)', TRACE_ID),
+    ('Len(attributes) + Len(attributes)', 28),
+    ('Hex(Len(attributes) + Len(attributes))', "000000000000001c"),
+    ('attributes["foo"]', lambda v: json.loads(v) == {"bar": "pass"}),
+    ('attributes["foo2"]', lambda v: json.loads(v) == {"slice": ["val"]}),
+    ('attributes["foo3"]',
+     lambda v: json.loads(v) == {"nested": {"test": "pass"}}),
+    ('attributes["things"]',
+     lambda v: json.loads(v) == [{"name": "foo"}, {"name": "bar"}]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", VALUE_EXPR_CASES,
+                         ids=[c[0][:60] for c in VALUE_EXPR_CASES])
+def test_e2e_value_expressions(expr, expected):
+    v = value_expression(expr)(fixture_valexpr())
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        v = v.to_pylist()[0]
+    if callable(expected):
+        assert expected(v), f"checker failed for {expr}"
+    else:
+        assert v == expected
 
 
 # --- executor semantics beyond single statements ---------------------------
@@ -346,12 +709,12 @@ DYNAMIC_CASES = [
     # e2e_test.go:408 — dynamic map key from another attribute's value
     ('set(attributes[attributes["flags"]], "something33")',
      _merged(**{"A|B|C": "something33"})),
-    # e2e_test.go:1236 — dynamic key in a where clause (key absent -> nil)
+    # e2e_test.go:1236 — dynamic key in a where clause (key present)
     ('set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil',
-     BASE),
+     _merged(foo="bar")),
     # dynamic key on the resource map
     ('set(resource.attributes[attributes["flags"]], "x")',
-     lambda t: dict(t["resource"].to_pylist()[0])["A|B|C"] == "x"),
+     lambda t: res_of(t)["A|B|C"] == "x"),
 ]
 
 
@@ -369,11 +732,11 @@ def test_dynamic_key_write_then_read_chain():
     fn = transform_processor([{
         "statements": [
             'set(attributes[attributes["flags"]], "something33")',
-            'set(attributes["foo"], "bar") where attributes[attributes["flags"]] != nil',
+            'set(attributes["zzz"], "bar") where attributes[attributes["flags"]] != nil',
         ],
     }])
     a = attrs_of(fn(fixture()))
-    assert a["A|B|C"] == "something33" and a["foo"] == "bar"
+    assert a["A|B|C"] == "something33" and a["zzz"] == "bar"
 
 
 def test_resource_context_group():
@@ -385,8 +748,7 @@ def test_resource_context_group():
         "statements": ['set(attributes["env"], "prod")'],
     }])
     out = fn(fixture())
-    res = dict(out["resource"].to_pylist()[0])
-    assert res["env"] == "prod"
+    assert res_of(out)["env"] == "prod"
     assert "env" not in attrs_of(out)  # log attributes untouched
 
 
@@ -464,3 +826,18 @@ def test_parser_binary_minus_without_spaces():
     assert attrs_of(out)["d"] == "4"  # len("A|B|C") == 5
     with pytest.raises(ValueError, match="expected ','"):
         run1('set(attributes["d"], 1 2)')
+
+
+def test_nested_read_is_vectorized_multirow():
+    """The static nested read compiles to one polars json_path_match —
+    verify multi-row behavior incl. missing keys and non-JSON rows."""
+    t = pa.table({
+        "body": pa.array(["a", "b", "c"]),
+        "attributes": pa.array(
+            [[("foo", '{"bar":"x"}')], [("foo", "plain")], []],
+            pa.map_(pa.string(), pa.string())),
+    })
+    fn = transform_processor([{
+        "statements": ['set(body, attributes["foo"]["bar"])'],
+    }])
+    assert fn(t)["body"].to_pylist() == ["x", "b", "c"]
