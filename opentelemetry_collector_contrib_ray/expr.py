@@ -90,6 +90,11 @@ class Expr:
     def starts_with(self, prefix: str):
         return _StartsWith(self, prefix)
 
+    def cast_string(self):
+        """String form of the value (pcommon Value.AsString analogue) for
+        regexp matching against non-string columns."""
+        return _CastString(self)
+
     __hash__ = None  # type: ignore[assignment]
 
 
@@ -217,6 +222,17 @@ class _StartsWith(Expr):
 
     def evaluate(self, batch):
         return pc.starts_with(self.inner.evaluate(batch), self.prefix)
+
+
+class _CastString(Expr):
+    def __init__(self, inner):
+        self.inner = inner
+
+    def evaluate(self, batch):
+        out = self.inner.evaluate(batch)
+        if pa.types.is_string(out.type) or pa.types.is_large_string(out.type):
+            return out
+        return pc.cast(out, pa.string())
 
 
 def col(name: str) -> Col:

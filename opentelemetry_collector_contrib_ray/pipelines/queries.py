@@ -227,6 +227,26 @@ def q_filter_errors(sf_dir: str):
                               "severity_text", "template"])
 
 
+def q_filter_matchers(sf_dir: str):
+    """filterprocessor declarative include/exclude matchers
+    (filterconfig/config.go:22-140 + filterlog/filterlog.go:30-130):
+    include regexp body + severity-min with match_undefined, exclude
+    strict attribute — keep = pass include AND miss exclude."""
+    from ..stages.filtermatch import (AttributeMatch, MatchProperties,
+                                      filter_logs)
+
+    include = MatchProperties(
+        match_type="regexp",
+        log_bodies=[r"GET|POST", r"error"],
+        severity_min=9, severity_match_undefined=True)
+    exclude = MatchProperties(
+        match_type="strict",
+        attributes=[AttributeMatch("tool", "bash")])
+    ds = filter_logs(build_parsed(sf_dir), include, exclude)
+    return ds.select_columns(["conv_id", "turn_idx", "severity_number",
+                              "tool", "template"])
+
+
 def q_dedup(sf_dir: str):
     """logdedupprocessor: one row per (template, severity_number, error_code)
     identity with count + first/last observed ts."""
@@ -1046,6 +1066,13 @@ def oracle_queries() -> dict[str, str]:
         "filter_errors": v + (
             "SELECT conv_id, turn_idx, severity_number, severity_text, "
             "template FROM routed WHERE severity_number >= 17"),
+        "filter_matchers": v + (
+            "SELECT conv_id, turn_idx, severity_number, tool, template "
+            "FROM routed "
+            "WHERE (regexp_matches(text, 'GET|POST') "
+            "       OR regexp_matches(text, 'error')) "
+            "AND (severity_number = 0 OR severity_number >= 9) "
+            "AND NOT (tool IS NOT NULL AND tool = 'bash')"),
         "log_dedup": v + (
             "SELECT template, severity_number, error_code, "
             "count(*) AS log_count, min(ts) AS first_observed_ts, "
@@ -1336,6 +1363,7 @@ def ray_queries() -> dict:
         "count_connector": q_count_connector,
         "sum_connector": q_sum_connector,
         "filter_errors": q_filter_errors,
+        "filter_matchers": q_filter_matchers,
         "log_dedup": q_dedup,
         "recombine": q_recombine,
         "sampler": q_sampler,
