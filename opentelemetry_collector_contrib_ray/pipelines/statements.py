@@ -222,38 +222,62 @@ def _adapter_truncate_time(ctx, args, kwargs):
     return F.truncate_time(_arr(target), unit)
 
 
+def _list_to_map(la: pa.ListArray, keys, items) -> pa.MapArray:
+    """Assemble map<string,string> from a list array's offsets; null list
+    rows become null maps (null offset slots)."""
+    off = la.offsets.to_numpy().astype("int32", copy=False)
+    mask = np.append(~la.is_valid().to_numpy(zero_copy_only=False), False)
+    return pa.MapArray.from_arrays(pa.array(off, pa.int32(), mask=mask),
+                                   keys, items)
+
+
+def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
+    """Vectorized ParseKeyValue (func_parse_key_value.go delegating to
+    internal/coreinternal/parseutils/parser.go SplitString+ParseKeyValue-
+    Pairs): one quote-aware token regex pass + splitn in polars, map
+    assembled from the list offsets — no per-row Python.
+
+    Token semantics mirror the scan form exactly (pinned in
+    test_statement_executor.py): a key runs to the next delimiter and is
+    whitespace-trimmed, a value immediately opened with '"' runs to the
+    closing quote (rest of string when unclosed), otherwise to the next
+    pair delimiter; delimiter-less trailing text is dropped."""
+    import re as _re
+
+    import polars as pl
+
+    D, P = _re.escape(delim), _re.escape(pair)
+    tok = f'[^{D}]+{D}(?:"[^"]*"|"[^"]*$|[^{P}]*)'
+    out = (pl.from_arrow(a).str.extract_all(tok)
+           .list.eval(pl.element().str.splitn(delim, 2))
+           .list.eval(pl.struct(
+               # the token regex leaves the inter-token pair delimiter on
+               # the key (scan form consumes it): drop exactly one, then
+               # whitespace-trim like parseutils
+               k=pl.element().struct.field("field_0")
+                 .str.replace(f"^{P}", "").str.strip_chars(),
+               v=pl.element().struct.field("field_1")
+                 .str.replace(r'^"([^"]*)"?$', "${1}"))))
+    la = out.to_arrow()
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    la = la.cast(pa.list_(pa.struct([("k", pa.string()),
+                                     ("v", pa.string())])))
+    return _list_to_map(la, la.values.field("k"), la.values.field("v"))
+
+
 def _adapter_parse_keyvalue(ctx, args, kwargs):
     target = args[0]
     delim = args[1] if len(args) > 1 else kwargs.get("delimiter", "=")
     pair = args[2] if len(args) > 2 else kwargs.get("pair_delimiter", " ")
-
-    def one(v: str):
-        out = []
-        i = 0
-        s = v
-        # quoted values may contain the pair delimiter
-        while i < len(s):
-            j = s.find(delim, i)
-            if j < 0:
-                break
-            key = s[i:j].strip()
-            if j + 1 < len(s) and s[j + 1] == '"':
-                k = s.find('"', j + 2)
-                val = s[j + 2:k if k > 0 else len(s)]
-                i = (k + 1 + len(pair)) if k > 0 else len(s)
-            else:
-                k = s.find(pair, j + 1)
-                val = s[j + 1:k if k >= 0 else len(s)]
-                i = (k + len(pair)) if k >= 0 else len(s)
-            out.append((key, val))
-        return out
-
-    a = _broadcast(target, ctx.n)
-    py = [None if v is None else one(v) for v in _arr(pc.cast(a, pa.string())).to_pylist()]
-    return pa.array(py, pa.map_(pa.string(), pa.string()))
+    a = _arr(pc.cast(_broadcast(target, ctx.n), pa.string()))
+    return _kv_to_map(a, delim, pair)
 
 
 def _adapter_parse_csv(ctx, args, kwargs):
+    """func_parse_csv.go: positional zip of static header names with the
+    split fields, truncated to the shorter side. Split + map assembly are
+    vectorized (pc.split_pattern + offset arithmetic)."""
     target = args[0]
     headers = args[1] if len(args) > 1 else kwargs.get("header")
     delim = args[2] if len(args) > 2 else kwargs.get("delimiter", ",")
@@ -261,14 +285,21 @@ def _adapter_parse_csv(ctx, args, kwargs):
                                                       delim)
     names = headers.split(hdelim)
 
-    def one(v: str):
-        vals = v.split(delim)
-        return list(zip(names, vals))
-
-    a = _broadcast(target, ctx.n)
-    py = [None if v is None else one(v)
-          for v in _arr(pc.cast(a, pa.string())).to_pylist()]
-    return pa.array(py, pa.map_(pa.string(), pa.string()))
+    a = _arr(pc.cast(_broadcast(target, ctx.n), pa.string()))
+    la = pc.split_pattern(a, delim)
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    off = la.offsets.to_numpy().astype("int64", copy=False)
+    counts = np.minimum(np.diff(off), len(names))
+    new_off = np.zeros(len(counts) + 1, dtype="int64")
+    np.cumsum(counts, out=new_off[1:])
+    within = (np.arange(int(new_off[-1]), dtype="int64")
+              - np.repeat(new_off[:-1], counts))
+    keys = pa.array(np.asarray(names, dtype=object)[within], pa.string())
+    items = la.values.take(pa.array(np.repeat(off[:-1], counts) + within))
+    mask = np.append(~la.is_valid().to_numpy(zero_copy_only=False), False)
+    offs = pa.array(new_off.astype("int32"), pa.int32(), mask=mask)
+    return pa.MapArray.from_arrays(offs, keys, items)
 
 
 def _adapter_parse_json(ctx, args, kwargs):
