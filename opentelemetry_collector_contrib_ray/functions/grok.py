@@ -39,6 +39,17 @@ BASE_PATTERNS: dict[str, str] = {
            r"|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}"),
     "HOSTNAME": (r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z]"
                  r"[0-9A-Za-z-]{0,62}))*\.?\b"),
+    # URI family (public logstash base + go-grok ECS aws set)
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "ELB_URIHOST": r"%{IPORHOST:[url][domain]}(?::%{POSINT:[url][port]:int})?",
+    "ELB_URIPATHPARAM":
+        r"%{URIPATH:[url][path]}(?:\?%{URIQUERY:[url][query]})?",
+    "ELB_URI": (r"%{URIPROTO:[url][scheme]}://"
+                r"(?:%{USER:[url][username]}(?::[^@]*)?@)?"
+                r"(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHPARAM})?"),
     "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
     "USER": r"[a-zA-Z0-9._-]+",
     "USERNAME": r"[a-zA-Z0-9._-]+",
@@ -104,9 +115,18 @@ class GrokCompiler:
             self.patterns.update(extra)
         self.max_depth = max_depth
 
-    def compile(self, expression: str) -> tuple[str, dict[str, pa.DataType]]:
-        """-> (RE2 source with named captures, {capture: arrow type})."""
+    def compile(self, expression: str) \
+            -> tuple[str, dict[str, pa.DataType], dict[str, str]]:
+        """-> (RE2 source with named captures, {capture: arrow type},
+        {capture group: display name}).
+
+        Display names follow go-grok's ECS convention: a ``[url][port]``
+        capture surfaces as ``url.port`` (nested-field syntax flattened
+        with dots); RE2 group names must be identifiers, so the group
+        carries a sanitized alias and the display map restores the real
+        name at extraction time."""
         types: dict[str, pa.DataType] = {}
+        names: dict[str, str] = {}
         seen_names: set[str] = set()
 
         def expand(expr: str, depth: int) -> str:
@@ -120,17 +140,20 @@ class GrokCompiler:
                 body = expand(self.patterns[pat], depth + 1)
                 if not name:
                     return f"(?:{body})"
+                display = (".".join(re.findall(r"\[(\w+)\]", name))
+                           if name.startswith("[") else name)
                 safe = re.sub(r"\W", "_", name)
                 if safe in seen_names:  # RE2 rejects duplicate group names
                     return f"(?:{body})"
                 seen_names.add(safe)
+                names[safe] = display
                 if typ:
                     types[safe] = _TYPE_CASTS.get(typ, pa.string())
                 return f"(?P<{safe}>{body})"
 
             return _GROK_REF.sub(sub, expr)
 
-        return expand(expression, 0), types
+        return expand(expression, 0), types, names
 
 
 def extract_grok_patterns(expression: str, parse_from: str = "text",
@@ -138,7 +161,7 @@ def extract_grok_patterns(expression: str, parse_from: str = "text",
                           on_error: str = "send"):
     """OTTL ExtractGrokPatterns as a map_batches stage: named captures ->
     columns (typed captures cast per the :type suffix)."""
-    regex, types = GrokCompiler(extra).compile(expression)
+    regex, types, names = GrokCompiler(extra).compile(expression)
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch[parse_from]
@@ -158,7 +181,7 @@ def extract_grok_patterns(expression: str, parse_from: str = "text",
                     arr = pc.cast(
                         pc.replace_substring_regex(arr, r"^\+", ""),
                         types[name])
-            batch = batch.append_column(prefix + name, arr)
+            batch = batch.append_column(prefix + names.get(name, name), arr)
         if on_error == "drop":
             batch = batch.filter(st.is_valid())
         return batch

@@ -608,14 +608,17 @@ def murmur3_hash128(col):
     return _dict_apply(col, one)
 
 
-def extract_patterns(col, pattern: str):
+def extract_patterns(col, pattern: str, names: dict[str, str] | None = None):
     """func_extract_patterns.go: named captures -> map<string,string>
-    (unmatched rows -> null map)."""
+    (unmatched rows -> null map). ``names`` renames capture groups to
+    display keys (grok ECS nested names like url.port)."""
     st = pc.extract_regex(_arr(col), pattern)
-    names = [st.type.field(i).name for i in range(st.type.num_fields)]
+    rename = names or {}
+    groups = [st.type.field(i).name for i in range(st.type.num_fields)]
+    names = [rename.get(g, g) for g in groups]
     n = len(st)
     valid_np = np.asarray(st.is_valid())
-    cols_py = [pc.struct_field(st, nm).to_pylist() for nm in names]
+    cols_py = [pc.struct_field(st, g).to_pylist() for g in groups]
     keys_flat, items_flat = [], []
     # offsets[i] = row start (None marks a null row); offsets[n] = total
     offsets: list[int | None] = []
@@ -928,9 +931,9 @@ def _extract_grok_registry(col, pattern: str, named_only: bool = True):
     """ExtractGrokPatterns as a registry converter: named captures -> map
     (compiled via the grok library in functions/grok.py)."""
     from .grok import GrokCompiler
-    regex, _types = GrokCompiler().compile(pattern)
+    regex, _types, names = GrokCompiler().compile(pattern)
     _ = named_only  # RE2 registry form captures named groups only
-    return extract_patterns(col, regex)
+    return extract_patterns(col, regex, names=names)
 
 
 REGISTRY["ExtractGrokPatterns"] = _extract_grok_registry

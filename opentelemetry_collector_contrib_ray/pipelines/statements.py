@@ -344,8 +344,8 @@ def _adapter_tokv(ctx, args, kwargs):
 def _adapter_grok(ctx, args, kwargs):
     from ..functions.grok import GrokCompiler
     target, pattern = args[0], args[1]
-    regex, _types = GrokCompiler().compile(pattern)
-    return F.extract_patterns(_broadcast(target, ctx.n), regex)
+    regex, _types, names = GrokCompiler().compile(pattern)
+    return F.extract_patterns(_broadcast(target, ctx.n), regex, names=names)
 
 
 def _adapter_slice_to_map(ctx, args, kwargs):

@@ -10,7 +10,7 @@ from opentelemetry_collector_contrib_ray.functions.grok import (
 
 
 def test_compile_simple():
-    rx, types = GrokCompiler().compile("%{INT:n:int} %{WORD:w}")
+    rx, types, _names = GrokCompiler().compile("%{INT:n:int} %{WORD:w}")
     assert "(?P<n>" in rx and "(?P<w>" in rx
     assert types == {"n": pa.int64()}
 
@@ -55,7 +55,7 @@ def test_on_error_drop():
 
 
 def test_duplicate_capture_names_skipped():
-    rx, _ = GrokCompiler().compile("%{INT:x} %{INT:x}")
+    rx, _, _ = GrokCompiler().compile("%{INT:x} %{INT:x}")
     import re as _re
     assert rx.count("(?P<x>") == 1  # RE2 rejects dup names; second is anon
     _ = _re
