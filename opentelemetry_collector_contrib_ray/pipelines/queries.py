@@ -247,6 +247,42 @@ def q_filter_matchers(sf_dir: str):
                               "tool", "template"])
 
 
+def q_tail_sample(sf_dir: str):
+    """tailsamplingprocessor policy vote, batch analogue
+    (tailsamplingprocessor/config.go:17-45, internal/sampling/*.go):
+    keep whole conversations sampled by ANY policy — and(status_code
+    ERROR + span_count>=40) OR latency>=400s OR numeric_attribute
+    latency_ms in [4900,5000]."""
+    from ..stages.tailsample import tail_sample
+
+    policies = [
+        {"type": "and", "and_sub_policy": [
+            {"type": "status_code", "status_codes": ["ERROR"]},
+            {"type": "span_count", "min_spans": 40},
+        ]},
+        {"type": "latency", "threshold_ms": 400_000},
+        {"type": "numeric_attribute", "key": "latency_ms",
+         "min_value": 4900, "max_value": 5000},
+    ]
+    out = tail_sample(build_parsed(sf_dir), policies,
+                      key_col="conv_id", ts_col="ts")
+    return out.select_columns(["conv_id", "turn_idx", "severity_number",
+                               "tool"])
+
+
+def q_tail_sample_rate(sf_dir: str):
+    """tailsampling rate_limiting policy (internal/sampling/
+    rate_limiting.go): per-second span budget consumed by traces in
+    (start_ts, key) order; three-stage plan (trace votes -> windowed
+    budget -> exact reduce-side semi-join)."""
+    from ..stages.tailsample import tail_sample
+
+    out = tail_sample(build_parsed(sf_dir),
+                      [{"type": "rate_limiting", "spans_per_second": 40}],
+                      key_col="conv_id", ts_col="ts")
+    return out.select_columns(["conv_id", "turn_idx"])
+
+
 def q_dedup(sf_dir: str):
     """logdedupprocessor: one row per (template, severity_number, error_code)
     identity with count + first/last observed ts."""
@@ -1078,6 +1114,25 @@ def oracle_queries() -> dict[str, str]:
             "count(*) AS log_count, min(ts) AS first_observed_ts, "
             "max(ts) AS last_observed_ts "
             "FROM routed GROUP BY template, severity_number, error_code"),
+        "tail_sample": v + (
+            ", g AS (SELECT conv_id, "
+            "epoch_us(max(ts)-min(ts)) AS dur_us, count(*) AS n, "
+            "max(CASE WHEN severity_number >= 17 THEN 1 ELSE 0 END) "
+            "AS has_err, "
+            "max(CASE WHEN latency_ms BETWEEN 4900 AND 5000 THEN 1 ELSE 0 "
+            "END) AS has_slow FROM routed GROUP BY conv_id) "
+            "SELECT r.conv_id, r.turn_idx, r.severity_number, r.tool "
+            "FROM routed r JOIN g USING (conv_id) "
+            "WHERE (g.has_err = 1 AND g.n >= 40) "
+            "OR g.dur_us >= 400000000 OR g.has_slow = 1"),
+        "tail_sample_rate": v + (
+            ", g AS (SELECT conv_id, min(ts) AS t0, count(*) AS n "
+            "FROM routed GROUP BY conv_id), "
+            "w AS (SELECT conv_id, sum(n) OVER ("
+            "PARTITION BY date_trunc('second', t0) "
+            "ORDER BY t0, conv_id ROWS UNBOUNDED PRECEDING) AS cum FROM g) "
+            "SELECT r.conv_id, r.turn_idx FROM routed r "
+            "JOIN w USING (conv_id) WHERE w.cum <= 40"),
         "recombine": _recombine_sql(),
         "sampler": (
             f"SELECT conv_id, turn_idx, role, tool "
@@ -1389,6 +1444,8 @@ def ray_queries() -> dict:
         "service_graph": q_service_graph,
         "delta_to_cumulative": q_delta_to_cumulative,
         "sessionize": q_sessionize,
+        "tail_sample": q_tail_sample,
+        "tail_sample_rate": q_tail_sample_rate,
         "window_counts": q_window_counts,
         "sum_events": q_sum_events,
         "grok_apache": q_grok,

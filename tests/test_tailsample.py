@@ -1,0 +1,168 @@
+"""tailsamplingprocessor batch analogue — policy vocabulary unit tests.
+
+Policy semantics sources:
+  - latency window [threshold, upper): internal/sampling/latency.go
+  - numeric/string/boolean attribute any-row matching + invert:
+    internal/sampling/{numeric,string,boolean}_tag_filter.go
+  - span_count min/max: internal/sampling/span_count_sampler.go
+  - status_code vocabulary: internal/sampling/status_code.go (severity
+    analogue documented in stages/tailsample.py)
+  - rate_limiting per-second budget: internal/sampling/rate_limiting.go
+  - composite ordered sub-policies with rate allocation:
+    internal/sampling/composite.go
+  - top-level OR + and policy: processor.go decision loop
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from opentelemetry_collector_contrib_ray.expr import col
+from opentelemetry_collector_contrib_ray.stages.tailsample import (
+    _GroupCtx, _eval_policy, semi_join_keys, tail_sample)
+
+US = 1_000_000
+
+
+def _tbl(rows):
+    cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+    t = {k: pa.array(v) for k, v in cols.items()}
+    if "ts" in t:
+        t["ts"] = pa.array(cols["ts"], pa.timestamp("us"))
+    return pa.table(t)
+
+
+def _ctx(rows):
+    t = _tbl(rows).sort_by([("k", "ascending"), ("ts", "ascending")])
+    return _GroupCtx(t, "k", "ts")
+
+
+BASE = [
+    # trace a: 3 rows, 5s duration, severities 17/5/0, tool bash
+    {"k": "a", "ts": 0, "sev": 17, "tool": "bash", "ms": 10.0, "ok": True},
+    {"k": "a", "ts": 3 * US, "sev": 5, "tool": "edit", "ms": None,
+     "ok": False},
+    {"k": "a", "ts": 5 * US, "sev": 0, "tool": None, "ms": 50.0,
+     "ok": None},
+    # trace b: 1 row, 0s duration, severity 9
+    {"k": "b", "ts": 10 * US, "sev": 9, "tool": "web", "ms": 200.0,
+     "ok": False},
+]
+
+
+@pytest.mark.parametrize("policy,want", [
+    ({"type": "always_sample"}, [True, True]),
+    ({"type": "latency", "threshold_ms": 4000}, [True, False]),
+    ({"type": "latency", "threshold_ms": 0, "upper_threshold_ms": 1},
+     [False, True]),
+    ({"type": "span_count", "min_spans": 2}, [True, False]),
+    ({"type": "span_count", "min_spans": 1, "max_spans": 1},
+     [False, True]),
+    ({"type": "numeric_attribute", "key": "ms", "min_value": 100},
+     [False, True]),
+    ({"type": "numeric_attribute", "key": "ms", "min_value": 0,
+      "max_value": 60, "invert_match": True}, [False, True]),
+    ({"type": "string_attribute", "key": "tool", "values": ["bash"]},
+     [True, False]),
+    ({"type": "string_attribute", "key": "tool", "values": ["w.b"],
+      "enabled_regex_matching": True}, [False, True]),
+    ({"type": "string_attribute", "key": "tool", "values": ["bash"],
+      "invert_match": True}, [False, True]),
+    ({"type": "boolean_attribute", "key": "ok", "value": True},
+     [True, False]),
+    ({"type": "boolean_attribute", "key": "ok", "value": False},
+     [True, True]),
+    ({"type": "status_code", "key": "sev", "status_codes": ["ERROR"]}, [True, False]),
+    ({"type": "status_code", "key": "sev", "status_codes": ["UNSET"]}, [True, False]),
+    ({"type": "status_code", "key": "sev", "status_codes": ["OK"]}, [True, True]),
+    ({"type": "and", "and_sub_policy": [
+        {"type": "status_code", "key": "sev", "status_codes": ["ERROR"]},
+        {"type": "span_count", "min_spans": 2}]}, [True, False]),
+])
+def test_policy_decisions(policy, want):
+    assert _eval_policy(policy, _ctx(BASE)).tolist() == want
+
+
+def test_ottl_condition_policy():
+    got = _eval_policy({"type": "ottl_condition",
+                        "conditions": [col("sev") >= 17]}, _ctx(BASE))
+    assert got.tolist() == [True, False]
+
+
+def test_probabilistic_matches_md5_identity():
+    import hashlib
+    ctx = _ctx(BASE)
+    got = _eval_policy({"type": "probabilistic",
+                        "sampling_percentage": 50}, ctx)
+    want = [int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 10000 < 5000
+            for k in ["a", "b"]]
+    assert got.tolist() == want
+
+
+def test_rate_policy_rejected_under_and():
+    with pytest.raises(ValueError):
+        _eval_policy({"type": "and", "and_sub_policy": [
+            {"type": "rate_limiting", "spans_per_second": 1}]}, _ctx(BASE))
+
+
+def test_tail_sample_dataset(ray_session):
+    ds = ray.data.from_arrow(_tbl(BASE))
+    out = tail_sample(ds, [{"type": "status_code", "key": "sev",
+                            "status_codes": ["ERROR"]}],
+                      key_col="k", ts_col="ts").to_pandas()
+    assert sorted(out["k"].unique()) == ["a"]
+    assert len(out) == 3  # whole trace kept
+
+
+def test_tail_sample_rate_budget(ray_session):
+    # two traces start in the same second: n=3 then n=1 in (t0, key)
+    # order; budget 3 keeps only trace a. trace c starts in a later
+    # second with a fresh budget.
+    rows = BASE + [{"k": "c", "ts": 2_000_000 * US, "sev": 1,
+                    "tool": None, "ms": None, "ok": None}]
+    # make a and b share a start second
+    rows = [dict(r) for r in rows]
+    for r in rows:
+        if r["k"] == "b":
+            r["ts"] = int(0.5 * US)
+    ds = ray.data.from_arrow(_tbl(rows))
+    out = tail_sample(ds, [{"type": "rate_limiting",
+                            "spans_per_second": 3}],
+                      key_col="k", ts_col="ts").to_pandas()
+    assert sorted(out["k"].unique()) == ["a", "c"]
+
+
+def test_tail_sample_composite(ray_session):
+    # composite: errors policy gets the whole budget, latency second in
+    # order; trace a assigned to errors (first match), b to latency
+    rows = [dict(r) for r in BASE]
+    policy = {"type": "composite", "max_total_spans_per_second": 100,
+              "composite_sub_policy": [
+                  {"name": "errs", "type": "status_code", "key": "sev",
+                   "status_codes": ["ERROR"]},
+                  {"name": "slow", "type": "numeric_attribute",
+                   "key": "ms", "min_value": 100}],
+              "rate_allocation": [{"policy": "errs", "percent": 50},
+                                  {"policy": "slow", "percent": 50}]}
+    out = tail_sample(ray.data.from_arrow(_tbl(rows)), [policy],
+                      key_col="k", ts_col="ts").to_pandas()
+    assert sorted(out["k"].unique()) == ["a", "b"]
+    # zero allocation for 'slow' -> b dropped
+    policy2 = dict(policy,
+                   rate_allocation=[{"policy": "errs", "percent": 100},
+                                    {"policy": "slow", "percent": 0}])
+    out2 = tail_sample(ray.data.from_arrow(_tbl(rows)), [policy2],
+                       key_col="k", ts_col="ts").to_pandas()
+    assert sorted(out2["k"].unique()) == ["a"]
+
+
+def test_semi_join_keys(ray_session):
+    data = ray.data.from_items(
+        [{"k": f"k{i % 5}", "v": i} for i in range(100)])
+    keys = ray.data.from_items([{"key": "k1"}, {"key": "k3"},
+                                {"key": "nope"}])
+    out = semi_join_keys(data, keys, key_col="k", keys_col="key",
+                         n_parts=8).to_pandas()
+    assert sorted(out["k"].unique()) == ["k1", "k3"]
+    assert len(out) == 40
