@@ -302,10 +302,62 @@ def _adapter_parse_csv(ctx, args, kwargs):
     return pa.MapArray.from_arrays(offs, keys, items)
 
 
+def _json_to_map_fast(a: pa.Array):
+    """Vectorized ParseJSON for the common uniform-log shape: every row a
+    flat JSON object with string/int/bool values and no JSON nulls. One
+    polars json_decode + arrow take — no per-row Python. Returns None when
+    the corpus doesn't fit (floats, nested values, mixed shapes, explicit
+    nulls), and the caller falls back to the exact scan path; the gate is
+    strict because the scan path's stringification (Python str(float),
+    "None" for JSON null) is pinned by the e2e replay and can't be
+    reproduced column-wise. Entry order follows the inferred schema — for
+    rows whose keys appear in differing orders this reorders vs the scan
+    path (pcommon maps are unordered in the reference, so only byte-level
+    re-encodes can observe it)."""
+    import polars as pl
+
+    s = pl.from_arrow(a)
+    try:
+        d = s.str.json_decode(infer_schema_length=None)
+    except Exception:
+        return None
+    if not isinstance(d.dtype, pl.Struct) or not d.dtype.fields:
+        return None
+    allowed = (pl.String, pl.Int64, pl.Boolean)
+    if any(f.dtype not in allowed for f in d.dtype.fields):
+        return None
+    valid = d.is_not_null().to_numpy()
+    df = d.struct.unnest()
+    fields = df.columns
+    # a null field inside a valid row is either an absent key or an
+    # explicit JSON null — both diverge from the scan path
+    n_invalid = int((~valid).sum())
+    if any(df[c].null_count() != n_invalid for c in fields):
+        return None
+    n, k = len(a), len(fields)
+    items_cols = [df[c].cast(pl.String).to_arrow().cast(pa.string())
+                  for c in fields]
+    cat = pa.concat_arrays([c.combine_chunks()
+                            if isinstance(c, pa.ChunkedArray) else c
+                            for c in items_cols])
+    rows = np.nonzero(valid)[0]
+    take = (np.arange(k)[None, :] * n + rows[:, None]).ravel()
+    items = cat.take(pa.array(take.astype(np.int64)))
+    keys = pa.array(np.tile(np.asarray(fields, dtype=object), len(rows)),
+                    pa.string())
+    counts = np.where(valid, k, 0)
+    offs = np.zeros(n + 1, dtype="int32")
+    np.cumsum(counts, out=offs[1:])
+    mask = np.append(~valid, False)
+    return pa.MapArray.from_arrays(pa.array(offs, pa.int32(), mask=mask),
+                                   keys, items)
+
+
 def _adapter_parse_json(ctx, args, kwargs):
     """Top-level object -> map<string,string> (flat model: scalar values
     stringified, Go-style for bools; nested values JSON-encoded —
-    DIVERGENCES.md)."""
+    DIVERGENCES.md). Uniform scalar-object corpora take the vectorized
+    polars path; anything else the exact per-row scan."""
     import json as _json
 
     def enc(v):
@@ -316,8 +368,11 @@ def _adapter_parse_json(ctx, args, kwargs):
         return str(v)
 
     a = _broadcast(args[0], ctx.n)
-    raw = [None if v is None else _json.loads(v)
-           for v in _arr(pc.cast(a, pa.string())).to_pylist()]
+    astr = _arr(pc.cast(a, pa.string()))
+    fast = _json_to_map_fast(astr)
+    if fast is not None:
+        return fast
+    raw = [None if v is None else _json.loads(v) for v in astr.to_pylist()]
     # pcommon distinguishes top-level object (pmap) from array (pslice);
     # the flat model keeps arrays as compact-JSON strings
     if raw and all(isinstance(d, list) for d in raw if d is not None) \
