@@ -213,25 +213,37 @@ def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
             return batch
         return fn
 
-    def fn_rowwise(batch: pa.Table) -> pa.Table:
-        import collections
-        texts = batch[parse_from].to_pylist()
-        rows = []
-        for t in texts:
-            d = {}
-            if t:
-                for pair in t.split(pair_delimiter):
-                    if delimiter in pair:
-                        k, _, v = pair.partition(delimiter)
-                        d[k] = v.strip('"')
-            rows.append(d)
-        allkeys = sorted(set().union(*[r.keys() for r in rows])) if rows else []
-        for k in allkeys:
-            batch = batch.append_column(
-                prefix + k, pa.array([r.get(k) for r in rows], pa.string()))
-        _ = collections
+    def fn_dynamic(batch: pa.Table) -> pa.Table:
+        """Dynamic-keys path, vectorized: split -> splitn -> last value
+        per (row, key) -> pivot to one column per discovered key (split
+        semantics: pairs without the delimiter are dropped, values strip
+        surrounding quotes, the LAST occurrence of a repeated key wins —
+        identical to the dict-assignment scan this replaces)."""
+        import polars as pl
+
+        col = batch[parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        e = (pl.DataFrame({"_i": pl.int_range(n, eager=True),
+                           "_s": pl.from_arrow(col)})
+             .with_columns(_t=pl.col("_s").str.split(pair_delimiter))
+             .explode("_t")
+             .with_columns(_kv=pl.col("_t").str.splitn(delimiter, 2))
+             .unnest("_kv")
+             .filter(pl.col("field_1").is_not_null())
+             .group_by("_i", "field_0")
+             .agg(_v=pl.col("field_1").str.strip_chars('"').last()))
+        if e.height == 0:
+            return batch
+        piv = e.pivot(on="field_0", index="_i", values="_v") \
+            .join(pl.DataFrame({"_i": pl.int_range(n, eager=True)}),
+                  on="_i", how="right").sort("_i")
+        for k in sorted(c for c in piv.columns if c != "_i"):
+            arr = piv[k].to_arrow().cast(pa.string())
+            batch = batch.append_column(prefix + k, arr)
         return batch
-    return fn_rowwise
+    return fn_dynamic
 
 
 def json_parser(parse_from: str = "text", fields: dict[str, str] | None = None,
