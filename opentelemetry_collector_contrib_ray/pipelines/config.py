@@ -330,6 +330,29 @@ def build_from_config(ds: Dataset, cfg: dict) -> Dataset:
         from .statements import transform_processor
         ds = ds.map_batches(transform_processor(cfg["transform"]),
                             batch_format="pyarrow", batch_size=None)
+    if cfg.get("filter_matchers"):
+        # filterprocessor declarative include/exclude
+        # (filterconfig/config.go:22-30 MatchConfig)
+        from ..stages.filtermatch import (filter_logs,
+                                          match_properties_from_dict)
+        fm = cfg["filter_matchers"]
+        cols = {k: fm[k] for k in ("body_col", "severity_text_col",
+                                   "severity_number_col") if k in fm}
+        ds = filter_logs(
+            ds,
+            include=(match_properties_from_dict(fm["include"])
+                     if fm.get("include") else None),
+            exclude=(match_properties_from_dict(fm["exclude"])
+                     if fm.get("exclude") else None),
+            **cols)
+    if cfg.get("tail_sampling"):
+        # tailsamplingprocessor policy list (config.go:50-70), batch
+        # analogue keyed on the trace/conversation column
+        from ..stages.tailsample import tail_sample
+        tsc = cfg["tail_sampling"]
+        ds = tail_sample(ds, tsc["policies"],
+                         key_col=tsc.get("trace_key", "conv_id"),
+                         ts_col=tsc.get("ts_col", "ts"))
     if cfg.get("routes"):
         ds = ds.map_batches(compile_routes(cfg), batch_format="pyarrow",
                             batch_size=None)

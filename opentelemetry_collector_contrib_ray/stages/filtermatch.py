@@ -91,6 +91,31 @@ class MatchProperties:
             raise ValueError("match properties are empty")
 
 
+def match_properties_from_dict(d: dict) -> MatchProperties:
+    """Build MatchProperties from the collector's YAML/mapstructure shape
+    (filterconfig/config.go:68-140):
+
+        match_type: strict | regexp
+        log_bodies: [..]
+        log_severity_texts: [..]
+        log_severity_number: {min: N, match_undefined: bool}
+        attributes: [{key: K, value: V}, ..]
+        resources:  [{key: K, value: V}, ..]
+    """
+    sev = d.get("log_severity_number") or {}
+    return MatchProperties(
+        match_type=d.get("match_type", "strict"),
+        log_bodies=list(d.get("log_bodies", [])),
+        log_severity_texts=list(d.get("log_severity_texts", [])),
+        severity_min=sev.get("min"),
+        severity_match_undefined=bool(sev.get("match_undefined", False)),
+        attributes=[AttributeMatch(a["key"], a.get("value"))
+                    for a in d.get("attributes", [])],
+        resources=[AttributeMatch(a["key"], a.get("value"))
+                   for a in d.get("resources", [])],
+    )
+
+
 def _filterset(column: Expr, values: list[str], match_type: str) -> Expr:
     """filterset.FilterSet: strict = any exact equality, regexp = any
     unanchored pattern hit (Go regexp.MatchString)."""

@@ -148,3 +148,40 @@ def test_filter_logs_dataset_roundtrip(ray_session):
                               attributes=[AttributeMatch("tool", "bash")])
     out = filter_logs(ds, include, exclude).to_pandas()
     assert sorted(out["text"].tolist()) == ["GET /index", "error: boom"]
+
+
+def test_config_surface_wiring(ray_session):
+    # the collector YAML shape drives filter_matchers + tail_sampling
+    # through build_from_config (filterconfig mapstructure + tailsampling
+    # policy list)
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        build_from_config)
+    import pyarrow as pa
+    rows = [
+        {"conv_id": "a", "ts": 0, "text": "GET /x", "severity_number": 17,
+         "severity_text": "error", "tool": "editor"},
+        {"conv_id": "a", "ts": 1_000_000, "text": "GET /y",
+         "severity_number": 9, "severity_text": "info", "tool": "editor"},
+        {"conv_id": "b", "ts": 0, "text": "GET /z", "severity_number": 5,
+         "severity_text": "debug", "tool": "bash"},
+    ]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    t = t.set_column(t.column_names.index("ts"), "ts",
+                     pa.array([r["ts"] for r in rows], pa.timestamp("us")))
+    ds = ray.data.from_arrow(t)
+    cfg = {
+        "filter_matchers": {
+            "include": {"match_type": "regexp", "log_bodies": ["GET"]},
+            "exclude": {"match_type": "strict",
+                        "attributes": [{"key": "tool", "value": "bash"}]},
+        },
+        "tail_sampling": {
+            "trace_key": "conv_id",
+            "policies": [{"type": "status_code",
+                          "status_codes": ["ERROR"]}],
+        },
+    }
+    out = build_from_config(ds, cfg).to_pandas()
+    # b excluded by matcher; a sampled (has severity 17); both a-rows kept
+    assert sorted(out["conv_id"].unique()) == ["a"]
+    assert len(out) == 2
