@@ -142,8 +142,11 @@ def _walk_get(doc, segs_row):
                 return None
             cur = cur[i]
         else:
-            raise ValueError(
-                f"cannot index a scalar value with {s!r}")
+            # indexing into a scalar-valued row yields nil, matching the
+            # static path (polars json_path_match returns null there) —
+            # the same logical read must not change error behavior based
+            # on whether the key is per-row
+            return None
     return cur
 
 

@@ -265,11 +265,14 @@ def to_key_value_string(col, delimiter: str = "=",
             out_py.append(pair_delimiter.join(
                 f"{q(k)}{delimiter}{q(v)}" for k, v in pairs))
         return pa.array(out_py, pa.string())
-    needs_q = pc.or_(pc.match_substring(items_s, delimiter),
-                     pc.match_substring(items_s, pair_delimiter))
-    quoted = pc.if_else(
-        needs_q, pc.binary_join_element_wise('"', items_s, '"', ""), items_s)
-    pairs = pc.binary_join_element_wise(keys, quoted, delimiter)
+    def _quoted(a):
+        needs_q = pc.or_(pc.match_substring(a, delimiter),
+                         pc.match_substring(a, pair_delimiter))
+        return pc.if_else(
+            needs_q, pc.binary_join_element_wise('"', a, '"', ""), a)
+
+    pairs = pc.binary_join_element_wise(_quoted(keys), _quoted(items_s),
+                                        delimiter)
     lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pairs)
     out = pc.binary_join(lists, pair_delimiter)
     return pc.if_else(pa.array(valid), out, pa.nulls(len(valid), pa.string()))

@@ -242,15 +242,22 @@ _EPOCH_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
 
 def _epoch(col, target: str):
-    """timestamp[any unit] -> int64 epoch in target unit (func_unix_*.go;
-    truncating division like Go's Unix*())."""
+    """timestamp[any unit] -> int64 epoch in target unit (func_unix_*.go).
+    Go's Unix()/UnixMilli()/UnixMicro() FLOOR for pre-epoch instants (sec
+    is the floored quotient, nsec stays non-negative), so the down-convert
+    is floor division, not the truncate-toward-zero of pc.divide."""
     a = _arr(col)
     unit = a.type.unit if pa.types.is_timestamp(a.type) else "us"
     i = pc.cast(a, pa.int64())
     src, dst = _EPOCH_PER_S[unit], _EPOCH_PER_S[target]
     if dst >= src:
         return pc.multiply(i, dst // src)
-    return pc.divide(i, src // dst)
+    q = src // dst
+    # floor(i/q): truncate-toward-zero, then step negatives with a
+    # remainder down by one unit
+    mod = pc.subtract(i, pc.multiply(pc.divide(i, q), q))
+    adj = pc.if_else(pc.less(mod, 0), pc.add(mod, q), mod)
+    return pc.divide(pc.subtract(i, adj), q)
 
 
 def unix_seconds(col):

@@ -231,6 +231,35 @@ def _list_to_map(la: pa.ListArray, keys, items) -> pa.MapArray:
                                    keys, items)
 
 
+def _kv_scan_map(a, delim: str, pair: str) -> pa.MapArray:
+    """Exact per-row scan for ParseKeyValue — the reference semantics of
+    parseutils SplitString (quote-aware pair splitting) for arbitrary-
+    length delimiters. Used only for multi-character delimiters, where the
+    token-regex form below cannot apply."""
+    dl, pl_ = len(delim), len(pair)
+
+    def one(s: str):
+        out, i = [], 0
+        while i < len(s):
+            j = s.find(delim, i)
+            if j < 0:
+                break
+            key = s[i:j].strip()
+            if j + dl < len(s) and s[j + dl] == '"':
+                k = s.find('"', j + dl + 1)
+                val = s[j + dl + 1:k if k > 0 else len(s)]
+                i = (k + 1 + pl_) if k > 0 else len(s)
+            else:
+                k = s.find(pair, j + dl)
+                val = s[j + dl:k if k >= 0 else len(s)]
+                i = (k + pl_) if k >= 0 else len(s)
+            out.append((key, val))
+        return out
+
+    return pa.array([None if v is None else one(v) for v in a.to_pylist()],
+                    pa.map_(pa.string(), pa.string()))
+
+
 def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
     """Vectorized ParseKeyValue (func_parse_key_value.go delegating to
     internal/coreinternal/parseutils/parser.go SplitString+ParseKeyValue-
@@ -241,11 +270,17 @@ def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
     test_statement_executor.py): a key runs to the next delimiter and is
     whitespace-trimmed, a value immediately opened with '"' runs to the
     closing quote (rest of string when unclosed), otherwise to the next
-    pair delimiter; delimiter-less trailing text is dropped."""
+    pair delimiter; delimiter-less trailing text is dropped.
+
+    The token regex uses negated character classes, which only express
+    single-character delimiters; multi-character delimiters (e.g. ", ")
+    take the exact scan path instead."""
     import re as _re
 
     import polars as pl
 
+    if len(delim) != 1 or len(pair) != 1:
+        return _kv_scan_map(a, delim, pair)
     D, P = _re.escape(delim), _re.escape(pair)
     tok = f'[^{D}]+{D}(?:"[^"]*"|"[^"]*$|[^{P}]*)'
     out = (pl.from_arrow(a).str.extract_all(tok)
@@ -374,15 +409,21 @@ def _adapter_parse_json(ctx, args, kwargs):
         return fast
     raw = [None if v is None else _json.loads(v) for v in astr.to_pylist()]
     # pcommon distinguishes top-level object (pmap) from array (pslice);
-    # the flat model keeps arrays as compact-JSON strings
-    if raw and all(isinstance(d, list) for d in raw if d is not None) \
-            and any(d is not None for d in raw):
+    # the flat model keeps arrays as compact-JSON strings. The choice is
+    # per-row (never batch-composition-dependent): an object/array mix in
+    # ONE batch has no single Arrow column type, so it raises and the
+    # statement group's error_mode handles it.
+    has_list = any(isinstance(d, list) for d in raw)
+    has_dict = any(isinstance(d, dict) for d in raw)
+    if has_list and has_dict:
+        raise ValueError(
+            "ParseJSON: batch mixes top-level objects and arrays — not "
+            "representable as one flat-model column")
+    if has_list:
         return pa.array(
             [None if d is None else _json.dumps(d, separators=(",", ":"))
              for d in raw], pa.string())
-    py = [None if d is None else
-          ([(k, enc(x)) for k, x in d.items()] if isinstance(d, dict)
-           else [(str(i), enc(x)) for i, x in enumerate(d)])
+    py = [None if d is None else [(k, enc(x)) for k, x in d.items()]
           for d in raw]
     return pa.array(py, pa.map_(pa.string(), pa.string()))
 

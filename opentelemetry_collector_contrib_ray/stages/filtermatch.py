@@ -56,6 +56,26 @@ class _ColIfPresent(Expr):
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return pa.nulls(batch.num_rows, pa.string())
 
+class _StrictValueEq(Expr):
+    """Typed strict equality for attribute values. Arrow has no equality
+    kernel across unrelated type families (e.g. the all-null string column
+    a missing key materializes vs an int literal) — the reference's typed
+    compare (attributematcher.go) simply doesn't match there, so kernel
+    mismatch means False, never a task-killing raise."""
+
+    def __init__(self, inner: Expr, value):
+        self.inner = inner
+        self.value = value
+
+    def evaluate(self, batch: pa.Table):
+        c = self.inner.evaluate(batch)
+        try:
+            return pc.equal(c, pa.scalar(self.value))
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                pa.ArrowTypeError):
+            return pa.array([False] * batch.num_rows, pa.bool_())
+
+
 _MATCH_TYPES = ("strict", "regexp")
 
 
@@ -137,7 +157,7 @@ def _attr_match(m: AttributeMatch, match_type: str) -> Expr:
         return exists
     if match_type == "regexp":
         return exists & c.cast_string().match_re(str(m.value))
-    return exists & (c == lit(m.value))
+    return exists & _StrictValueEq(c, m.value)
 
 
 def compile_match(mp: MatchProperties, *, body_col: str = "text",

@@ -236,10 +236,18 @@ def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
              .agg(_v=pl.col("field_1").str.strip_chars('"').last()))
         if e.height == 0:
             return batch
-        piv = e.pivot(on="field_0", index="_i", values="_v") \
-            .join(pl.DataFrame({"_i": pl.int_range(n, eager=True)}),
-                  on="_i", how="right").sort("_i")
-        for k in sorted(c for c in piv.columns if c != "_i"):
+        # a discovered key literally named "_i" (or "_i_", ...) would
+        # collide with the pivot's index column: pick an index name not
+        # present among this batch's keys (the key set is small)
+        uniq = set(e["field_0"].to_list())
+        idx = "_i"
+        while idx in uniq:
+            idx += "_"
+        piv = e.rename({"_i": idx}).pivot(on="field_0", index=idx,
+                                          values="_v") \
+            .join(pl.DataFrame({idx: pl.int_range(n, eager=True)}),
+                  on=idx, how="right").sort(idx)
+        for k in sorted(c for c in piv.columns if c != idx):
             arr = piv[k].to_arrow().cast(pa.string())
             batch = batch.append_column(prefix + k, arr)
         return batch

@@ -86,11 +86,27 @@ class _GroupCtx:
         self.counts = self.ends - self.starts
         self.n_groups = len(self.starts)
         ts = table[ts_col]
-        tsv = pc.cast(ts.combine_chunks() if isinstance(ts, pa.ChunkedArray)
-                      else ts, pa.int64()).to_numpy(zero_copy_only=False)
-        # rows are ts-sorted within each key, so group min/max are edges
-        self.t0 = tsv[self.starts]
-        self.t1 = tsv[self.ends - 1]
+        tsc = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        # normalize any timestamp unit to microseconds before the int64
+        # view (latency /1000 -> ms and window //1e6 -> s below assume us);
+        # a bare integer epoch column is taken as already-us
+        if pa.types.is_timestamp(tsc.type):
+            tsc = pc.cast(tsc, pa.timestamp("us"))
+        ts_int = pc.cast(tsc, pa.int64())
+        valid = pc.is_valid(ts_int).to_numpy(zero_copy_only=False)
+        tsv = pc.fill_null(ts_int, 0).to_numpy(zero_copy_only=False)
+        # rows are (key, ts)-sorted with null ts at the group tail, so the
+        # non-null group min is the first row; the max needs a null-masked
+        # reduce (an all-null group gets int64 min/max sentinels -> its
+        # latency is meaningless and never samples, like the reference,
+        # which cannot see spans without timestamps at all)
+        if self.n_groups:
+            self.t0 = np.minimum.reduceat(
+                np.where(valid, tsv, np.iinfo(np.int64).max), self.starts)
+            self.t1 = np.maximum.reduceat(
+                np.where(valid, tsv, np.iinfo(np.int64).min), self.starts)
+        else:
+            self.t0 = self.t1 = np.zeros(0, np.int64)
 
     def group_any(self, row_mask: np.ndarray) -> np.ndarray:
         if self.n_groups == 0:
@@ -131,8 +147,16 @@ def _eval_policy(p: dict, ctx: _GroupCtx) -> np.ndarray:
             m &= ctx.counts <= mx
         return m
     if t == "numeric_attribute":
-        col = pc.cast(ctx.col(p["key"]), pa.float64())
-        v = col.to_numpy(zero_copy_only=False)
+        col = ctx.col(p["key"])
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # non-numeric strings simply don't match
+            # (numeric_tag_filter.go skips attrs that aren't numbers);
+            # pc.cast would abort the task on the first bad value
+            import polars as pl
+            v = pl.from_arrow(col).cast(pl.Float64, strict=False) \
+                .to_numpy().astype(np.float64)
+        else:
+            v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
         row = ~np.isnan(v)
         if p.get("min_value") is not None:
             row &= v >= float(p["min_value"])
@@ -197,12 +221,11 @@ def _eval_policy(p: dict, ctx: _GroupCtx) -> np.ndarray:
 
 def _sorted_partition(group: pa.Table, key_col: str, ts_col: str,
                       drop: list[str]) -> pa.Table:
+    # null ts rows are KEPT (they sort to their group's tail and are
+    # ignored by the time-based aggregates in _GroupCtx) so both plans —
+    # direct filter and semi-join — return the same rows for a sampled
+    # group: a sampler decides keep/drop per trace, it never edits rows
     group = group.drop_columns(drop)
-    tcol = group[ts_col]
-    if isinstance(tcol, pa.ChunkedArray):
-        tcol = tcol.combine_chunks()
-    if tcol.null_count:
-        group = group.filter(pc.is_valid(tcol))
     return group.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
 
 

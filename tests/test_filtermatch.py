@@ -185,3 +185,17 @@ def test_config_surface_wiring(ray_session):
     # b excluded by matcher; a sampled (has severity 17); both a-rows kept
     assert sorted(out["conv_id"].unique()) == ["a"]
     assert len(out) == 2
+
+
+def test_strict_attr_type_mismatch_is_no_match_not_crash():
+    """A strict AttributeMatch with a non-string value against a batch
+    lacking the column (or carrying it at an unrelated type) must simply
+    not match — attributematcher.go's typed compare never errors."""
+    mp = MatchProperties("strict",
+                         attributes=[AttributeMatch("code", 404)])
+    missing = pa.table({"text": ["a", "b"]})
+    assert compile_match(mp).mask(missing).to_pylist() == [False, False]
+    stringly = pa.table({"text": ["a", "b"], "code": ["404", "x"]})
+    assert compile_match(mp).mask(stringly).to_pylist() == [False, False]
+    typed = pa.table({"text": ["a", "b"], "code": [404, 500]})
+    assert compile_match(mp).mask(typed).to_pylist() == [True, False]

@@ -210,3 +210,24 @@ def test_hex_large_ints_exact():
     big = pa.array([9007199254740993, 2**63 - 1], pa.int64())
     assert ottl.hex_typed(big).to_pylist() == \
         ["0020000000000001", "7fffffffffffffff"]
+
+
+def test_unix_downconvert_floors_pre_epoch():
+    """Go's Unix()/UnixMilli()/UnixMicro() floor for pre-epoch instants
+    (sec is the floored quotient, nsec non-negative) — not truncate."""
+    a = pa.array([-500_000, 500_000, -1_500_000, 0], pa.timestamp("us"))
+    assert ottl.unix_seconds(a).to_pylist() == [-1, 0, -2, 0]
+    assert ottl.unix_milli(a).to_pylist() == [-500, 500, -1500, 0]
+    assert ottl.unix_nano(a).to_pylist() == [
+        -500_000_000, 500_000_000, -1_500_000_000, 0]
+
+
+def test_to_key_value_string_quotes_keys_both_paths():
+    """Keys containing a delimiter are quoted exactly like values, with
+    and without sortKeys (func_to_key_value_string.go writer)."""
+    from opentelemetry_collector_contrib_ray.functions import maps as m
+    arr = pa.array([[("k 1", "v1"), ("k2", "v 2")]],
+                   pa.map_(pa.string(), pa.string()))
+    want = '"k 1"=v1 k2="v 2"'
+    assert m.to_key_value_string(arr).to_pylist() == [want]
+    assert m.to_key_value_string(arr, sort_keys=True).to_pylist() == [want]

@@ -233,3 +233,15 @@ def test_rfc3164_preserves_existing_severity_on_unmatched():
     out = syslog_rfc3164_parser()(t)
     assert out["severity_number"].to_pylist()[1] == 17  # untouched
     assert out["severity_text"].to_pylist()[1] == "error"
+
+
+def test_keyvalue_dynamic_key_collides_with_pivot_index():
+    """A log key literally named '_i' (the pivot's index column) must not
+    abort the parse stage — key names are format/attacker controlled."""
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        keyvalue_parser)
+    fn = keyvalue_parser()
+    out = fn(pa.table({"text": ["_i=5 a=1", "b=2 a=3"]}))
+    assert out["attr__i"].to_pylist() == ["5", None]
+    assert out["attr_a"].to_pylist() == ["1", "3"]
+    assert out["attr_b"].to_pylist() == [None, "2"]

@@ -849,3 +849,63 @@ def test_nested_read_is_vectorized_multirow():
         "statements": ['set(body, attributes["foo"]["bar"])'],
     }])
     assert fn(t)["body"].to_pylist() == ["x", "b", "c"]
+
+
+def test_parse_keyvalue_multichar_delimiters():
+    """Multi-char pair delimiter takes the exact scan path (the token
+    regex can only express single-char delimiters via char classes)."""
+    out = run1('set(attributes["test"], '
+               'ParseKeyValue("path=/a b/c, id=7", "=", ", "))')
+    assert json.loads(attrs_of(out)["test"]) == {"path": "/a b/c",
+                                                 "id": "7"}
+
+
+def test_parse_keyvalue_multichar_key_delimiter():
+    out = run1('set(attributes["test"], '
+               'ParseKeyValue("k::v; j::w", "::", "; "))')
+    assert json.loads(attrs_of(out)["test"]) == {"k": "v", "j": "w"}
+
+
+def _pj_table(bodies):
+    attrs = pa.array([[] for _ in bodies], pa.map_(pa.string(), pa.string()))
+    return pa.table({"body": pa.array(bodies), "attributes": attrs})
+
+
+def test_parse_json_array_rows_always_encode_as_list_text():
+    """Top-level arrays -> JSON list text regardless of batch shape (the
+    scan fallback must agree with the uniform-batch branch; floats force
+    the fallback)."""
+    fn = transform_processor([{
+        "statements": ['set(attributes["test"], ParseJSON(body))'],
+    }])
+    out = fn(_pj_table(['[1.5,2]', '["a"]']))
+    got = [dict(m)["test"] for m in out["attributes"].to_pylist()]
+    assert got == ['[1.5,2]', '["a"]']
+
+
+def test_parse_json_mixed_object_array_batch_raises():
+    """An object/array mix in one batch has no single flat-model column
+    type — deterministic error, never batch-composition-dependent
+    index-keyed maps."""
+    fn = transform_processor([{
+        "statements": ['set(attributes["test"], ParseJSON(body))'],
+    }])
+    with pytest.raises(Exception, match="mixes top-level"):
+        fn(_pj_table(['[1.5,2]', '{"a":1}']))
+
+
+def test_dynamic_nested_read_scalar_row_yields_nil_like_static():
+    """attributes["foo"][<per-row key>] on a scalar-valued foo row returns
+    nil, matching the static-path polars json_path_match behavior."""
+    t = pa.table({
+        "body": pa.array(["a", "b"]),
+        "k": pa.array(["bar", "bar"]),
+        "attributes": pa.array(
+            [[("foo", '{"bar":"x"}')], [("foo", "plain")]],
+            pa.map_(pa.string(), pa.string())),
+    })
+    fn = transform_processor([{
+        "statements": ['set(body, attributes["foo"][k]) '
+                       'where attributes["foo"][k] != nil'],
+    }])
+    assert fn(t)["body"].to_pylist() == ["x", "b"]

@@ -166,3 +166,49 @@ def test_semi_join_keys(ray_session):
                          n_parts=8).to_pandas()
     assert sorted(out["k"].unique()) == ["k1", "k3"]
     assert len(out) == 40
+
+
+def test_group_ctx_normalizes_timestamp_unit():
+    """A ns-unit ts column must not inflate durations 1000x: a 5ms trace
+    fails threshold_ms=4000 and passes threshold_ms=5."""
+    t = pa.table({"k": ["a", "a"],
+                  "ts": pa.array([0, 5_000_000], pa.timestamp("ns"))})
+    ctx = _GroupCtx(t, "k", "ts")
+    assert _eval_policy({"type": "latency", "threshold_ms": 4000},
+                        ctx).tolist() == [False]
+    assert _eval_policy({"type": "latency", "threshold_ms": 5},
+                        ctx).tolist() == [True]
+
+
+def test_numeric_attribute_skips_non_numeric_strings():
+    """numeric_tag_filter.go skips attributes that aren't numbers — a
+    malformed string value must not abort the partition task."""
+    rows = [
+        {"k": "a", "ts": 0, "ms": "250"},
+        {"k": "a", "ts": US, "ms": "fast"},
+        {"k": "b", "ts": 0, "ms": "10"},
+    ]
+    got = _eval_policy({"type": "numeric_attribute", "key": "ms",
+                        "min_value": 100}, _ctx(rows))
+    assert got.tolist() == [True, False]
+
+
+def test_null_ts_rows_kept_in_both_plans(ray_session):
+    """A sampler decides keep/drop per trace and never edits rows: a
+    sampled trace's null-ts row survives the direct plan exactly like the
+    semi-join (rated) plan."""
+    rows = [
+        {"k": "a", "ts": 0, "sev": 17},
+        {"k": "a", "ts": None, "sev": 5},
+        {"k": "b", "ts": 0, "sev": 9},
+    ]
+    ds = ray.data.from_arrow(_tbl(rows))
+    pol = {"type": "status_code", "key": "sev", "status_codes": ["ERROR"]}
+    direct = tail_sample(ds, [pol], key_col="k", n_parts=4).to_pandas()
+    rated = tail_sample(
+        ds, [{"type": "and", "and_sub_policy": [pol]},
+             {"type": "rate_limiting", "spans_per_second": 0}],
+        key_col="k", n_parts=4).to_pandas()
+    assert len(direct) == 2 and set(direct["k"]) == {"a"}
+    assert direct["ts"].isna().sum() == 1
+    assert len(rated) == 2 and rated["ts"].isna().sum() == 1
