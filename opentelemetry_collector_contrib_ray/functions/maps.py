@@ -249,22 +249,18 @@ def to_key_value_string(col, delimiter: str = "=",
     _, offsets, keys, items, valid = _map_parts(col)
     items_s = pc.cast(items, pa.string())
     if sort_keys:
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
-            pa.StructArray.from_arrays([keys, items_s], ["k", "v"]))
+        # sort pairs within each row by (key, value) without leaving
+        # Arrow: one table sort on (row_id, k, v), then permute the
+        # flattened arrays — offsets are unchanged by a within-row sort
+        row_ids = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                            np.diff(offsets))
+        perm = pc.sort_indices(
+            pa.table({"r": pa.array(row_ids), "k": keys, "v": items_s}),
+            sort_keys=[("r", "ascending"), ("k", "ascending"),
+                       ("v", "ascending")])
+        keys = keys.take(perm)
+        items_s = items_s.take(perm)
 
-        def q(s: str) -> str:
-            return f'"{s}"' if (delimiter in s or pair_delimiter in s) else s
-
-        out_py = []
-        for row, ok in zip(lists.to_pylist(), valid):
-            if not ok:
-                out_py.append(None)
-                continue
-            pairs = sorted((d["k"], d["v"]) for d in row)
-            out_py.append(pair_delimiter.join(
-                f"{q(k)}{delimiter}{q(v)}" for k, v in pairs))
-        return pa.array(out_py, pa.string())
     def _quoted(a):
         needs_q = pc.or_(pc.match_substring(a, delimiter),
                          pc.match_substring(a, pair_delimiter))
