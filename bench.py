@@ -117,10 +117,30 @@ def run_once(num_cpus: int) -> dict:
     from opentelemetry_collector_contrib_ray.stages.recombine import (
         recombine_blocks)
     import ray.data as rd
-    tds = rd.read_parquet(transcripts_path(SF_DIR)) \
-        .select_columns(["conv_id", "turn_idx", "text", "ts"])
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
+    # file-aligned blocks: read_parquet would re-split blocks at arbitrary
+    # rows, voiding the conversation-contained contract recombine_blocks
+    # (and tail_sample pre_grouped below) relies on
+    tds = read_file_blocks(transcripts_path(SF_DIR),
+                           columns=["conv_id", "turn_idx", "text", "ts"])
     recombine_blocks(tds).count()
     queries["recombine"] = time.time() - t0
+
+    # tailsampling batch analogue: rate-limited plan = trace votes ->
+    # windowed budget -> reduce-side semi-join (the shuffle-heavy path)
+    t0 = time.time()
+    from opentelemetry_collector_contrib_ray.stages.tailsample import (
+        tail_sample)
+    tail_sample(
+        read_file_blocks(transcripts_path(SF_DIR),
+                         columns=["conv_id", "turn_idx", "text", "tool",
+                                  "ts"]),
+        [{"type": "string_attribute", "key": "tool",
+          "values": ["bash", "editor"]},
+         {"type": "rate_limiting", "spans_per_second": 50}],
+        key_col="conv_id", ts_col="ts", pre_grouped=True).count()
+    queries["tail_sample"] = time.time() - t0
 
     # training-data dedup family over the same transcript text (doc corpus
     # proxy: one doc per turn). Skipped above 2M rows: the scaling harness

@@ -174,8 +174,11 @@ def ensure_transcripts(sf_dir: str) -> str:
 
     Writes N part files split on conversation boundaries — the resumable
     input-partition unit (SURVEY.md §4). Written atomically (temp dir +
-    rename) so concurrent callers and resumed runs are safe; small row
-    groups let Ray Data split files into multiple blocks.
+    rename) so concurrent callers and resumed runs are safe. Row groups
+    (~64k rows, for read parallelism) are ALSO snapped to conversation
+    boundaries: Ray Data blocks align to whole row groups at this size,
+    so every block holds complete conversations — the contract
+    `recombine_blocks` and `tail_sample(pre_grouped=True)` rely on.
     """
     path = transcripts_path(sf_dir)
     if os.path.isdir(path) and os.listdir(path):
@@ -195,8 +198,18 @@ def ensure_transcripts(sf_dir: str) -> str:
         offsets = [0] + [int(conv_starts[c]) for c in cut_ids[1:-1]] + [table.num_rows]
         for i in range(n_files):
             part = table.slice(offsets[i], offsets[i + 1] - offsets[i])
-            pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"),
-                           row_group_size=65536)
+            local = conv_starts[(conv_starts > offsets[i])
+                                & (conv_starts < offsets[i + 1])] \
+                - offsets[i]
+            fname = os.path.join(tmp, f"part-{i:04d}.parquet")
+            with pq.ParquetWriter(fname, part.schema) as w:
+                pos = 0
+                while pos < part.num_rows:
+                    j = np.searchsorted(local, pos + 65536, side="left")
+                    nxt = int(local[j]) if j < len(local) \
+                        else part.num_rows
+                    w.write_table(part.slice(pos, nxt - pos))
+                    pos = nxt
         if not os.path.exists(path):
             try:
                 os.replace(tmp, path)

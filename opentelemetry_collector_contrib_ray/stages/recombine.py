@@ -12,10 +12,13 @@ Two physical plans:
 
 - ``recombine_blocks``: fully vectorized ``map_batches``. PARTITIONING
   ASSUMPTION (documented per SURVEY.md §2 custom-operator rule): each block
-  holds whole conversations with rows sorted by ``turn_idx`` — guaranteed by
-  our transcript partition layout (part files split on conversation
-  boundaries, generator emits sorted). Segments never span blocks because a
-  conversation's first row always starts a segment.
+  holds whole conversations with rows sorted by ``turn_idx``. File layout
+  alone does NOT give this: ``read_parquet`` re-splits output blocks at
+  arbitrary row boundaries to hit its parallelism target — read
+  conversation-contained part files with
+  ``sources.grouped.read_file_blocks`` (one file -> one block) instead.
+  Segments never span blocks because a conversation's first row always
+  starts a segment.
 
 - ``recombine_grouped``: general plan for arbitrary layouts —
   ``groupby(conv_id).map_groups`` (hash shuffle co-locates each

@@ -232,19 +232,29 @@ def _sorted_partition(group: pa.Table, key_col: str, ts_col: str,
 def tail_sample(ds: Dataset, policies: list[dict], *,
                 key_col: str = "conv_id", ts_col: str = "ts",
                 n_parts: int | None = None,
-                size_bytes: int | None = None) -> Dataset:
+                size_bytes: int | None = None,
+                pre_grouped: bool = False) -> Dataset:
     """Keep the rows of every group sampled by ANY policy (the reference's
     top-level OR across the policy list). Rate-limited policies take the
     three-stage windowed-budget plan; everything else decides in ONE pass
-    over the key-partitioned rows."""
+    over the key-partitioned rows.
+
+    ``pre_grouped=True`` declares that every group's rows are contained in
+    a single input block (the same partitioning assumption as
+    ``recombine_blocks``; produce such blocks with
+    ``sources.grouped.read_file_blocks`` — a plain ``read_parquet``
+    re-splits blocks at arbitrary rows and silently voids the contract).
+    Plain policies then decide block-locally with ZERO shuffle;
+    the rated plan computes its skinny per-trace vote rows block-locally,
+    dropping one full-data exchange (the data still shuffles once, in the
+    decision semi-join)."""
     n_parts = n_parts or adaptive_n_parts(size_bytes)
     if any(p["type"] in _RATE_TYPES for p in policies):
         return _tail_sample_rated(ds, policies, key_col=key_col,
-                                  ts_col=ts_col, n_parts=n_parts)
-    add_part = key_partitioner(key_col, n_parts)
+                                  ts_col=ts_col, n_parts=n_parts,
+                                  pre_grouped=pre_grouped)
 
-    def per_partition(group: pa.Table) -> pa.Table:
-        group = _sorted_partition(group, key_col, ts_col, ["_part"])
+    def decide(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return group
         ctx = _GroupCtx(group, key_col, ts_col)
@@ -253,6 +263,16 @@ def tail_sample(ds: Dataset, policies: list[dict], *,
             m |= _eval_policy(p, ctx)
         return group.filter(pa.array(np.repeat(m, ctx.counts)))
 
+    if pre_grouped:
+        return ds.map_batches(
+            lambda b: decide(_sorted_partition(b, key_col, ts_col, [])),
+            batch_format="pyarrow", batch_size=None)
+
+    add_part = key_partitioner(key_col, n_parts)
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        return decide(_sorted_partition(group, key_col, ts_col, ["_part"]))
+
     tagged = ds.map_batches(add_part, batch_format="pyarrow",
                             batch_size=None)
     return tagged.groupby("_part").map_groups(per_partition,
@@ -260,7 +280,8 @@ def tail_sample(ds: Dataset, policies: list[dict], *,
 
 
 def _tail_sample_rated(ds: Dataset, policies: list[dict], *, key_col: str,
-                       ts_col: str, n_parts: int) -> Dataset:
+                       ts_col: str, n_parts: int,
+                       pre_grouped: bool = False) -> Dataset:
     """Rate-limited plan: trace-level votes -> per-second budget ->
     semi-join sampled keys back. The budget is deterministic: traces
     consume their second-window's span budget in (t0, key) order
@@ -270,8 +291,8 @@ def _tail_sample_rated(ds: Dataset, policies: list[dict], *, key_col: str,
     rated = [p for p in policies if p["type"] in _RATE_TYPES]
     add_part = key_partitioner(key_col, n_parts)
 
-    def votes(group: pa.Table) -> pa.Table:
-        group = _sorted_partition(group, key_col, ts_col, ["_part"])
+    def votes(group: pa.Table, drop: list[str] = ("_part",)) -> pa.Table:
+        group = _sorted_partition(group, key_col, ts_col, list(drop))
         cols: dict = {}
         ctx = _GroupCtx(group, key_col, ts_col)
         cols["_tkey"] = pc.cast(ctx.group_keys(), pa.string())
@@ -295,10 +316,16 @@ def _tail_sample_rated(ds: Dataset, policies: list[dict], *, key_col: str,
                 cols[f"_r{j}"] = pa.array(np.zeros(ctx.n_groups, np.int64))
         return pa.table(cols)
 
-    trace_tbl = (ds.map_batches(add_part, batch_format="pyarrow",
-                                batch_size=None)
-                 .groupby("_part").map_groups(votes,
-                                              batch_format="pyarrow"))
+    if pre_grouped:
+        # groups are block-contained: one skinny vote row per trace comes
+        # straight off each block, no full-data exchange
+        trace_tbl = ds.map_batches(lambda b: votes(b, drop=()),
+                                   batch_format="pyarrow", batch_size=None)
+    else:
+        trace_tbl = (ds.map_batches(add_part, batch_format="pyarrow",
+                                    batch_size=None)
+                     .groupby("_part").map_groups(votes,
+                                                  batch_format="pyarrow"))
 
     # budget stage: windows are independent -> partition on the window id
     win_parts = max(32, n_parts // 4)

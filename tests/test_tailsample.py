@@ -212,3 +212,48 @@ def test_null_ts_rows_kept_in_both_plans(ray_session):
     assert len(direct) == 2 and set(direct["k"]) == {"a"}
     assert direct["ts"].isna().sum() == 1
     assert len(rated) == 2 and rated["ts"].isna().sum() == 1
+
+
+def test_pre_grouped_plans_match_shuffle_plans(ray_session):
+    """pre_grouped=True (block-contained groups) must return exactly the
+    shuffle plan's rows — plain and rated."""
+    rows = [
+        {"k": "a", "ts": 0, "sev": 17, "tool": "bash"},
+        {"k": "a", "ts": US, "sev": 5, "tool": "edit"},
+        {"k": "b", "ts": 0, "sev": 9, "tool": "bash"},
+        {"k": "c", "ts": 2 * US, "sev": 3, "tool": "web"},
+    ]
+    # one block holding complete groups satisfies the contract
+    ds = ray.data.from_arrow(_tbl(rows))
+    pols = [{"type": "string_attribute", "key": "tool",
+             "values": ["bash"]}]
+
+    def key_set(d):
+        return sorted(map(tuple, d[["k", "ts"]].itertuples(index=False)))
+
+    a = tail_sample(ds, pols, key_col="k", n_parts=4).to_pandas()
+    b = tail_sample(ds, pols, key_col="k", pre_grouped=True).to_pandas()
+    assert key_set(a) == key_set(b) and len(a) == 3
+
+    rpols = pols + [{"type": "rate_limiting", "spans_per_second": 100}]
+    c = tail_sample(ds, rpols, key_col="k", n_parts=4).to_pandas()
+    d = tail_sample(ds, rpols, key_col="k", n_parts=4,
+                    pre_grouped=True).to_pandas()
+    assert key_set(c) == key_set(d)
+
+
+def test_read_file_blocks_preserves_file_boundaries(ray_session, tmp_path):
+    """read_file_blocks: one file -> one block, so group-contained files
+    stay group-contained blocks (read_parquet would re-split them)."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": [f"g{i}"] * 4, "v": list(range(4))}),
+            str(tmp_path / f"part-{i}.parquet"))
+    ds = read_file_blocks(str(tmp_path), columns=["k"])
+    sizes = [b.num_rows for b in ds.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None)]
+    assert sorted(sizes) == [4, 4, 4]
+    assert ds.count() == 12
