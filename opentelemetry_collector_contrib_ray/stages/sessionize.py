@@ -21,20 +21,26 @@ from .shuffle import adaptive_n_parts, key_partitioner
 
 def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
                gap: str = "30m", n_parts: int | None = None,
-               size_bytes: int | None = None) -> Dataset:
+               size_bytes: int | None = None,
+               pre_grouped: bool = False) -> Dataset:
     """Sessions = maximal runs of a key's events where consecutive gaps are
     <= ``gap`` ('30m', '90s', '1h'). Returns per-session rows:
     (key, session_idx, session_start, session_end, n_events). Partition
     count is adaptive (cluster CPUs / input bytes) so per-task group size
-    stays bounded at scale."""
+    stays bounded at scale.
+
+    ``pre_grouped=True``: every key's rows are contained in one input
+    block (produce such blocks with ``sources.grouped.read_file_blocks``)
+    — sessions are then computed block-locally with zero shuffle."""
     unit = gap[-1]
     mult = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000}[unit]
     gap_us = int(float(gap[:-1]) * mult)
     n_parts = n_parts or adaptive_n_parts(size_bytes)
     add_part = key_partitioner(key_col, n_parts)
 
-    def per_partition(group: pa.Table) -> pa.Table:
-        group = group.drop_columns(["_part"])
+    def per_partition(group: pa.Table,
+                      drop: tuple = ("_part",)) -> pa.Table:
+        group = group.drop_columns(list(drop))
         tcol = group[ts_col]
         if isinstance(tcol, pa.ChunkedArray):
             tcol = tcol.combine_chunks()
@@ -79,6 +85,10 @@ def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
             "session_end": pa.array(ts[ends], pa.timestamp("us")),
             "n_events": pa.array((ends - starts + 1), pa.int64()),
         })
+
+    if pre_grouped:
+        return ds.map_batches(lambda b: per_partition(b, drop=()),
+                              batch_format="pyarrow", batch_size=None)
 
     tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return tagged.groupby("_part").map_groups(per_partition,

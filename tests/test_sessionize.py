@@ -61,3 +61,22 @@ def test_sessionize_drops_null_timestamps(ray_session):
     out = sessionize(ray.data.from_arrow(t), key_col="user_id",
                      gap="30m", n_parts=2).to_pandas()
     assert len(out) == 1 and int(out.n_events.iloc[0]) == 2
+
+
+def test_sessionize_pre_grouped_matches_shuffle(ray_session):
+    """pre_grouped (key-contained blocks) returns the same sessions as
+    the shuffle plan."""
+    import pyarrow as pa
+    US = 1_000_000
+    t = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([0, 10 * US, 4000 * US, 0], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    a = sessionize(ds, key_col="k", gap="30m",
+                   n_parts=4).to_pandas().sort_values(
+        ["k", "session_idx"]).reset_index(drop=True)
+    b = sessionize(ds, key_col="k", gap="30m",
+                   pre_grouped=True).to_pandas().sort_values(
+        ["k", "session_idx"]).reset_index(drop=True)
+    assert a.equals(b) and len(a) == 3
