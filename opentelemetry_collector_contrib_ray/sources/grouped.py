@@ -30,7 +30,11 @@ def _expand(paths: str | list[str]) -> list[str]:
     if isinstance(paths, str):
         if os.path.isdir(paths):
             return sorted(glob.glob(os.path.join(paths, "*.parquet")))
-        return sorted(glob.glob(paths)) or [paths]
+        if os.path.exists(paths):
+            return [paths]
+        # a glob with no matches (or a typo'd path) must fail on the
+        # driver, not inside a remote read task
+        return sorted(glob.glob(paths))
     return list(paths)
 
 

@@ -176,9 +176,13 @@ def ensure_transcripts(sf_dir: str) -> str:
     input-partition unit (SURVEY.md §4). Written atomically (temp dir +
     rename) so concurrent callers and resumed runs are safe. Row groups
     (~64k rows, for read parallelism) are ALSO snapped to conversation
-    boundaries: Ray Data blocks align to whole row groups at this size,
-    so every block holds complete conversations — the contract
-    `recombine_blocks` and `tail_sample(pre_grouped=True)` rely on.
+    boundaries — useful for row-group-granular readers, but NOT a block
+    containment guarantee: `read_parquet` re-splits output blocks at
+    arbitrary rows (measured in BASELINE.md), and a cache written by an
+    older version may have unaligned row groups. Stages that need
+    conversation-contained blocks (`recombine_blocks`,
+    `tail_sample`/`sessionize` `pre_grouped=True`) must read through
+    `sources.grouped.read_file_blocks` — the FILE split is the contract.
     """
     path = transcripts_path(sf_dir)
     if os.path.isdir(path) and os.listdir(path):

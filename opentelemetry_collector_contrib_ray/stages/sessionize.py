@@ -65,7 +65,15 @@ def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
         keys = group[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tsc = group[ts_col]
+        if isinstance(tsc, pa.ChunkedArray):
+            tsc = tsc.combine_chunks()
+        # normalize any timestamp unit to us before the int64 view (gap_us
+        # and the emitted timestamp[us] session bounds assume it); a bare
+        # integer epoch column is taken as already-us
+        if pa.types.is_timestamp(tsc.type):
+            tsc = pc.cast(tsc, pa.timestamp("us"))
+        ts = pc.cast(tsc, pa.int64()).to_numpy(zero_copy_only=False)
         from .metrics import key_change_mask
         key_change = key_change_mask(keys, n)
         gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])

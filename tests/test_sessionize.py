@@ -63,20 +63,42 @@ def test_sessionize_drops_null_timestamps(ray_session):
     assert len(out) == 1 and int(out.n_events.iloc[0]) == 2
 
 
-def test_sessionize_pre_grouped_matches_shuffle(ray_session):
+def test_sessionize_pre_grouped_matches_shuffle(ray_session, tmp_path):
     """pre_grouped (key-contained blocks) returns the same sessions as
-    the shuffle plan."""
+    the shuffle plan, across MULTIPLE blocks (read_file_blocks entry)."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
     US = 1_000_000
-    t = pa.table({
-        "k": ["a", "a", "a", "b"],
-        "ts": pa.array([0, 10 * US, 4000 * US, 0], pa.timestamp("us")),
-    })
-    ds = ray.data.from_arrow(t)
+    pq.write_table(pa.table({
+        "k": ["a", "a", "a"],
+        "ts": pa.array([0, 10 * US, 4000 * US], pa.timestamp("us")),
+    }), str(tmp_path / "f0.parquet"))
+    pq.write_table(pa.table({
+        "k": ["b", "c"],
+        "ts": pa.array([0, 5000 * US], pa.timestamp("us")),
+    }), str(tmp_path / "f1.parquet"))
+    ds = read_file_blocks(str(tmp_path))
     a = sessionize(ds, key_col="k", gap="30m",
                    n_parts=4).to_pandas().sort_values(
         ["k", "session_idx"]).reset_index(drop=True)
     b = sessionize(ds, key_col="k", gap="30m",
                    pre_grouped=True).to_pandas().sort_values(
         ["k", "session_idx"]).reset_index(drop=True)
-    assert a.equals(b) and len(a) == 3
+    assert a.equals(b) and len(a) == 4
+
+
+def test_sessionize_normalizes_timestamp_unit(ray_session):
+    """A ms-unit ts column: 40-minute-apart events split at gap=30m and
+    the emitted session bounds are true instants, not 1000x-compressed."""
+    import pyarrow as pa
+    t = pa.table({
+        "k": ["a", "a"],
+        "ts": pa.array([0, 2_400_000], pa.timestamp("ms")),
+    })
+    out = sessionize(ray.data.from_arrow(t), key_col="k", gap="30m",
+                     n_parts=2).to_pandas().sort_values(
+        "session_idx").reset_index(drop=True)
+    assert len(out) == 2
+    assert out["session_start"][1].timestamp() == 2400.0

@@ -214,17 +214,23 @@ def test_null_ts_rows_kept_in_both_plans(ray_session):
     assert len(rated) == 2 and rated["ts"].isna().sum() == 1
 
 
-def test_pre_grouped_plans_match_shuffle_plans(ray_session):
+def test_pre_grouped_plans_match_shuffle_plans(ray_session, tmp_path):
     """pre_grouped=True (block-contained groups) must return exactly the
-    shuffle plan's rows — plain and rated."""
-    rows = [
-        {"k": "a", "ts": 0, "sev": 17, "tool": "bash"},
-        {"k": "a", "ts": US, "sev": 5, "tool": "edit"},
-        {"k": "b", "ts": 0, "sev": 9, "tool": "bash"},
-        {"k": "c", "ts": 2 * US, "sev": 3, "tool": "web"},
-    ]
-    # one block holding complete groups satisfies the contract
-    ds = ray.data.from_arrow(_tbl(rows))
+    shuffle plan's rows — plain and rated — with the groups spread over
+    MULTIPLE blocks (read via read_file_blocks, the supported entry)."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
+    groups = {
+        "f0": [{"k": "a", "ts": 0, "sev": 17, "tool": "bash"},
+               {"k": "a", "ts": US, "sev": 5, "tool": "edit"}],
+        "f1": [{"k": "b", "ts": 0, "sev": 9, "tool": "bash"},
+               {"k": "c", "ts": 2 * US, "sev": 3, "tool": "web"}],
+        "f2": [{"k": "d", "ts": 3 * US, "sev": 17, "tool": "bash"}],
+    }
+    for name, rows in groups.items():
+        pq.write_table(_tbl(rows), str(tmp_path / f"{name}.parquet"))
+    ds = read_file_blocks(str(tmp_path))
     pols = [{"type": "string_attribute", "key": "tool",
              "values": ["bash"]}]
 
@@ -233,7 +239,7 @@ def test_pre_grouped_plans_match_shuffle_plans(ray_session):
 
     a = tail_sample(ds, pols, key_col="k", n_parts=4).to_pandas()
     b = tail_sample(ds, pols, key_col="k", pre_grouped=True).to_pandas()
-    assert key_set(a) == key_set(b) and len(a) == 3
+    assert key_set(a) == key_set(b) and len(a) == 4
 
     rpols = pols + [{"type": "rate_limiting", "spans_per_second": 100}]
     c = tail_sample(ds, rpols, key_col="k", n_parts=4).to_pandas()
