@@ -724,10 +724,18 @@ dur_nanoseconds = _dur_component(1e-9, True)
 
 def nanosecond(col):
     """func_nanosecond.go: t.Nanosecond() — ns within the second
-    (null in -> null out; the numpy round-trip would NaN-crash)."""
+    (null in -> null out; the numpy round-trip would NaN-crash). A ns-unit
+    column keeps its sub-us precision; bare ints are taken as us."""
     a = _arr(col)
-    us = pc.fill_null(pc.cast(a, pa.int64()), 0)         .to_numpy(zero_copy_only=False)
-    out = pa.array((us % 1_000_000) * 1000, pa.int64())
+    if pa.types.is_timestamp(a.type):
+        ns = pc.fill_null(pc.cast(pc.cast(a, pa.timestamp("ns")),
+                                  pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        out = pa.array(ns % 1_000_000_000, pa.int64())
+    else:
+        us = pc.fill_null(pc.cast(a, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        out = pa.array((us % 1_000_000) * 1000, pa.int64())
     return pc.if_else(pc.is_valid(a), out, pa.nulls(len(a), pa.int64()))
 
 
@@ -737,7 +745,12 @@ def millisecond(col):
 
 def microsecond(col):
     a = _arr(col)
-    us = pc.fill_null(pc.cast(a, pa.int64()), 0)         .to_numpy(zero_copy_only=False)
+    if pa.types.is_timestamp(a.type):
+        a2 = pc.cast(a, pa.timestamp("us"), safe=False)
+    else:
+        a2 = a
+    us = pc.fill_null(pc.cast(a2, pa.int64()), 0) \
+        .to_numpy(zero_copy_only=False)
     out = pa.array(us % 1_000_000, pa.int64())
     return pc.if_else(pc.is_valid(a), out, pa.nulls(len(a), pa.int64()))
 

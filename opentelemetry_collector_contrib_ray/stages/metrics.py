@@ -216,7 +216,14 @@ def delta_to_rate(ds: Dataset, *, key_col: str, order_col: str,
         starts = _segment_starts(group, key_col)
         v = pc.cast(group[value_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
-        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tsc = group[ts_col]
+        if isinstance(tsc, pa.ChunkedArray):
+            tsc = tsc.combine_chunks()
+        # normalize the unit before the /1e6 seconds conversion (a bare
+        # integer epoch column is taken as already-us)
+        if pa.types.is_timestamp(tsc.type):
+            tsc = pc.cast(tsc, pa.timestamp("us"), safe=False)
+        ts = pc.cast(tsc, pa.int64()).to_numpy(zero_copy_only=False)
         dt_us = ts - np.concatenate([[0], ts[:-1]])
         dt_s = dt_us / 1e6
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -72,7 +72,7 @@ def sessionize(ds: Dataset, *, key_col: str, ts_col: str = "ts",
         # and the emitted timestamp[us] session bounds assume it); a bare
         # integer epoch column is taken as already-us
         if pa.types.is_timestamp(tsc.type):
-            tsc = pc.cast(tsc, pa.timestamp("us"))
+            tsc = pc.cast(tsc, pa.timestamp("us"), safe=False)
         ts = pc.cast(tsc, pa.int64()).to_numpy(zero_copy_only=False)
         from .metrics import key_change_mask
         key_change = key_change_mask(keys, n)

@@ -91,7 +91,7 @@ class _GroupCtx:
         # view (latency /1000 -> ms and window //1e6 -> s below assume us);
         # a bare integer epoch column is taken as already-us
         if pa.types.is_timestamp(tsc.type):
-            tsc = pc.cast(tsc, pa.timestamp("us"))
+            tsc = pc.cast(tsc, pa.timestamp("us"), safe=False)
         ts_int = pc.cast(tsc, pa.int64())
         valid = pc.is_valid(ts_int).to_numpy(zero_copy_only=False)
         tsv = pc.fill_null(ts_int, 0).to_numpy(zero_copy_only=False)

@@ -141,3 +141,19 @@ def test_key_change_mask_nulls_equal():
     keys = pa.array(["a", "a", None, None, "b"])
     mask = key_change_mask(keys, 5)
     assert list(mask) == [True, False, True, False, True]
+
+
+def test_delta_to_rate_normalizes_timestamp_unit(ray_session):
+    """A ms-unit ts column must not inflate rates 1000x."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        delta_to_rate)
+    t = pa.table({
+        "k": ["a", "a"],
+        "ts": pa.array([0, 2000], pa.timestamp("ms")),  # 2s apart
+        "v": [0.0, 10.0],
+    })
+    out = delta_to_rate(ray.data.from_arrow(t), key_col="k",
+                        order_col="ts", value_col="v",
+                        n_parts=2).to_pandas().sort_values("ts")
+    assert out["rate"].dropna().tolist() == [5.0]  # 10 / 2s

@@ -231,3 +231,14 @@ def test_to_key_value_string_quotes_keys_both_paths():
     want = '"k 1"=v1 k2="v 2"'
     assert m.to_key_value_string(arr).to_pylist() == [want]
     assert m.to_key_value_string(arr, sort_keys=True).to_pylist() == [want]
+
+
+def test_sub_second_components_normalize_units():
+    """Nanosecond/Microsecond on ns- and ms-unit columns report the true
+    within-second component (no us-unit assumption)."""
+    ns = pa.array([1_500_000_123], pa.timestamp("ns"))  # 1.500000123 s
+    assert ottl.nanosecond(ns).to_pylist() == [500_000_123]
+    assert ottl.microsecond(ns).to_pylist() == [500_000]
+    ms = pa.array([1500], pa.timestamp("ms"))
+    assert ottl.nanosecond(ms).to_pylist() == [500_000_000]
+    assert ottl.microsecond(ms).to_pylist() == [500_000]
