@@ -42,7 +42,9 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
                    is_first_re: str = FIRST_ENTRY_RE,
                    is_last_re: str | None = None,
                    combine_with: str = "\n",
-                   overwrite_with: str = "oldest") -> pa.Table:
+                   overwrite_with: str = "oldest",
+                   match_col: str | None = None,
+                   keep_cols: list[str] | None = None) -> pa.Table:
     """Vectorized segment merge over one block (rows sorted per source).
 
     Boundary rule mirrors the recombine config's one-of is_first_entry /
@@ -52,8 +54,15 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     order, ts) envelope survives — 'oldest' (first row, the default) or
     'newest' (last row).
 
+    ``match_col`` lets the boundary regex test a DIFFERENT column than the
+    one being combined (transformer_test.go "CombineOtherThanCondition":
+    is_last on body.logtag, combine body.message). ``keep_cols`` are
+    carried through with the surviving envelope row's values — the
+    reference keeps the whole entry of the overwrite_with row, not just
+    its timestamp.
+
     Output: one row per logical entry — envelope per overwrite_with,
-    bodies joined with ``combine_with``, plus ``n_lines``.
+    bodies joined with ``combine_with``, plus ``n_lines`` and keep_cols.
     """
     if overwrite_with not in ("oldest", "newest"):
         raise ValueError("overwrite_with must be oldest|newest")
@@ -63,13 +72,17 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
         sch = batch.schema
         def _t(name, fallback):
             return sch.field(name).type if name in sch.names else fallback
-        return pa.table({
+        cols = {
             source_col: pa.array([], _t(source_col, pa.string())),
             order_col: pa.array([], _t(order_col, pa.int32())),
             "ts": pa.array([], _t("ts", pa.timestamp("us"))),
             body_col: pa.array([], _t(body_col, pa.string())),
             "n_lines": pa.array([], pa.int64()),
-        })
+        }
+        for c in (keep_cols or []):
+            if c not in cols:
+                cols[c] = pa.array([], _t(c, pa.string()))
+        return pa.table(cols)
     body = batch[body_col]
     if isinstance(body, pa.ChunkedArray):
         body = body.combine_chunks()
@@ -83,19 +96,25 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     # null-source rows are ONE source, not a segment break per row
     changed = pa.array(key_change_mask(src, n)) if n > 1 \
         else pa.array([True] * n, pa.bool_())
+    mcol = batch[match_col] if match_col else body
+    if isinstance(mcol, pa.ChunkedArray):
+        mcol = mcol.combine_chunks()
+    mcol = pc.cast(mcol, pa.string())
     if is_last_re is not None:
         # a match ENDS the segment: row i starts one iff row i-1 matched
-        is_last = pc.fill_null(pc.match_substring_regex(body, is_last_re),
+        is_last = pc.fill_null(pc.match_substring_regex(mcol, is_last_re),
                                False)
         prev_last = pa.concat_arrays(
             [pa.array([True]), is_last.slice(0, n - 1)])
         starts = pc.or_(prev_last, changed)
     else:
-        is_first = pc.fill_null(pc.match_substring_regex(body, is_first_re),
+        is_first = pc.fill_null(pc.match_substring_regex(mcol, is_first_re),
                                 True)
         starts = pc.or_(is_first, changed)
     seg = pc.cumulative_sum(pc.cast(starts, pa.int64()))
-    work = batch.select([source_col, order_col, "ts", body_col]) \
+    extras = [c for c in (keep_cols or [])
+              if c not in (source_col, order_col, "ts", body_col)]
+    work = batch.select([source_col, order_col, "ts", body_col] + extras) \
         .append_column("_seg", seg)
     env = "first" if overwrite_with == "oldest" else "last"
     # row-faithful envelope: first/last must take the actual first/last
@@ -107,20 +126,23 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
     i_body = work.column_names.index(body_col)
     work = work.set_column(i_body, body_col,
                            pc.fill_null(work[body_col], ""))
-    agg = work.group_by(["_seg"], use_threads=False).aggregate([
-        (source_col, env, keep_nulls), (order_col, env, keep_nulls),
-        ("ts", env, keep_nulls),
-        (body_col, "list"), (body_col, "count", count_all),
-    ])
+    agg = work.group_by(["_seg"], use_threads=False).aggregate(
+        [(source_col, env, keep_nulls), (order_col, env, keep_nulls),
+         ("ts", env, keep_nulls),
+         (body_col, "list"), (body_col, "count", count_all)]
+        + [(c, env, keep_nulls) for c in extras])
     joined = pc.binary_join(agg[f"{body_col}_list"].combine_chunks(),
                             combine_with)
-    return pa.table({
+    out = {
         source_col: agg[f"{source_col}_{env}"],
         order_col: agg[f"{order_col}_{env}"],
         "ts": agg[f"ts_{env}"],
         body_col: joined,
         "n_lines": pc.cast(agg[f"{body_col}_count"], pa.int64()),
-    })
+    }
+    for c in extras:
+        out[c] = agg[f"{c}_{env}"]
+    return pa.table(out)
 
 
 def recombine_blocks(ds: Dataset, **kw) -> Dataset:

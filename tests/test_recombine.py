@@ -121,3 +121,129 @@ def test_merge_segments_null_body_and_envelope():
     assert out["text"].to_pylist() == ["start", "\n end"]
     assert out["ts"].to_pylist() == [None,
                                      datetime.datetime(2024, 1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Reference case replay — pkg/stanza/operator/transformer/recombine/
+# transformer_test.go TestTransformer, transcribed to the batch model.
+# Streaming-only cases (force-flush timeout, max_batch_size, max_sources,
+# max_log_size) are out of batch scope — DIVERGENCES.md item 7.
+# ---------------------------------------------------------------------------
+
+T1 = 1586640841_000_000  # 2020-04-11T21:34:01Z in us
+T2 = 1586640842_000_000
+
+
+def _ref_tbl(rows, cols=("src", "idx", "ts", "body")):
+    data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+    t = {c: pa.array(v) for c, v in data.items()}
+    t["ts"] = pa.array(data["ts"], pa.timestamp("us"))
+    return pa.table(t)
+
+
+def _merge(t, **kw):
+    kw.setdefault("source_col", "src")
+    kw.setdefault("order_col", "idx")
+    kw.setdefault("body_col", "body")
+    return merge_segments(t, **kw)
+
+
+def test_ref_two_entries_last():
+    # transformer_test.go "TwoEntriesLast": IsLastEntry body == 'test2'
+    t = _ref_tbl([("s", 0, T1, "test1"), ("s", 1, T2, "test2")])
+    out = _merge(t, is_last_re="^test2$")
+    assert out["body"].to_pylist() == ["test1\ntest2"]
+    assert out["ts"].to_pylist()[0].timestamp() == T1 / 1e6  # oldest
+
+
+def test_ref_three_entries_first_newest_keeps_envelope_attrs():
+    # "ThreeEntriesFirstNewest": IsFirstEntry body == 'test1',
+    # overwrite_with newest — the newest row's whole entry survives,
+    # including its attributes
+    t = _ref_tbl([("s", 0, T1, "test1", "false"),
+                  ("s", 1, T2, "test2", "true"),
+                  ("s", 2, T2, "test1", "false")],
+                 cols=("src", "idx", "ts", "body", "base"))
+    out = _merge(t, is_first_re="^test1$", overwrite_with="newest",
+                 keep_cols=["base"])
+    assert out["body"].to_pylist() == ["test1\ntest2", "test1"]
+    assert out["base"].to_pylist() == ["true", "false"]
+    assert out["ts"].to_pylist()[0].timestamp() == T2 / 1e6
+
+
+def test_ref_three_entries_first_oldest_keeps_envelope_attrs():
+    # "ThreeEntriesFirstOldest"
+    t = _ref_tbl([("s", 0, T1, "test1", "true"),
+                  ("s", 1, T2, "test2", "false"),
+                  ("s", 2, T2, "test1", "true")],
+                 cols=("src", "idx", "ts", "body", "base"))
+    out = _merge(t, is_first_re="^test1$", overwrite_with="oldest",
+                 keep_cols=["base"])
+    assert out["body"].to_pylist() == ["test1\ntest2", "test1"]
+    assert out["base"].to_pylist() == ["true", "true"]
+    assert out["ts"].to_pylist()[0].timestamp() == T1 / 1e6
+
+
+def test_ref_entries_non_matching_for_first_entry():
+    # "EntriesNonMatchingForFirstEntry": nothing matches -> one combined
+    # entry (batch = complete input; the reference needs force-flush)
+    t = _ref_tbl([("s", 0, T1, "test2"), ("s", 1, T2, "test3"),
+                  ("s", 2, T2, "test4")])
+    out = _merge(t, is_first_re="^test1$")
+    assert out["body"].to_pylist() == ["test2\ntest3\ntest4"]
+
+
+def test_ref_first_entry_one_file_only():
+    # "EntriesMatchingForFirstEntryOneFileOnly": source = log.file.path
+    t = _ref_tbl([("file1", 0, T1, "start"), ("file1", 1, T1, "more1a"),
+                  ("file1", 2, T1, "start"), ("file1", 3, T2, "more1b"),
+                  ("file1", 4, T2, "start"), ("file2", 5, T2, "more2a"),
+                  ("file2", 6, T2, "more2b")])
+    out = _merge(t, is_first_re="^start$", overwrite_with="newest")
+    assert out["body"].to_pylist() == [
+        "start\nmore1a", "start\nmore1b", "start", "more2a\nmore2b"]
+    assert out["src"].to_pylist() == ["file1", "file1", "file1", "file2"]
+
+
+def test_ref_combine_with_empty_string():
+    # "CombineWithEmptyString"
+    t = _ref_tbl([("s", 0, T1, "test1"), ("s", 1, T1, "test2")])
+    out = _merge(t, is_last_re="^test2$", combine_with="")
+    assert out["body"].to_pylist() == ["test1test2"]
+
+
+STACK = ["Log message 1",
+         "Error: java.lang.Exception: Stack trace",
+         "        at java.lang.Thread.dumpStack(Thread.java:1336)",
+         "        at Main.demo3(Main.java:15)",
+         "        at Main.demo2(Main.java:12)",
+         "        at Main.demo1(Main.java:9)",
+         "        at Main.demo(Main.java:6)",
+         "        at Main.main(Main.java:3)",
+         "Another log message"]
+
+
+def test_ref_stacktrace():
+    # "Stacktrace": IsFirstEntry body matches "^[^\s]"
+    t = _ref_tbl([("s", i, T1, b) for i, b in enumerate(STACK)])
+    out = _merge(t, is_first_re=r"^[^\s]")
+    assert out["body"].to_pylist() == [
+        STACK[0], "\n".join(STACK[1:8]), STACK[8]]
+
+
+def test_ref_combine_other_than_condition():
+    # "CombineOtherThanCondition": is_last tests body.logtag == 'F',
+    # combine body.message, overwrite newest
+    rows = [("s", 0, T1, "Single entry log 1", "F"),
+            ("s", 1, T1, "This is a very very long line th", "P"),
+            ("s", 2, T1, "at is really really long and spa", "P"),
+            ("s", 3, T1, "ns across multiple log entries", "F")]
+    t = _ref_tbl(rows, cols=("src", "idx", "ts", "message", "logtag"))
+    out = _merge(t, body_col="message", match_col="logtag",
+                 is_last_re="^F$", combine_with="",
+                 overwrite_with="newest", keep_cols=["logtag"])
+    assert out["message"].to_pylist() == [
+        "Single entry log 1",
+        "This is a very very long line that is really really long and "
+        "spans across multiple log entries"]
+    assert out["logtag"].to_pylist() == ["F", "F"]
