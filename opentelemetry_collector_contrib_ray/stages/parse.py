@@ -213,42 +213,126 @@ def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
             return batch
         return fn
 
+    def _parseutils_pairs(s: str) -> dict:
+        """Exact parseutils.SplitString + ParseKeyValuePairs
+        (internal/coreinternal/parseutils/parser.go:16-82): quote-aware
+        pair split with quote stripping and backslash escapes, then
+        SplitN(2) + TrimSpace on both sides; pairs without the delimiter
+        are skipped (the reference records an error per pair and keeps
+        the rest); an unterminated quote raises -> whole row unparsed."""
+        result, cur = [], []
+        dl = len(pair_delimiter)
+        quote, esc = "", False
+        i, L = 0, len(s)
+        while i < L:
+            if quote == "" and s[i:i + dl] == pair_delimiter:
+                if cur:
+                    result.append("".join(cur))
+                    cur = []
+                i += dl
+                continue
+            ch = s[i]
+            if not esc:
+                if quote == "" and ch in "\"'":
+                    quote = ch
+                    i += 1
+                    continue
+                if ch == quote:
+                    quote = ""
+                    i += 1
+                    continue
+                esc = ch == "\\"
+            else:
+                esc = False
+            cur.append(ch)
+            i += 1
+        if quote:
+            raise ValueError("never reached the end of a quoted value")
+        if cur:
+            result.append("".join(cur))
+        out = {}
+        for p in result:
+            k, sep, v = p.partition(delimiter)
+            if not sep:
+                continue
+            out[k.strip()] = v.strip()
+        return out
+
     def fn_dynamic(batch: pa.Table) -> pa.Table:
-        """Dynamic-keys path, vectorized: split -> splitn -> last value
-        per (row, key) -> pivot to one column per discovered key (split
-        semantics: pairs without the delimiter are dropped, values strip
-        surrounding quotes, the LAST occurrence of a repeated key wins —
-        identical to the dict-assignment scan this replaces)."""
+        """Dynamic-keys path: rows WITHOUT quote/backslash characters go
+        through the vectorized split -> splitn -> last-value-per-(row,key)
+        -> pivot pipeline; rows WITH them take the exact parseutils scan
+        (quote-aware splitting can't be expressed as a plain substring
+        split). Both honor the reference semantics: keys/values
+        whitespace-trimmed, pairs without the delimiter dropped, LAST
+        occurrence of a repeated key wins."""
         import polars as pl
 
         col = batch[parse_from]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = batch.num_rows
-        e = (pl.DataFrame({"_i": pl.int_range(n, eager=True),
-                           "_s": pl.from_arrow(col)})
+        s = pl.from_arrow(col)
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        special = s.str.contains(r'["' + "'" + r'\\]').fill_null(False)
+        any_special = bool(special.any())
+        if any_special:
+            s_clean = (pl.DataFrame({"s": s, "m": special})
+                       .select(pl.when(pl.col("m")).then(None)
+                               .otherwise(pl.col("s")).alias("s"))["s"])
+        else:
+            s_clean = s
+        e = (pl.DataFrame({"_i": pl.int_range(n, eager=True), "_s": s_clean})
              .with_columns(_t=pl.col("_s").str.split(pair_delimiter))
              .explode("_t")
              .with_columns(_kv=pl.col("_t").str.splitn(delimiter, 2))
              .unnest("_kv")
              .filter(pl.col("field_1").is_not_null())
+             .with_columns(pl.col("field_0").str.strip_chars())
              .group_by("_i", "field_0")
-             .agg(_v=pl.col("field_1").str.strip_chars('"').last()))
-        if e.height == 0:
-            return batch
-        # a discovered key literally named "_i" (or "_i_", ...) would
-        # collide with the pivot's index column: pick an index name not
-        # present among this batch's keys (the key set is small)
-        uniq = set(e["field_0"].to_list())
-        idx = "_i"
-        while idx in uniq:
-            idx += "_"
-        piv = e.rename({"_i": idx}).pivot(on="field_0", index=idx,
-                                          values="_v") \
-            .join(pl.DataFrame({idx: pl.int_range(n, eager=True)}),
-                  on=idx, how="right").sort(idx)
-        for k in sorted(c for c in piv.columns if c != idx):
-            arr = piv[k].to_arrow().cast(pa.string())
+             .agg(_v=pl.col("field_1").str.strip_chars().last()))
+        piv_cols: dict = {}
+        if e.height:
+            # a discovered key literally named "_i" (or "_i_", ...) would
+            # collide with the pivot's index column: pick an index name
+            # not present among this batch's keys (the key set is small)
+            uniq = set(e["field_0"].to_list())
+            idx = "_i"
+            while idx in uniq:
+                idx += "_"
+            piv = e.rename({"_i": idx}).pivot(on="field_0", index=idx,
+                                              values="_v") \
+                .join(pl.DataFrame({idx: pl.int_range(n, eager=True)}),
+                      on=idx, how="right").sort(idx)
+            for k in piv.columns:
+                if k != idx:
+                    piv_cols[k] = piv[k].to_arrow().cast(pa.string())
+        scan_maps: dict = {}
+        if any_special:
+            sp_idx = np.nonzero(special.to_numpy())[0]
+            for ridx in sp_idx:
+                txt = s[int(ridx)]
+                if txt is None:
+                    continue
+                try:
+                    scan_maps[int(ridx)] = _parseutils_pairs(txt)
+                except ValueError:
+                    pass
+        scan_keys = {k for m in scan_maps.values() for k in m}
+        for k in sorted(set(piv_cols) | scan_keys):
+            arr = piv_cols.get(k)
+            if arr is None:
+                arr = pa.nulls(n, pa.string())
+            if k in scan_keys:
+                mask = np.zeros(n, bool)
+                vals = []
+                for ridx in sorted(scan_maps):
+                    if k in scan_maps[ridx]:
+                        mask[ridx] = True
+                        vals.append(scan_maps[ridx][k])
+                arr = pc.replace_with_mask(arr, pa.array(mask),
+                                           pa.array(vals, pa.string()))
             batch = batch.append_column(prefix + k, arr)
         return batch
     return fn_dynamic

@@ -245,3 +245,97 @@ def test_keyvalue_dynamic_key_collides_with_pivot_index():
     assert out["attr__i"].to_pylist() == ["5", None]
     assert out["attr_a"].to_pylist() == ["1", "3"]
     assert out["attr_b"].to_pylist() == [None, "2"]
+
+
+# ---------------------------------------------------------------------------
+# Reference case replay — pkg/stanza/operator/parser/keyvalue/parser_test.go
+# TestParser, transcribed to the batch model (flat columns instead of the
+# ParseFrom/ParseTo field plumbing).
+# ---------------------------------------------------------------------------
+
+def _kv_dyn(text, **kw):
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        keyvalue_parser)
+    out = keyvalue_parser(**kw)(pa.table({"text": [text]}))
+    return {c[len("attr_"):]: out[c].to_pylist()[0]
+            for c in out.column_names if c.startswith("attr_")
+            and out[c].to_pylist()[0] is not None}
+
+
+def test_ref_kv_simple():
+    assert _kv_dyn("name=stanza age=2") == {"name": "stanza", "age": "2"}
+
+
+def test_ref_kv_user_agent():
+    ua = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:40.0) "
+          "Gecko/20100101 Firefox/40.0")
+    assert _kv_dyn(f'requestClientApplication="{ua}"') == {
+        "requestClientApplication": ua}
+
+
+def test_ref_kv_quotes_removed():
+    assert _kv_dyn('name="stanza" age=2') == {"name": "stanza", "age": "2"}
+    assert _kv_dyn("description='stanza deployment number 5' x=y") == {
+        "description": "stanza deployment number 5", "x": "y"}
+    assert _kv_dyn('name=" stanza " age=2') == {"name": "stanza",
+                                                "age": "2"}
+
+
+def test_ref_kv_leading_and_trailing_space():
+    assert _kv_dyn('" name "=" stanza " age=2') == {"name": "stanza",
+                                                    "age": "2"}
+
+
+def test_ref_kv_double_delimiter():
+    assert _kv_dyn('name==" stanza " age==2     key==value',
+                   delimiter="==") == {
+        "name": "stanza", "age": "2", "key": "value"}
+
+
+def test_ref_kv_pair_delimiter():
+    assert _kv_dyn("name=stanza|age=2     | key=value",
+                   pair_delimiter="|") == {
+        "name": "stanza", "age": "2", "key": "value"}
+
+
+def test_ref_kv_pair_delimiter_multiline():
+    assert _kv_dyn("name=stanza^\nage=2^\nkey=value",
+                   pair_delimiter="^\n") == {
+        "name": "stanza", "age": "2", "key": "value"}
+
+
+def test_ref_kv_large():
+    body = ('name=stanza age=1 job="software engineering" '
+            'location="grand rapids michigan" src="10.3.3.76" '
+            "dst=172.217.0.10 protocol=udp sport=57112 dport=443 "
+            "translated_src_ip=96.63.176.3 translated_port=57112")
+    assert _kv_dyn(body) == {
+        "age": "1", "dport": "443", "dst": "172.217.0.10",
+        "job": "software engineering",
+        "location": "grand rapids michigan", "name": "stanza",
+        "protocol": "udp", "sport": "57112", "src": "10.3.3.76",
+        "translated_port": "57112", "translated_src_ip": "96.63.176.3"}
+
+
+def test_ref_kv_dell_sonic_wall_subset():
+    body = ('id=LVM_Sonicwall sn=22255555 time="2021-09-22 16:30:31" '
+            'msg="Web site hit" rule="6 (LAN->WAN)" '
+            'Category="Information Technology/Computers" '
+            'note="Policy: a0, Info: 888 " n=3412158')
+    got = _kv_dyn(body)
+    assert got["time"] == "2021-09-22 16:30:31"
+    assert got["msg"] == "Web site hit"
+    assert got["rule"] == "6 (LAN->WAN)"
+    assert got["note"] == "Policy: a0, Info: 888"
+    assert got["n"] == "3412158"
+
+
+def test_ref_kv_unterminated_quote_row_unparsed():
+    # parseutils: "never reached the end of a quoted value" errors the
+    # entry; batch form leaves the row's columns null
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        keyvalue_parser)
+    out = keyvalue_parser()(pa.table({"text": ['a="broken b=2',
+                                               "c=3 d=4"]}))
+    assert out["attr_c"].to_pylist() == [None, "3"]
+    assert "attr_a" not in out.column_names
