@@ -376,29 +376,115 @@ def _is_json(v: str) -> bool:
         return False
 
 
+def _read_csv_row(row: str, delimiter: str) -> list[str]:
+    """parseutils.ReadCSVRow (internal/coreinternal/parseutils/csv.go:
+    18-70): quote-aware single-entry CSV parse; embedded newlines split
+    the reader's output into multiple lines, and each subsequent line is
+    a continuation of the previous line's LAST field (joined with \\n)."""
+    import csv as _csv
+    import io as _io
+
+    lines = [ln for ln in _csv.reader(_io.StringIO(row),
+                                      delimiter=delimiter) if ln]
+    if not lines:
+        raise ValueError("no csv lines found")
+    joined = lines[0]
+    for nxt in lines[1:]:
+        joined[-1] += "\n" + nxt[0]
+        joined.extend(nxt[1:])
+    return joined
+
+
 def csv_parser(parse_from: str = "text", header: list[str] | None = None,
-               delimiter: str = ",", prefix: str = ""):
-    """stanza csv_parser (parser/csv/config.go:36-42): split into named
-    positional fields. Rows with fewer fields than the header yield nulls for
-    the missing positions (the reference handles short rows per-row via
-    on_error; pc.list_element would instead fail the whole batch), via the
-    same offset-arithmetic positional access as assign_keys."""
+               delimiter: str = ",", prefix: str = "",
+               header_col: str | None = None,
+               header_delimiter: str | None = None,
+               ignore_quotes: bool = False):
+    """stanza csv_parser (parser/csv/config.go:30-42, parser.go).
+
+    Semantics mirror the reference: the field count must EQUAL the header
+    count (MapCSVHeaders errors otherwise -> the row's parsed fields are
+    all null, the batch analogue of on_error=send); quotes protect
+    delimiters and are stripped unless ``ignore_quotes`` (which selects
+    the plain-split parse, generateSplitParseFunc); ``header_col`` reads
+    per-row headers from another column (header_attribute), split on
+    ``header_delimiter`` (defaults to ``delimiter``).
+
+    Plan: quote-free rows with the right field count go through one
+    vectorized split; rows with quotes (or a dynamic header) take the
+    exact per-row reader."""
     header = header or []
+    hdelim = header_delimiter or delimiter
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch[parse_from]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        col = pc.cast(col, pa.string())
+        n = batch.num_rows
+
+        if header_col is not None:
+            # dynamic per-row headers: exact path, discovered-column union
+            hcol = pc.cast(batch[header_col], pa.string()).to_pylist() \
+                if header_col in batch.column_names else [None] * n
+            maps: list[dict] = []
+            for txt, h in zip(col.to_pylist(), hcol):
+                d: dict = {}
+                if txt is not None and h:
+                    names = h.split(hdelim)
+                    try:
+                        fields = (txt.split(delimiter) if ignore_quotes
+                                  else _read_csv_row(txt, delimiter))
+                        if len(fields) == len(names):
+                            d = dict(zip(names, fields))
+                    except ValueError:
+                        pass
+                maps.append(d)
+            for name in sorted({k for d in maps for k in d}):
+                batch = batch.append_column(
+                    prefix + name,
+                    pa.array([d.get(name) for d in maps], pa.string()))
+            return batch
+
+        H = len(header)
         parts = pc.split_pattern(col, delimiter)
         offsets = np.asarray(parts.offsets)
         lengths = offsets[1:] - offsets[:-1]
         values = parts.values
+        if ignore_quotes:
+            special = np.zeros(n, bool)
+        else:
+            special = pc.fill_null(pc.match_substring(col, '"'), False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        # the reference errors a row whose field count != header count ->
+        # every parsed field null for that row
+        ok = (~special) & (lengths == H)
+        scan: dict[int, list[str]] = {}
+        if special.any():
+            for ridx in np.nonzero(special)[0]:
+                txt = col[int(ridx)].as_py()
+                if txt is None:
+                    continue
+                try:
+                    fields = _read_csv_row(txt, delimiter)
+                except ValueError:
+                    continue
+                if len(fields) == H:
+                    scan[int(ridx)] = fields
         for i, name in enumerate(header):
-            has = lengths > i
-            take = pa.array(np.where(has, offsets[:-1] + i, 0), pa.int64())
-            val = (pc.if_else(pa.array(has), pc.take(values, take),
-                              pa.nulls(batch.num_rows, values.type))
-                   if len(values) else pa.nulls(batch.num_rows, pa.string()))
+            take = pa.array(np.where(ok, offsets[:-1] + i, 0), pa.int64())
+            val = (pc.if_else(pa.array(ok), pc.take(values, take),
+                              pa.nulls(n, values.type))
+                   if len(values) else pa.nulls(n, pa.string()))
+            if scan:
+                mask = np.zeros(n, bool)
+                repl = []
+                for ridx in sorted(scan):
+                    mask[ridx] = True
+                    repl.append(scan[ridx][i])
+                val = pc.replace_with_mask(pc.cast(val, pa.string()),
+                                           pa.array(mask),
+                                           pa.array(repl, pa.string()))
             batch = batch.append_column(prefix + name, val)
         return batch
     return fn

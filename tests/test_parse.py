@@ -115,15 +115,17 @@ def test_syslog_rfc3164():
     assert out["syslog_facility"].to_pylist() == [4, 1, None]
 
 
-def test_csv_parser_ragged_rows_null_fill():
-    # regression: short rows must yield nulls, not fail the batch (ADVICE r1)
+def test_csv_parser_ragged_rows_all_null():
+    # a row whose field count != header count errors in the reference
+    # (parseutils.MapCSVHeaders csv.go:73-76) -> every parsed field null
+    # for THAT row only; the batch itself must not fail (ADVICE r1)
     from opentelemetry_collector_contrib_ray.stages.parse import csv_parser
 
     fn = csv_parser(header=["a", "b", "c"])
     out = fn(pa.table({"text": ["1,2,3", "1,2", "", "x,y,z,extra"]}))
-    assert out["a"].to_pylist() == ["1", "1", "", "x"]
-    assert out["b"].to_pylist() == ["2", "2", None, "y"]
-    assert out["c"].to_pylist() == ["3", None, None, "z"]
+    assert out["a"].to_pylist() == ["1", None, None, None]
+    assert out["b"].to_pylist() == ["2", None, None, None]
+    assert out["c"].to_pylist() == ["3", None, None, None]
 
 
 def test_jsonarray_parser():
@@ -339,3 +341,79 @@ def test_ref_kv_unterminated_quote_row_unparsed():
                                                "c=3 d=4"]}))
     assert out["attr_c"].to_pylist() == [None, "3"]
     assert "attr_a" not in out.column_names
+
+
+# ---------------------------------------------------------------------------
+# Reference case replay — pkg/stanza/operator/parser/csv/parser_test.go,
+# transcribed to the batch model.
+# ---------------------------------------------------------------------------
+
+def _csv_one(text, header, **kw):
+    from opentelemetry_collector_contrib_ray.stages.parse import csv_parser
+    out = csv_parser(header=header, **kw)(pa.table({"text": [text]}))
+    return {h: out[h].to_pylist()[0] for h in header}
+
+
+def test_ref_csv_basic():
+    assert _csv_one("stanza,INFO,started agent", ["name", "sev", "msg"]) \
+        == {"name": "stanza", "sev": "INFO", "msg": "started agent"}
+
+
+def test_ref_csv_comma_in_quotes():
+    # "comma in quotes": quoted field keeps its comma, quotes stripped
+    assert _csv_one('stanza,"Evergreen,49508",555-5555,agent',
+                    ["name", "address", "phone", "position"]) == {
+        "name": "stanza", "address": "Evergreen,49508",
+        "phone": "555-5555", "position": "agent"}
+
+
+def test_ref_csv_tab_delimiter():
+    assert _csv_one("stanza\tINFO\tstarted agent",
+                    ["name", "sev", "msg"], delimiter="\t") == {
+        "name": "stanza", "sev": "INFO", "msg": "started agent"}
+
+
+def test_ref_csv_missing_field_errors_row():
+    # MapCSVHeaders: wrong number of fields -> error -> row unparsed
+    assert _csv_one("stanza,INFO", ["name", "sev", "msg"]) == {
+        "name": None, "sev": None, "msg": None}
+
+
+def test_ref_csv_embedded_newline_continuation():
+    # csv.go:44-55: each subsequent reader line continues the previous
+    # line's LAST field
+    got = _csv_one('aa,b\nb,cc', ["A", "B", "C"])
+    assert got == {"A": "aa", "B": "b\nb", "C": "cc"}
+
+
+def test_ref_csv_quoted_newline():
+    got = _csv_one('stanza,"multi\nline message",agent',
+                   ["name", "msg", "role"])
+    assert got == {"name": "stanza", "msg": "multi\nline message",
+                   "role": "agent"}
+
+
+def test_ref_csv_ignore_quotes():
+    # generateSplitParseFunc: plain split, quotes kept literal
+    assert _csv_one('stanza,"quoted field",x', ["a", "b", "c"],
+                    ignore_quotes=True) == {
+        "a": "stanza", "b": '"quoted field"', "c": "x"}
+
+
+def test_ref_csv_dynamic_fields_header_attribute():
+    # "dynamic-fields": per-row headers from another column
+    from opentelemetry_collector_contrib_ray.stages.parse import csv_parser
+    t = pa.table({"text": ["stanza,1", "otel,2,extra"],
+                  "hdr": ["name,age", "name,age,note"]})
+    out = csv_parser(header_col="hdr")(t)
+    assert out["name"].to_pylist() == ["stanza", "otel"]
+    assert out["age"].to_pylist() == ["1", "2"]
+    assert out["note"].to_pylist() == [None, "extra"]
+
+
+def test_ref_csv_dynamic_fields_header_delimiter():
+    from opentelemetry_collector_contrib_ray.stages.parse import csv_parser
+    t = pa.table({"text": ["stanza,1"], "hdr": ["name|age"]})
+    out = csv_parser(header_col="hdr", header_delimiter="|")(t)
+    assert out["name"].to_pylist() == ["stanza"]
+    assert out["age"].to_pylist() == ["1"]
