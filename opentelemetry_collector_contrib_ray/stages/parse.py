@@ -613,8 +613,10 @@ def jsonarray_parser(parse_from: str = "text", header: list[str] | None = None,
     """stanza jsonarray_parser (parser/jsonarray/config.go:47-48): JSON
     array body -> positional named columns. Decode is polars' vectorized
     json_decode to list<utf8> (scalar values stringified — flat model,
-    DIVERGENCES.md); positional access is the ragged-safe offset arithmetic
-    shared with csv_parser/assign_keys, so short arrays yield nulls."""
+    DIVERGENCES.md); positional access is the ragged-safe offset
+    arithmetic shared with assign_keys. With a header, the array length
+    must EQUAL the header length (parser.go:88-89 errors otherwise) —
+    a mismatched row's parsed fields are all null."""
     import polars as pl
 
     header = header or []
@@ -655,8 +657,9 @@ def jsonarray_parser(parse_from: str = "text", header: list[str] | None = None,
         lengths = offsets[1:] - offsets[:-1]
         valid = ~np.asarray(pc.is_null(lst))
         values = lst.values
+        ok = (lengths == len(header)) & valid
         for i, name in enumerate(header):
-            has = (lengths > i) & valid
+            has = ok
             take = pa.array(np.where(has, offsets[:-1] + i, 0), pa.int64())
             val = (pc.if_else(pa.array(has), pc.take(values, take),
                               pa.nulls(batch.num_rows, pa.string()))
