@@ -111,3 +111,20 @@ def test_signal_to_metrics_count_and_sum(ray_session):
     assert c["x"] == 2 and c["y"] == 1
     s = out["s"].to_pandas()
     assert list(s.event_type) == ["x"] and float(s.value.iloc[0]) == 3.0
+
+
+def test_ref_uri_parser_default_case():
+    # pkg/stanza/operator/parser/uri/parser_test.go "default":
+    # scheme/host/port/path extracted as the reference's flat attribute
+    # names; query stays the raw string in the flat model (the reference
+    # explodes it to a map of value lists — DIVERGENCES.md)
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.connectors import (
+        uri_parser)
+    out = uri_parser("text")(pa.table(
+        {"text": ["https://google.com:443/path?user=dev"]}))
+    assert out["uri_scheme"].to_pylist() == ["https"]
+    assert out["uri_host"].to_pylist() == ["google.com"]
+    assert out["uri_port"].to_pylist() == ["443"]
+    assert out["uri_path"].to_pylist() == ["/path"]
+    assert out["uri_query"].to_pylist() == ["user=dev"]
