@@ -62,6 +62,30 @@ def _default_pool() -> tuple[int, int]:
     return actor_pool_size()
 
 
+# ~12 MiB compressed per block ≈ 400-500k transcript rows ≈ 50 MB in-memory
+# Arrow for this corpus. Block count is derived from DATA SIZE, never from
+# cluster size: Ray's default read heuristic targets ~2x-CPU blocks, which
+# makes the plan (and per-block fixed costs) a function of cluster size —
+# measured on the 63.5M-row table this cost the 16-CPU leg 22.4s vs 18.0s
+# with data-derived blocks, and skewed the N-vs-4N scaling comparison
+# (BASELINE.md round 3). At 100 TB you set block size per dataset; the
+# 2x-CPU floor below only matters for small inputs.
+_TARGET_BLOCK_BYTES = 12 << 20
+
+
+def _read_transcripts(paths, **kwargs) -> ray.data.Dataset:
+    """read_parquet with a data-derived block count (see above)."""
+    from ..stages.shuffle import cluster_cpus
+    files = paths if isinstance(paths, list) else [
+        os.path.join(paths, f) for f in sorted(os.listdir(paths))
+        if f.endswith(".parquet")]
+    total = sum(os.path.getsize(f) for f in files)
+    nblocks = max(2 * cluster_cpus(), len(files),
+                  total // _TARGET_BLOCK_BYTES)
+    return ray.data.read_parquet(paths, override_num_blocks=int(nblocks),
+                                 **kwargs)
+
+
 def _transform(ds: ray.data.Dataset, *, concurrency=None) -> ray.data.Dataset:
     """parse -> severity bucket -> enrich (actor pool) -> route.
 
@@ -85,7 +109,7 @@ def _transform(ds: ray.data.Dataset, *, concurrency=None) -> ray.data.Dataset:
 def build_parsed(sf_dir: str, *, concurrency=None) -> ray.data.Dataset:
     """Lazy Dataset: transcripts parsed + enriched + routed (no sink writes)."""
     path = ensure_transcripts(sf_dir)
-    return _transform(ray.data.read_parquet(path), concurrency=concurrency)
+    return _transform(_read_transcripts(path), concurrency=concurrency)
 
 
 def make_sink_writer(parts_dir: str):
@@ -220,7 +244,7 @@ def run_flagship(sf_dir: str, out_dir: str, *, resume: bool = True,
             part = pc.take(pids, pc.index_in(p, value_set=paths))
             return batch.drop_columns(["path"]).append_column("part", part)
 
-        ds = ray.data.read_parquet(pending_files, include_paths=True)
+        ds = _read_transcripts(pending_files, include_paths=True)
         ds = ds.map_batches(tag_partition, batch_format="pyarrow",
                             batch_size=None)
         ds = _transform(ds)

@@ -8,12 +8,14 @@ stage sees. Stages that exploit group-contained blocks
 boundary to equal the file boundary.
 
 `read_file_blocks` provides that: one task per file, each emitting the
-whole file as a single block. The trade-off is explicit — read
-parallelism equals the file count, and a file must fit a worker's heap
-(keep files at or below `DataContext.target_max_block_size`, or Ray's
-dynamic block splitting will re-split the output and void the contract;
-the 100-TB layout rule of "many ~100-MB conversation-contained part
-files" satisfies both).
+whole file as a single block. With ``group_col``/``target_rows`` it goes
+finer — files split into ~target-row runs of row groups at boundaries the
+parquet column statistics prove group-safe, so parallelism scales with
+data size, not file count. A block must fit a worker's heap (keep spans
+at or below `DataContext.target_max_block_size`, or Ray's dynamic block
+splitting will re-split the output and void the contract; the 100-TB
+layout rule of "many ~100-MB conversation-contained part files" satisfies
+both).
 """
 
 from __future__ import annotations
@@ -38,19 +40,74 @@ def _expand(paths: str | list[str]) -> list[str]:
     return list(paths)
 
 
+def _group_safe_spans(path: str, group_col: str,
+                      target_rows: int) -> list[tuple[int, int]]:
+    """Split one file into contiguous row-group runs of ~``target_rows``
+    whose boundaries are GROUP-SAFE: a cut between row groups i and i+1 is
+    taken only where the parquet column statistics prove no ``group_col``
+    value straddles it (max of i != min of i+1). Rows-sorted-by-group
+    files (the fixture contract) yield ~target-sized spans; files without
+    stats, or where no safe cut exists, fall back to one span = the file.
+    Returns [(first_rg, last_rg_exclusive), ...]."""
+    md = pq.ParquetFile(path).metadata
+    try:
+        ci = md.schema.to_arrow_schema().get_field_index(group_col)
+    except KeyError:
+        return [(0, md.num_row_groups)]
+    if ci < 0:
+        return [(0, md.num_row_groups)]
+    spans: list[tuple[int, int]] = []
+    start, acc = 0, 0
+    for i in range(md.num_row_groups):
+        acc += md.row_group(i).num_rows
+        if acc < target_rows or i + 1 == md.num_row_groups:
+            continue
+        left = md.row_group(i).column(ci).statistics
+        right = md.row_group(i + 1).column(ci).statistics
+        if (left is None or right is None or not left.has_min_max
+                or not right.has_min_max or left.max == right.min):
+            continue  # unprovable or straddling: keep accumulating
+        spans.append((start, i + 1))
+        start, acc = i + 1, 0
+    spans.append((start, md.num_row_groups))
+    return spans
+
+
 def read_file_blocks(paths: str | list[str],
-                     columns: list[str] | None = None) -> Dataset:
+                     columns: list[str] | None = None,
+                     group_col: str | None = None,
+                     target_rows: int | None = None) -> Dataset:
     """One Parquet file -> one task -> one block (column-pruned at the
-    read). ``paths``: a directory, a glob, or an explicit file list."""
+    read). ``paths``: a directory, a glob, or an explicit file list.
+
+    With ``group_col`` + ``target_rows``, each file is further split into
+    row-group runs of ~``target_rows`` rows at statistics-proven group
+    boundaries (`_group_safe_spans`), so read parallelism scales with data
+    size instead of capping at the file count while every block still
+    holds whole groups. Driver cost is one metadata read per file — the
+    same footprint as Ray's own parquet planner."""
     files = _expand(paths)
     if not files:
         raise FileNotFoundError(f"no parquet files under {paths!r}")
 
-    def read_one(batch):
-        for p in batch["item"].to_pylist():
-            yield pq.read_table(p, columns=columns)
+    if group_col is not None and target_rows:
+        items = [{"path": p, "lo": lo, "hi": hi}
+                 for p in files
+                 for lo, hi in _group_safe_spans(p, group_col, target_rows)]
+    else:
+        items = [{"path": p, "lo": -1, "hi": -1} for p in files]
 
-    return (ray.data.from_items(files)
-            .repartition(len(files))
+    def read_one(batch):
+        for p, lo, hi in zip(batch["path"].to_pylist(),
+                             batch["lo"].to_pylist(),
+                             batch["hi"].to_pylist()):
+            if lo < 0:
+                yield pq.read_table(p, columns=columns)
+            else:
+                yield pq.ParquetFile(p).read_row_groups(
+                    list(range(lo, hi)), columns=columns)
+
+    return (ray.data.from_items(items)
+            .repartition(len(items))
             .map_batches(read_one, batch_format="pyarrow",
                          batch_size=None))

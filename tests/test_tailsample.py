@@ -263,3 +263,49 @@ def test_read_file_blocks_preserves_file_boundaries(ray_session, tmp_path):
                                                  batch_size=None)]
     assert sorted(sizes) == [4, 4, 4]
     assert ds.count() == 12
+
+
+def test_read_file_blocks_group_safe_spans(ray_session, tmp_path):
+    """group_col+target_rows: files split into ~target-row blocks at
+    statistics-proven group boundaries — every block still holds whole
+    groups, parallelism exceeds the file count, no rows lost."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
+    # one file, 10 groups x 50 rows, row groups of 100 (group-aligned)
+    t = pa.table({
+        "k": [f"g{i:02d}" for i in range(10) for _ in range(50)],
+        "v": list(range(500))})
+    pq.write_table(t, str(tmp_path / "part-0.parquet"), row_group_size=100)
+    ds = read_file_blocks(str(tmp_path), group_col="k", target_rows=150)
+    blocks = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert len(blocks) > 1
+    assert sum(b.num_rows for b in blocks) == 500
+    seen: dict[str, int] = {}
+    for bi, b in enumerate(blocks):
+        for k in set(b["k"].to_pylist()):
+            assert seen.setdefault(k, bi) == bi  # group in exactly 1 block
+
+
+def test_read_file_blocks_unaligned_row_groups_fall_back(ray_session,
+                                                         tmp_path):
+    """A straddling row-group boundary (stats max == next min) is never
+    chosen as a cut — the groups stay together in one block."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
+    # 2 groups x 100 rows, row groups of 60: every boundary straddles
+    t = pa.table({"k": ["a"] * 100 + ["b"] * 100, "v": list(range(200))})
+    pq.write_table(t, str(tmp_path / "part-0.parquet"), row_group_size=60)
+    ds = read_file_blocks(str(tmp_path), group_col="k", target_rows=50)
+    blocks = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert sum(b.num_rows for b in blocks) == 200
+    # the a|b boundary at row 100 sits inside row group 1 (60..120), so
+    # no cut is provable; 'a' and 'b' may share a block but no group may
+    # be SPLIT across blocks
+    import collections
+    cnt: dict[str, set[int]] = collections.defaultdict(set)
+    for bi, b in enumerate(blocks):
+        for k in set(b["k"].to_pylist()):
+            cnt[k].add(bi)
+    assert all(len(v) == 1 for v in cnt.values())
