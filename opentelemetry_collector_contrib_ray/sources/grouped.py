@@ -40,15 +40,22 @@ def _expand(paths: str | list[str]) -> list[str]:
     return list(paths)
 
 
-def _group_safe_spans(path: str, group_col: str,
-                      target_rows: int) -> list[tuple[int, int]]:
+def _group_safe_spans(path: str, group_col: str, target_rows: int,
+                      target_bytes: int | None = None
+                      ) -> list[tuple[int, int]]:
     """Split one file into contiguous row-group runs of ~``target_rows``
     whose boundaries are GROUP-SAFE: a cut between row groups i and i+1 is
     taken only where the parquet column statistics prove no ``group_col``
     value straddles it (max of i != min of i+1). Rows-sorted-by-group
     files (the fixture contract) yield ~target-sized spans; files without
     stats, or where no safe cut exists, fall back to one span = the file.
-    Returns [(first_rg, last_rg_exclusive), ...]."""
+
+    ``target_bytes`` (uncompressed, from row-group metadata) is a second
+    cut trigger: a span that outgrows Ray's dynamic-block-split threshold
+    would be re-split at ARBITRARY rows downstream, silently voiding the
+    containment contract (observed at sf10: 33 of 50 blocks started
+    mid-conversation before this guard). Returns
+    [(first_rg, last_rg_exclusive), ...]."""
     md = pq.ParquetFile(path).metadata
     try:
         ci = md.schema.to_arrow_schema().get_field_index(group_col)
@@ -57,10 +64,12 @@ def _group_safe_spans(path: str, group_col: str,
     if ci < 0:
         return [(0, md.num_row_groups)]
     spans: list[tuple[int, int]] = []
-    start, acc = 0, 0
+    start, acc, accb = 0, 0, 0
     for i in range(md.num_row_groups):
         acc += md.row_group(i).num_rows
-        if acc < target_rows or i + 1 == md.num_row_groups:
+        accb += md.row_group(i).total_byte_size
+        if (acc < target_rows and (not target_bytes or accb < target_bytes)) \
+                or i + 1 == md.num_row_groups:
             continue
         left = md.row_group(i).column(ci).statistics
         right = md.row_group(i + 1).column(ci).statistics
@@ -68,8 +77,22 @@ def _group_safe_spans(path: str, group_col: str,
                 or not right.has_min_max or left.max == right.min):
             continue  # unprovable or straddling: keep accumulating
         spans.append((start, i + 1))
-        start, acc = i + 1, 0
+        start, acc, accb = i + 1, 0, 0
     spans.append((start, md.num_row_groups))
+    if target_bytes:
+        # a span that could not be cut (one giant group, or no provable
+        # boundary) may still exceed Ray's split threshold — surface it
+        # rather than silently losing containment downstream
+        import warnings
+        for lo, hi in spans:
+            b = sum(md.row_group(i).total_byte_size for i in range(lo, hi))
+            if b > 2 * target_bytes:
+                warnings.warn(
+                    f"read_file_blocks: span rg[{lo}:{hi}] of {path} is "
+                    f"{b >> 20} MiB uncompressed with no group-safe cut; "
+                    "Ray may re-split it at arbitrary rows — raise "
+                    "DataContext.target_max_block_size above the largest "
+                    "group to preserve containment", stacklevel=2)
     return spans
 
 
@@ -90,11 +113,34 @@ def read_file_blocks(paths: str | list[str],
     if not files:
         raise FileNotFoundError(f"no parquet files under {paths!r}")
 
+    # Ray dynamically re-splits any output block larger than
+    # target_max_block_size at ARBITRARY row boundaries — which silently
+    # voids the group-containment contract this reader exists to provide.
+    # Spans aim for half that threshold (uncompressed); plain file blocks
+    # that exceed it get a loud warning to switch to span mode.
+    limit = ray.data.DataContext.get_current().target_max_block_size \
+        or (128 << 20)
+
     if group_col is not None and target_rows:
         items = [{"path": p, "lo": lo, "hi": hi}
                  for p in files
-                 for lo, hi in _group_safe_spans(p, group_col, target_rows)]
+                 for lo, hi in _group_safe_spans(p, group_col, target_rows,
+                                                 target_bytes=limit // 2)]
     else:
+        import warnings
+        for p in files:
+            md = pq.ParquetFile(p).metadata
+            raw = sum(md.row_group(i).total_byte_size
+                      for i in range(md.num_row_groups))
+            if raw > limit:
+                warnings.warn(
+                    f"read_file_blocks: {p} is {raw >> 20} MiB uncompressed"
+                    f" > target_max_block_size ({limit >> 20} MiB); Ray"
+                    " will re-split its block at arbitrary rows and break"
+                    " group containment — pass group_col/target_rows to"
+                    " split at statistics-proven group boundaries",
+                    stacklevel=2)
+                break
         items = [{"path": p, "lo": -1, "hi": -1} for p in files]
 
     def read_one(batch):
