@@ -62,28 +62,12 @@ def _default_pool() -> tuple[int, int]:
     return actor_pool_size()
 
 
-# ~12 MiB compressed per block ≈ 400-500k transcript rows ≈ 50 MB in-memory
-# Arrow for this corpus. Block count is derived from DATA SIZE, never from
-# cluster size: Ray's default read heuristic targets ~2x-CPU blocks, which
-# makes the plan (and per-block fixed costs) a function of cluster size —
-# measured on the 63.5M-row table this cost the 16-CPU leg 22.4s vs 18.0s
-# with data-derived blocks, and skewed the N-vs-4N scaling comparison
-# (BASELINE.md round 3). At 100 TB you set block size per dataset; the
-# 2x-CPU floor below only matters for small inputs.
-_TARGET_BLOCK_BYTES = 12 << 20
-
-
 def _read_transcripts(paths, **kwargs) -> ray.data.Dataset:
-    """read_parquet with a data-derived block count (see above)."""
-    from ..stages.shuffle import cluster_cpus
-    files = paths if isinstance(paths, list) else [
-        os.path.join(paths, f) for f in sorted(os.listdir(paths))
-        if f.endswith(".parquet")]
-    total = sum(os.path.getsize(f) for f in files)
-    nblocks = max(2 * cluster_cpus(), len(files),
-                  total // _TARGET_BLOCK_BYTES)
-    return ray.data.read_parquet(paths, override_num_blocks=int(nblocks),
-                                 **kwargs)
+    """read_parquet with a data-derived block count — at 100 TB block size
+    is a per-dataset property, not a function of cluster size
+    (sources.grouped.read_sized_parquet has the measurements)."""
+    from ..sources.grouped import read_sized_parquet
+    return read_sized_parquet(paths, **kwargs)
 
 
 def _transform(ds: ray.data.Dataset, *, concurrency=None) -> ray.data.Dataset:

@@ -40,6 +40,29 @@ def _expand(paths: str | list[str]) -> list[str]:
     return list(paths)
 
 
+def read_sized_parquet(paths: str | list[str], *,
+                       target_block_bytes: int = 12 << 20,
+                       **kwargs) -> Dataset:
+    """``read_parquet`` with a DATA-derived block count.
+
+    Ray's default read heuristic targets ~2x-CPU output blocks, which
+    makes the physical plan (and per-block fixed costs) a function of
+    cluster size — measured on a 63.5M-row table this cost a 16-CPU run
+    22.4s vs 18.0s and skewed N-vs-4N scaling comparisons (BASELINE.md
+    round 3). Here block count = input bytes / ``target_block_bytes``
+    (compressed; ~12 MiB ≈ 50 MB in-memory Arrow for text-heavy rows),
+    floored at 2x cluster CPUs so small inputs still parallelize."""
+    from ..stages.shuffle import cluster_cpus
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {paths!r}")
+    total = sum(os.path.getsize(f) for f in files)
+    nblocks = max(2 * cluster_cpus(), len(files),
+                  total // target_block_bytes)
+    return ray.data.read_parquet(paths, override_num_blocks=int(nblocks),
+                                 **kwargs)
+
+
 def _group_safe_spans(path: str, group_col: str, target_rows: int,
                       target_bytes: int | None = None
                       ) -> list[tuple[int, int]]:
