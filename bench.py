@@ -6,10 +6,11 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "rows": R, "rows_per_sec": ...}
 
---scaling: run the headline pipeline in TWO fresh processes (num_cpus=8 and
-num_cpus=32 by default) on the same input and report both throughputs plus
-scaling efficiency (the sandbox proxy for N- vs 4N-node clusters,
-SURVEY.md §4).
+--scaling: run the headline pipeline at num_cpus=4 and num_cpus=16 (N vs 4N),
+3 alternating flagship-only repeats per leg in fresh taskset-pinned
+subprocesses with per-leg cache pre-warm, and report best-of-3 throughputs
+plus scaling efficiency (the sandbox proxy for N- vs 4N-node clusters,
+SURVEY.md §4; measurement-validity rationale in BASELINE.md round 3).
 """
 
 from __future__ import annotations
@@ -28,6 +29,20 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _sf() -> float:
     from opentelemetry_collector_contrib_ray.sources.transcripts import sf_from_dir
     return sf_from_dir(SF_DIR)
+
+
+def _result(queries: dict, num_cpus: int, rows: int) -> dict:
+    headline = queries["flagship_e2e"]
+    return {
+        "metric": "flagship parse+enrich+route+sink-write wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": _sf(),
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "rows_per_sec": round(rows / headline) if headline else None,
+    }
 
 
 def run_once(num_cpus: int) -> dict:
@@ -80,17 +95,7 @@ def run_once(num_cpus: int) -> dict:
         # suite adds minutes of unrelated load per leg and injects
         # cross-leg interference into the efficiency ratio
         shutil.rmtree(out_root, ignore_errors=True)
-        headline = queries["flagship_e2e"]
-        return {
-            "metric": "flagship parse+enrich+route+sink-write wall time",
-            "value": round(headline, 3),
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in queries.items()},
-            "sf": _sf(),
-            "num_cpus": num_cpus,
-            "rows": rows,
-            "rows_per_sec": round(rows / headline) if headline else None,
-        }
+        return _result(queries, num_cpus, rows)
 
     t0 = time.time()
     ds = build_parsed(SF_DIR)
@@ -143,9 +148,9 @@ def run_once(num_cpus: int) -> dict:
     import ray.data as rd
     from opentelemetry_collector_contrib_ray.sources.grouped import (
         read_file_blocks)
-    # file-aligned blocks: read_parquet would re-split blocks at arbitrary
-    # rows, voiding the conversation-contained contract recombine_blocks
-    # (and tail_sample pre_grouped below) relies on
+    # conversation-safe spans: read_parquet (and oversized file blocks)
+    # get re-split at arbitrary rows, voiding the conversation-contained
+    # contract recombine_blocks (and tail_sample pre_grouped below) rely on
     tds = read_file_blocks(transcripts_path(SF_DIR),
                            columns=["conv_id", "turn_idx", "text", "ts"],
                            group_col="conv_id", target_rows=1_000_000)
@@ -174,17 +179,7 @@ def run_once(num_cpus: int) -> dict:
     # of 60M docs would add ~15min per subprocess to a flagship measurement
     if rows > 2_000_000:
         shutil.rmtree(out_root, ignore_errors=True)
-        headline = queries["flagship_e2e"]
-        return {
-            "metric": "flagship parse+enrich+route+sink-write wall time",
-            "value": round(headline, 3),
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in queries.items()},
-            "sf": _sf(),
-            "num_cpus": num_cpus,
-            "rows": rows,
-            "rows_per_sec": round(rows / headline) if headline else None,
-        }
+        return _result(queries, num_cpus, rows)
 
     import numpy as np
     import pyarrow as pa
@@ -222,17 +217,7 @@ def run_once(num_cpus: int) -> dict:
         queries["sessionize"] = time.time() - t0
 
     shutil.rmtree(out_root, ignore_errors=True)
-    headline = queries["flagship_e2e"]
-    return {
-        "metric": "flagship parse+enrich+route+sink-write wall time",
-        "value": round(headline, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
-        "sf": _sf(),
-        "num_cpus": num_cpus,
-        "rows": rows,
-        "rows_per_sec": round(rows / headline) if headline else None,
-    }
+    return _result(queries, num_cpus, rows)
 
 
 def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
@@ -443,7 +428,11 @@ def run_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
         # (arrow/polars/zstd) borrow the other 28 cores, inflating the
         # low leg — a real 4-core node has no spare cores to borrow
         cmd = [sys.executable, __file__, "--single", str(n)]
-        if shutil.which("taskset"):
+        # only pin when the host actually has n CPUs to give (taskset on
+        # a smaller host would abort the leg); note SMT siblings can make
+        # "CPUs 0..n-1" fewer physical cores than n — acceptable here
+        # since both legs share the same enumeration order
+        if shutil.which("taskset") and (os.cpu_count() or 0) >= n:
             cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
         proc = subprocess.run(
             cmd, capture_output=True, text=True, check=True,

@@ -59,7 +59,10 @@ def read_sized_parquet(paths: str | list[str], *,
     total = sum(os.path.getsize(f) for f in files)
     nblocks = max(2 * cluster_cpus(), len(files),
                   total // target_block_bytes)
-    return ray.data.read_parquet(paths, override_num_blocks=int(nblocks),
+    # read the expanded list, not the raw argument: globs aren't valid
+    # read_parquet paths, and for a directory read_parquet would pick up
+    # non-top-level files the byte total above never saw
+    return ray.data.read_parquet(files, override_num_blocks=int(nblocks),
                                  **kwargs)
 
 
@@ -67,25 +70,43 @@ def _group_safe_spans(path: str, group_col: str, target_rows: int,
                       target_bytes: int | None = None
                       ) -> list[tuple[int, int]]:
     """Split one file into contiguous row-group runs of ~``target_rows``
-    whose boundaries are GROUP-SAFE: a cut between row groups i and i+1 is
-    taken only where the parquet column statistics prove no ``group_col``
-    value straddles it (max of i != min of i+1). Rows-sorted-by-group
-    files (the fixture contract) yield ~target-sized spans; files without
-    stats, or where no safe cut exists, fall back to one span = the file.
+    whose boundaries are GROUP-SAFE, proven from parquet column statistics
+    in two steps:
 
-    ``target_bytes`` (uncompressed, from row-group metadata) is a second
-    cut trigger: a span that outgrows Ray's dynamic-block-split threshold
-    would be re-split at ARBITRARY rows downstream, silently voiding the
-    containment contract (observed at sf10: 33 of 50 blocks started
-    mid-conversation before this guard). Returns
-    [(first_rg, last_rg_exclusive), ...]."""
+    1. The file must be row-group-monotone on ``group_col`` — every
+       boundary has max(rg_i) <= min(rg_{i+1}). Only then does a group
+       occupy a contiguous run of row groups (an unsorted file could
+       revisit a group in a non-adjacent row group, making ANY cut
+       unsafe); otherwise the whole file is one span.
+    2. A cut is taken only where max(rg_i) < min(rg_{i+1}) strictly —
+       equality means the group straddles, and strict inequality (unlike
+       inequality-of-truncated-stats) cannot be faked by parquet
+       statistics truncation, which only widens the [min, max] interval.
+
+    Files without stats, or where no safe cut exists, fall back to one
+    span = the file. ``target_bytes`` (uncompressed, from row-group
+    metadata) is a second cut trigger: a span that outgrows Ray's
+    dynamic-block-split threshold would be re-split at ARBITRARY rows
+    downstream, silently voiding the containment contract (observed at
+    sf10: 33 of 50 blocks started mid-conversation before this guard).
+    Returns [(first_rg, last_rg_exclusive), ...]."""
     md = pq.ParquetFile(path).metadata
-    try:
-        ci = md.schema.to_arrow_schema().get_field_index(group_col)
-    except KeyError:
-        return [(0, md.num_row_groups)]
+    whole = [(0, md.num_row_groups)]
+    # resolve group_col to its parquet LEAF column index: the arrow
+    # top-level field index diverges as soon as any earlier column is
+    # nested (struct/list), silently pointing the stats at a different
+    # leaf
+    ci = next((j for j in range(len(md.schema))
+               if md.schema.column(j).path == group_col), -1)
     if ci < 0:
-        return [(0, md.num_row_groups)]
+        return whole
+    stats = [md.row_group(i).column(ci).statistics
+             for i in range(md.num_row_groups)]
+    if any(s is None or not s.has_min_max for s in stats):
+        return whole
+    if any(stats[i].max > stats[i + 1].min
+           for i in range(md.num_row_groups - 1)):
+        return whole  # not row-group-monotone: no cut is provably safe
     spans: list[tuple[int, int]] = []
     start, acc, accb = 0, 0, 0
     for i in range(md.num_row_groups):
@@ -94,11 +115,8 @@ def _group_safe_spans(path: str, group_col: str, target_rows: int,
         if (acc < target_rows and (not target_bytes or accb < target_bytes)) \
                 or i + 1 == md.num_row_groups:
             continue
-        left = md.row_group(i).column(ci).statistics
-        right = md.row_group(i + 1).column(ci).statistics
-        if (left is None or right is None or not left.has_min_max
-                or not right.has_min_max or left.max == right.min):
-            continue  # unprovable or straddling: keep accumulating
+        if not stats[i].max < stats[i + 1].min:
+            continue  # straddling boundary: keep accumulating
         spans.append((start, i + 1))
         start, acc, accb = i + 1, 0, 0
     spans.append((start, md.num_row_groups))
@@ -130,8 +148,14 @@ def read_file_blocks(paths: str | list[str],
     row-group runs of ~``target_rows`` rows at statistics-proven group
     boundaries (`_group_safe_spans`), so read parallelism scales with data
     size instead of capping at the file count while every block still
-    holds whole groups. Driver cost is one metadata read per file — the
-    same footprint as Ray's own parquet planner."""
+    holds whole groups. Driver cost is one metadata read per file in span
+    mode; plain mode stays metadata-free (a compressed-size heuristic
+    backs the containment warning)."""
+    if (group_col is None) != (target_rows is None):
+        raise ValueError(
+            "read_file_blocks: group_col and target_rows must be passed "
+            "together — a half-specified call would silently fall back to "
+            "file-count-capped parallelism")
     files = _expand(paths)
     if not files:
         raise FileNotFoundError(f"no parquet files under {paths!r}")
@@ -144,26 +168,26 @@ def read_file_blocks(paths: str | list[str],
     limit = ray.data.DataContext.get_current().target_max_block_size \
         or (128 << 20)
 
-    if group_col is not None and target_rows:
+    if group_col is not None:
         items = [{"path": p, "lo": lo, "hi": hi}
                  for p in files
                  for lo, hi in _group_safe_spans(p, group_col, target_rows,
                                                  target_bytes=limit // 2)]
     else:
-        import warnings
-        for p in files:
-            md = pq.ParquetFile(p).metadata
-            raw = sum(md.row_group(i).total_byte_size
-                      for i in range(md.num_row_groups))
-            if raw > limit:
-                warnings.warn(
-                    f"read_file_blocks: {p} is {raw >> 20} MiB uncompressed"
-                    f" > target_max_block_size ({limit >> 20} MiB); Ray"
-                    " will re-split its block at arbitrary rows and break"
-                    " group containment — pass group_col/target_rows to"
-                    " split at statistics-proven group boundaries",
-                    stacklevel=2)
-                break
+        # cheap trip-wire only (no footer reads): compressed size over the
+        # limit certainly means the uncompressed block is over it too; the
+        # exact uncompressed check runs in span mode
+        big = next((p for p in files if os.path.getsize(p) > limit), None)
+        if big is not None:
+            import warnings
+            warnings.warn(
+                f"read_file_blocks: {big} is "
+                f"{os.path.getsize(big) >> 20} MiB compressed"
+                f" > target_max_block_size ({limit >> 20} MiB); Ray"
+                " will re-split its block at arbitrary rows and break"
+                " group containment — pass group_col/target_rows to"
+                " split at statistics-proven group boundaries",
+                stacklevel=2)
         items = [{"path": p, "lo": -1, "hi": -1} for p in files]
 
     def read_one(batch):

@@ -309,3 +309,56 @@ def test_read_file_blocks_unaligned_row_groups_fall_back(ray_session,
         for k in set(b["k"].to_pylist()):
             cnt[k].add(bi)
     assert all(len(v) == 1 for v in cnt.values())
+
+
+def test_group_safe_spans_refuse_unsorted_files(ray_session, tmp_path):
+    """A file that is not row-group-monotone on group_col gets NO cuts:
+    a group may recur in a non-adjacent row group, so no boundary is
+    provably safe (review finding: {a,c}|{b,c} used to 'prove' a cut)."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        _group_safe_spans, read_file_blocks)
+    t = pa.table({"k": ["a", "c", "b", "c"], "v": [1, 2, 3, 4]})
+    f = str(tmp_path / "part-0.parquet")
+    pq.write_table(t, f, row_group_size=2)  # rg0={a,c}, rg1={b,c}
+    assert _group_safe_spans(f, "k", 1) == [(0, 2)]  # whole file
+    ds = read_file_blocks(str(tmp_path), group_col="k", target_rows=1)
+    blocks = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    import collections
+    cnt = collections.defaultdict(set)
+    for bi, b in enumerate(blocks):
+        for k in set(b["k"].to_pylist()):
+            cnt[k].add(bi)
+    assert all(len(v) == 1 for v in cnt.values())
+
+
+def test_group_safe_spans_nested_column_before_group_col(ray_session,
+                                                         tmp_path):
+    """group_col must resolve to its parquet LEAF column even when an
+    earlier column is nested (review finding: the arrow field index
+    pointed the stats at struct leaf s.y and split group g0)."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        _group_safe_spans)
+    t = pa.table({
+        "s": pa.array([{"x": i, "y": i} for i in range(6)]),
+        "k": pa.array(["g0", "g0", "g0", "g0", "g1", "g1"]),
+        "v": pa.array(range(6))})
+    f = str(tmp_path / "part-0.parquet")
+    pq.write_table(t, f, row_group_size=2)  # g0 spans rg0-rg1
+    spans = _group_safe_spans(f, "k", 1)
+    # the only k-safe cut is after rg1 (g0|g1 boundary at row 4)
+    assert spans == [(0, 2), (2, 3)]
+
+
+def test_read_file_blocks_half_specified_args_raise(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        read_file_blocks)
+    pq.write_table(pa.table({"k": ["a"], "v": [1]}),
+                   str(tmp_path / "p.parquet"))
+    with pytest.raises(ValueError, match="together"):
+        read_file_blocks(str(tmp_path), group_col="k")
+    with pytest.raises(ValueError, match="together"):
+        read_file_blocks(str(tmp_path), target_rows=10)
