@@ -28,6 +28,7 @@ import json
 import math
 import re
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -204,20 +205,23 @@ def smart_len(arr: pa.Array) -> pa.Array:
     """Len over flat-model strings: container-shaped rows report container
     length, other rows string length (divergence: a plain string that
     parses as a JSON container is indistinguishable from a nested
-    value — DIVERGENCES.md)."""
+    value — DIVERGENCES.md). Only the container-SHAPED rows (vectorized
+    starts_with mask) are decoded in Python — one stray '{' log line must
+    not push the whole column off the utf8_length kernel."""
     a = _arr(arr)
     base = pc.cast(pc.utf8_length(a), pa.int64())
-    if not pc.any(pc.or_(pc.starts_with(a, "{"),
-                         pc.starts_with(a, "["))).as_py():
+    shaped = pc.fill_null(pc.or_(pc.starts_with(a, "{"),
+                                 pc.starts_with(a, "[")), False)
+    if not pc.any(shaped).as_py():
         return base
-    vals, shaped = _container_rows(a)
+    idx = np.nonzero(shaped.to_numpy(zero_copy_only=False))[0]
     out = base.to_pylist()
-    for i, (v, s) in enumerate(zip(vals, shaped)):
-        if s:
-            try:
-                out[i] = len(json.loads(v))
-            except (ValueError, TypeError):
-                pass
+    sub = a.take(pa.array(idx)).to_pylist()
+    for i, v in zip(idx, sub):
+        try:
+            out[i] = len(json.loads(v))
+        except (ValueError, TypeError):
+            pass
     return pa.array(out, pa.int64())
 
 

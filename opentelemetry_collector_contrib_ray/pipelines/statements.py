@@ -35,6 +35,7 @@ functions/ottl_parser.py), so reference e2e cases replay verbatim:
 from __future__ import annotations
 
 import logging
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -311,7 +312,11 @@ def _adapter_parse_keyvalue(ctx, args, kwargs):
 
 def _adapter_parse_csv(ctx, args, kwargs):
     """func_parse_csv.go: positional zip of static header names with the
-    split fields, truncated to the shorter side. Split + map assembly are
+    split fields. A row whose field count differs from the header count is
+    an ERROR in the reference (parseutils.MapCSVHeaders: 'wrong number of
+    fields') — here it yields a null map, which the statement executor's
+    error_mode handling treats as that row's failure (same strict-equality
+    rule as the stanza csv_parser, parse.py). Split + map assembly are
     vectorized (pc.split_pattern + offset arithmetic)."""
     target = args[0]
     headers = args[1] if len(args) > 1 else kwargs.get("header")
@@ -325,14 +330,16 @@ def _adapter_parse_csv(ctx, args, kwargs):
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
     off = la.offsets.to_numpy().astype("int64", copy=False)
-    counts = np.minimum(np.diff(off), len(names))
+    ok = np.diff(off) == len(names)  # strict: mismatch -> null map
+    counts = np.where(ok, len(names), 0)
     new_off = np.zeros(len(counts) + 1, dtype="int64")
     np.cumsum(counts, out=new_off[1:])
     within = (np.arange(int(new_off[-1]), dtype="int64")
               - np.repeat(new_off[:-1], counts))
     keys = pa.array(np.asarray(names, dtype=object)[within], pa.string())
     items = la.values.take(pa.array(np.repeat(off[:-1], counts) + within))
-    mask = np.append(~la.is_valid().to_numpy(zero_copy_only=False), False)
+    mask = np.append(
+        ~(la.is_valid().to_numpy(zero_copy_only=False) & ok), False)
     offs = pa.array(new_off.astype("int32"), pa.int32(), mask=mask)
     return pa.MapArray.from_arrays(offs, keys, items)
 
@@ -937,21 +944,62 @@ def _apply_flatten(ctx: _Ctx, args, kwargs, mask):
     raise ValueError("flatten target must be a map column or map value")
 
 
+def _replace_pattern_hashed(col: pa.Array, pattern: str, template: str,
+                            hash_fn) -> pa.Array:
+    """func_replace_pattern.go applyOptReplaceFunction: for EACH submatch,
+    expand the replacement template against that match, apply the
+    converter (hash) to the EXPANDED string, then replace every occurrence
+    of the full match text. Two different captured values must hash to two
+    different digests — hashing the raw template once would give every
+    match the same constant. The expansions are collected first and hashed
+    in ONE registry call; only the regex scan is per-row (cold path: the
+    vectorized kernel handles the no-converter case)."""
+    pat = re.compile(pattern)
+    tmpl = template.replace("$$", "\\")  # $$n -> \n group refs (OTTL $$)
+    vals = col.to_pylist() if not isinstance(col, list) else col
+    per_row: list[list[tuple[str, int]]] = []  # (full_match, expansion idx)
+    expansions: list[str] = []
+    for v in vals:
+        row: list[tuple[str, int]] = []
+        if v is not None:
+            for m in pat.finditer(v):
+                row.append((m.group(0), len(expansions)))
+                expansions.append(m.expand(tmpl))
+        per_row.append(row)
+    hashed = hash_fn(pa.array(expansions, pa.string())).to_pylist() \
+        if expansions else []
+    out = []
+    for v, row in zip(vals, per_row):
+        if v is None:
+            out.append(None)
+            continue
+        s = v
+        for full, ei in row:
+            s = s.replace(full, str(hashed[ei]))
+        out.append(s)
+    return pa.array(out, pa.string())
+
+
 def _apply_replace_pattern(ctx: _Ctx, args, mask, glob: bool = False):
     target_node = args[0]
     pattern = eval_expr(args[1], ctx)
     repl = eval_expr(args[2], ctx)
+    hash_fn = None
     if len(args) > 3 and not glob:
-        # optional `function` arg hashes the replacement string
+        # optional `function` arg hashes each expanded replacement
         # (func_replace_pattern.go: replacementFn applied per substitution)
         fnode = args[3]
         if not (fnode[0] == "path" and len(fnode[1]) == 1
                 and not fnode[1][0][1] and fnode[1][0][0] in F.REGISTRY):
             raise ValueError("replace_pattern: 4th arg must be a converter")
         hash_fn = F.REGISTRY[fnode[1][0][0]]
-        repl = hash_fn(pa.array([repl], pa.string())).to_pylist()[0]
     tgt = _resolve_target(target_node[1], ctx)
-    fn = F.replace_match if glob else F.replace_pattern
+    if hash_fn is not None:
+        def fn(col, pattern_, repl_):
+            return _replace_pattern_hashed(_arr(col), pattern_, repl_,
+                                           hash_fn)
+    else:
+        fn = F.replace_match if glob else F.replace_pattern
     if tgt[0] == "mapkey":
         colname, key = tgt[1], tgt[2]
         old = _arr(ctx.batch[colname])

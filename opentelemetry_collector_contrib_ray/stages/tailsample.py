@@ -97,16 +97,22 @@ class _GroupCtx:
         tsv = pc.fill_null(ts_int, 0).to_numpy(zero_copy_only=False)
         # rows are (key, ts)-sorted with null ts at the group tail, so the
         # non-null group min is the first row; the max needs a null-masked
-        # reduce (an all-null group gets int64 min/max sentinels -> its
-        # latency is meaningless and never samples, like the reference,
-        # which cannot see spans without timestamps at all)
+        # reduce. An all-null group's latency is meaningless and must
+        # never sample (the reference cannot see spans without timestamps
+        # at all): the raw max/min sentinels would WRAP in t1-t0 to +1us,
+        # so pin both to 0 and record the mask for the latency policy.
         if self.n_groups:
             self.t0 = np.minimum.reduceat(
                 np.where(valid, tsv, np.iinfo(np.int64).max), self.starts)
             self.t1 = np.maximum.reduceat(
                 np.where(valid, tsv, np.iinfo(np.int64).min), self.starts)
+            self.has_ts = np.add.reduceat(
+                valid.astype(np.int64), self.starts) > 0
+            self.t0[~self.has_ts] = 0
+            self.t1[~self.has_ts] = 0
         else:
             self.t0 = self.t1 = np.zeros(0, np.int64)
+            self.has_ts = np.zeros(0, bool)
 
     def group_any(self, row_mask: np.ndarray) -> np.ndarray:
         if self.n_groups == 0:
@@ -114,6 +120,12 @@ class _GroupCtx:
         return np.add.reduceat(row_mask.astype(np.int64), self.starts) > 0
 
     def col(self, name: str) -> pa.Array:
+        """Attribute column, or an all-null column when the batch schema
+        lacks it — the flat model encodes 'no record carries this key' as
+        a missing column, and the reference treats a missing attribute as
+        no-match, not an error (same rule as filtermatch._ColIfPresent)."""
+        if name not in self.table.column_names:
+            return pa.nulls(self.table.num_rows, pa.string())
         c = self.table[name]
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
@@ -139,7 +151,7 @@ def _eval_policy(p: dict, ctx: _GroupCtx) -> np.ndarray:
         hi = float(p.get("upper_threshold_ms", 0))
         if hi:
             m &= dur_ms < hi
-        return m
+        return m & ctx.has_ts  # unmeasurable groups never sample
     if t == "span_count":
         m = ctx.counts >= int(p.get("min_spans", 0))
         mx = int(p.get("max_spans", 0))
@@ -393,7 +405,6 @@ def semi_join_keys(ds: Dataset, keys_ds: Dataset, *, key_col: str,
     key set, no broadcast of O(keys) state."""
     n_parts = n_parts or adaptive_n_parts()
     add_part = key_partitioner(key_col, n_parts)
-    data_cols: list[str] | None = None
 
     def tag_keys(b: pa.Table) -> pa.Table:
         t = pa.table({key_col: pc.cast(b[keys_col], pa.string())})

@@ -909,3 +909,48 @@ def test_dynamic_nested_read_scalar_row_yields_nil_like_static():
                        'where attributes["foo"][k] != nil'],
     }])
     assert fn(t)["body"].to_pylist() == ["x", "b"]
+
+
+def test_replace_pattern_hash_fn_per_match(ray_session):
+    """func_replace_pattern.go applyOptReplaceFunction: the converter runs
+    on each match's EXPANDED replacement, so two different captured values
+    must produce two different hashes (review finding: the template was
+    hashed once as a literal)."""
+    import hashlib
+
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        transform_processor)
+    groups = [{"context": "log", "statements": [
+        'replace_pattern(attributes["id"], "(\\\\d+)", "$$1", SHA256)']}]
+    attrs = pa.array(
+        [[("id", "user 123 and 456")], [("id", "user 123 and 123")], []],
+        pa.map_(pa.string(), pa.string()))
+    t = pa.table({"attributes": attrs})
+    out = transform_processor(groups)(t)
+    got = [dict(r).get("id") for r in out["attributes"].to_pylist()]
+    h123 = hashlib.sha256(b"123").hexdigest()
+    h456 = hashlib.sha256(b"456").hexdigest()
+    assert got[0] == f"user {h123} and {h456}"
+    assert got[1] == f"user {h123} and {h123}"
+    assert got[2] is None
+    assert h123 != h456
+
+
+def test_parse_csv_strict_field_count(ray_session):
+    """parseutils.MapCSVHeaders: a field-count mismatch is an ERROR, not a
+    truncated zip — under error_mode:ignore the bad row's set() is skipped
+    while good rows parse (review finding: adapter zipped to the shorter
+    side)."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        transform_processor)
+    groups = [{"context": "log", "error_mode": "ignore", "statements": [
+        'set(cache["m"], ParseCSV(text, "h1,h2,h3"))',
+        'set(got, ToKeyValueString(cache["m"], "=", " ", true))']}]
+    t = pa.table({"text": ["a,b,c", "a,b", "a,b,c,d"]})
+    out = transform_processor(groups, {"text": "text"})(t)
+    got = out["got"].to_pylist()
+    assert got[0] == "h1=a h2=b h3=c"
+    assert got[1] is None  # 2 fields vs 3 headers: reference errors
+    assert got[2] is None  # 4 fields vs 3 headers: reference errors

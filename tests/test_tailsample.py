@@ -362,3 +362,36 @@ def test_read_file_blocks_half_specified_args_raise(ray_session, tmp_path):
         read_file_blocks(str(tmp_path), group_col="k")
     with pytest.raises(ValueError, match="together"):
         read_file_blocks(str(tmp_path), target_rows=10)
+
+
+def test_latency_policy_all_null_ts_never_samples(ray_session):
+    """An all-null-timestamp group has no measurable latency and must not
+    sample (review finding: int64 sentinel wrap made t1-t0 == 1us, so
+    threshold_ms=0 falsely sampled it)."""
+    from opentelemetry_collector_contrib_ray.stages.tailsample import (
+        _GroupCtx, _eval_policy)
+    t = pa.table({
+        "k": ["g1", "g1", "g2"],
+        "ts": pa.array([None, None, 1_000_000], pa.timestamp("us"))})
+    ctx = _GroupCtx(t, "k", "ts")
+    m = _eval_policy({"type": "latency", "threshold_ms": 0}, ctx)
+    assert list(m) == [False, True]  # g1 unmeasurable, g2 measurable
+
+
+def test_attribute_policy_missing_column_is_no_match(ray_session):
+    """A policy key absent from the batch schema means no record carries
+    that attribute: no-match (and all-match when inverted), never a
+    KeyError that kills the task (review finding)."""
+    from opentelemetry_collector_contrib_ray.stages.tailsample import (
+        _GroupCtx, _eval_policy)
+    t = pa.table({"k": ["g1", "g2"],
+                  "ts": pa.array([0, 1], pa.timestamp("us"))})
+    ctx = _GroupCtx(t, "k", "ts")
+    p = {"type": "string_attribute", "key": "tool", "values": ["bash"]}
+    assert list(_eval_policy(p, ctx)) == [False, False]
+    assert list(_eval_policy({**p, "invert_match": True}, ctx)) == \
+        [True, True]
+    pn = {"type": "numeric_attribute", "key": "rc", "min_value": 0}
+    assert list(_eval_policy(pn, ctx)) == [False, False]
+    pb = {"type": "boolean_attribute", "key": "ok", "value": True}
+    assert list(_eval_policy(pb, ctx)) == [False, False]
