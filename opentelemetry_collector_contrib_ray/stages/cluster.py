@@ -8,6 +8,12 @@ combiner pattern, so the shuffle-free per-round cost is O(blocks x k x dim)
 partials. Deterministic: centroids init from the first k vectors (seeded
 alternative available), ties break to the lowest centroid index.
 
+The per-round stage is a TASK CLOSURE over a broadcast centroid ref, not an
+actor pool: the state is k x dim floats fetched zero-copy from the local
+object store, so a closure fuses with the upstream read instead of paying a
+fresh actor-pool spin-up every iteration (the same small-state rule as
+dedup.MinHasher).
+
 ``assign`` then stamps a ``cluster`` column usable as the IVF bucket for
 :func:`..similarity.cosine_pairs_within` / ANN candidate scoping.
 """
@@ -19,7 +25,6 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .shuffle import actor_pool_size
 from .similarity import _mat, _normalize
 
 
@@ -31,26 +36,26 @@ def _init_centroids(ds: Dataset, k: int, vec_col: str) -> np.ndarray:
     return _normalize(m)
 
 
-class _AssignPartial:
+def _get(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+def _assign_partial_fn(centroids_ref, vec_col: str):
     """One pass: nearest centroid per row -> per-block (sum, count, inertia)
-    partials. Centroids broadcast once per round."""
+    partials. Centroids broadcast once via ray.put; the per-batch fetch is
+    a zero-copy local object-store read."""
 
-    def __init__(self, centroids_ref, vec_col: str):
-        c = ray.get(centroids_ref) if isinstance(centroids_ref,
-                                                 ray.ObjectRef) else centroids_ref
-        self.c = np.asarray(c, np.float64)
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_mat(batch, self.vec_col))
-        sims = m @ self.c.T
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(_get(centroids_ref), np.float64)
+        m = _normalize(_mat(batch, vec_col, c.shape[1]))
+        sims = m @ c.T
         assign = sims.argmax(axis=1)
-        k, dim = self.c.shape
+        k, dim = c.shape
         sums = np.zeros((k, dim))
         counts = np.zeros(k, np.int64)
         np.add.at(sums, assign, m)
         np.add.at(counts, assign, 1)
-        inertia = float((1.0 - sims.max(axis=1)).sum())
+        inertia = float((1.0 - sims.max(axis=1)).sum()) if len(m) else 0.0
         return pa.table({
             "cid": pa.array(np.arange(k, dtype=np.int64)),
             "vsum": pa.FixedSizeListArray.from_arrays(
@@ -59,10 +64,31 @@ class _AssignPartial:
             "inertia": pa.array([inertia] + [0.0] * (k - 1), pa.float64()),
         })
 
+    return partial
+
+
+def _one_pass(ds: Dataset, centroids: np.ndarray, vec_col: str):
+    """(sums, counts, inertia) of one assignment pass vs ``centroids``."""
+    ref = ray.put(centroids) if ray.is_initialized() else centroids
+    partials = ds.map_batches(
+        _assign_partial_fn(ref, vec_col),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    k, dim = centroids.shape
+    sums = np.zeros((k, dim))
+    counts = np.zeros(k, np.int64)
+    for cid, vsum, n in zip(partials["cid"], partials["vsum"],
+                            partials["n"]):
+        sums[cid] += np.asarray(vsum)
+        counts[cid] += n
+    return sums, counts, float(partials["inertia"].sum())
+
 
 def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
                max_iters: int = 10, tol: float = 1e-4) -> dict:
-    """Spherical k-means (cosine). Returns {centroids, inertia, iters}.
+    """Spherical k-means (cosine). Returns {centroids, inertia, iters},
+    where ``inertia`` is measured AGAINST the returned centroids (one
+    final assignment pass) — an in-loop reading would describe the
+    pre-update centroids, not the model handed back.
 
     Each iteration re-reads the (lazy) dataset; for many iterations over
     remote storage, materialize the projected column first.
@@ -71,19 +97,7 @@ def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
     inertia = np.inf
     iters = 0
     for it in range(max_iters):
-        ref = ray.put(centroids) if ray.is_initialized() else centroids
-        partials = ds.map_batches(
-            _AssignPartial, fn_constructor_args=(ref, vec_col),
-            batch_format="pyarrow", batch_size=None,
-            concurrency=actor_pool_size()).to_pandas()
-        dim = centroids.shape[1]
-        sums = np.zeros((k, dim))
-        counts = np.zeros(k, np.int64)
-        for cid, vsum, n in zip(partials["cid"], partials["vsum"],
-                                partials["n"]):
-            sums[cid] += np.asarray(vsum)
-            counts[cid] += n
-        new_inertia = float(partials["inertia"].sum())
+        sums, counts, new_inertia = _one_pass(ds, centroids, vec_col)
         nonzero = counts > 0
         new_c = centroids.copy()
         new_c[nonzero] = _normalize(sums[nonzero] /
@@ -97,7 +111,9 @@ def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
         inertia = new_inertia
         if converged:
             break
-    return {"centroids": centroids, "inertia": inertia, "iters": iters}
+    _, _, final_inertia = _one_pass(ds, centroids, vec_col)
+    return {"centroids": centroids, "inertia": final_inertia,
+            "iters": iters}
 
 
 def kmeans_assign(ds: Dataset, centroids: np.ndarray, *,
@@ -107,16 +123,12 @@ def kmeans_assign(ds: Dataset, centroids: np.ndarray, *,
     ref = ray.put(np.asarray(centroids, np.float64)) \
         if ray.is_initialized() else np.asarray(centroids, np.float64)
 
-    class Assign:
-        def __init__(self, ref):
-            self.c = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        c = np.asarray(_get(ref), np.float64)
+        m = _normalize(_mat(batch, vec_col, c.shape[1]))
+        assign = (m @ c.T).argmax(axis=1)
+        return batch.append_column(out_col,
+                                   pa.array(assign.astype(np.int64)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_mat(batch, vec_col))
-            assign = (m @ self.c.T).argmax(axis=1)
-            return batch.append_column(out_col,
-                                       pa.array(assign.astype(np.int64)))
-
-    return ds.map_batches(Assign, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", batch_size=None,
-                          concurrency=actor_pool_size())
+    return ds.map_batches(assign_fn, batch_format="pyarrow",
+                          batch_size=None)

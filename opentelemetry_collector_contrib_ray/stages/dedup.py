@@ -101,6 +101,11 @@ def md5_hex_u64(texts: pa.Array) -> tuple[pa.Array, pa.Array]:
     d = pc.dictionary_encode(pc.cast(texts, pa.string()))
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
+    # dictionary_encode keeps nulls OUT of the dictionary (they become
+    # null indices), so the None branches below never fire via the
+    # dictionary — null rows surface as null takes and must be filled
+    # AFTER the take: a null text keys the null group (hex stays null,
+    # arrow group_by groups nulls together) and hashes to partition 0
     digs = [None if v is None else hashlib.md5(v.encode()).digest()
             for v in d.dictionary.to_pylist()]
     hexes = pa.array([None if b is None else b.hex() for b in digs],
@@ -109,7 +114,8 @@ def md5_hex_u64(texts: pa.Array) -> tuple[pa.Array, pa.Array]:
         [0 if b is None else
          int.from_bytes(b[:8], "little") & 0x7FFFFFFFFFFFFFFF
          for b in digs], pa.int64())
-    return pc.take(hexes, d.indices), pc.take(u64, d.indices)
+    return pc.take(hexes, d.indices), \
+        pc.fill_null(pc.take(u64, d.indices), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +318,16 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+def _check_bands(num_perm: int, bands: int) -> int:
+    """bands must evenly divide num_perm: bands > num_perm makes every
+    band a ZERO-width slice (mix64 of nothing = one constant bucket for
+    all docs -> the whole corpus collapses into a single candidate
+    bucket, silently); a remainder silently ignores trailing
+    permutations. Both are config errors, not data conditions."""
+    if bands <= 0 or bands > num_perm or num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm})")
+    return num_perm // bands
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> np.ndarray:
@@ -320,12 +335,6 @@ def _perm_params(num_perm: int, seed: int = 42) -> np.ndarray:
     bijection on uint64; even a collapses low bits)."""
     rng = np.random.default_rng(seed)
     return rng.integers(0, 1 << 63, num_perm, dtype=np.uint64) * 2 + 1
-
-
-def _shingle_hashes(shingles: set[str]) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-         for s in shingles), np.uint64, len(shingles))
 
 
 def minhash_signature(text: str | None, a: np.ndarray,
@@ -484,7 +493,7 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 128, bands: int = 32,
     bounded O(m) work per degenerate exact-dup cluster instead of O(m^2).
     """
     n_parts = n_parts or adaptive_n_parts()
-    rows_per_band = num_perm // bands
+    rows_per_band = _check_bands(num_perm, bands)
     signed = ds.map_batches(
         minhash_map_fn(num_perm, k, 42, text_col, id_col),
         batch_format="pyarrow", batch_size=None)

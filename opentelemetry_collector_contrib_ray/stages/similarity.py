@@ -22,10 +22,19 @@ from ray.data import Dataset
 from .shuffle import actor_pool_size, round_half_away
 
 
-def _mat(batch: pa.Table, col: str) -> np.ndarray:
+def _mat(batch: pa.Table, col: str, dim: int | None = None) -> np.ndarray:
+    """Embedding column as an (n, d) float64 matrix. ``dim`` is the width
+    to use for a 0-row batch (reshape(0, -1) cannot infer one, and empty
+    blocks routinely arrive after selective upstream filters, e.g.
+    ann_lsh_topk's candidate prune) — callers holding a query/centroid
+    matrix pass its width so downstream matmuls stay shape-valid."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        if dim is None and pa.types.is_fixed_size_list(arr.type):
+            dim = arr.type.list_size
+        return np.zeros((0, dim or 0), dtype=np.float64)
     flat = np.asarray(arr.flatten(), dtype=np.float64)
     return flat.reshape(len(arr), -1)
 
@@ -51,7 +60,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_mat(batch, self.vec_col))
+        m = _normalize(_mat(batch, self.vec_col, self.q.shape[1]))
         sims = self.q @ m.T  # (nq, nb)
         # exclude self-matches
         qid_out, vid_out, sim_out = [], [], []
@@ -128,7 +137,7 @@ class HyperplaneLSH:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _mat(batch, self.vec_col)
+        m = _mat(batch, self.vec_col, self.planes[0].shape[1])
         cols = {n: batch[n] for n in batch.column_names}
         for t, planes in enumerate(self.planes):
             bits = (m @ planes.T) >= 0
@@ -218,7 +227,7 @@ class IVFSearcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_mat(batch, self.vec_col))
+        m = _normalize(_mat(batch, self.vec_col, self.cents.shape[1]))
         cells = np.argmax(m @ self.cents.T, axis=1)
         qid_out, vid_out, sim_out = [], [], []
         for c in np.unique(cells):

@@ -102,6 +102,10 @@ class LanguageID:
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # marker words are lowercase; sentence-initial capitals (The, El,
+        # Der...) are the single most common marker position, so match
+        # case-insensitively via a lowercased view
+        text = pc.utf8_lower(text)
         n = len(text)
         scores = np.zeros((len(self.patterns), n), np.float64)
         langs = list(self.patterns)

@@ -141,3 +141,23 @@ def test_video_frame_sampler_validates_and_handles_many_frames():
         VideoFrameSampler(n_frames=0)
     out = VideoFrameSampler(n_frames=300, fake=True)(synth_media_table(2))
     assert out.num_rows == 600  # frame indexes past 255 no longer crash
+
+
+def test_kmeans_inertia_matches_returned_centroids(ray_session):
+    """result['inertia'] must describe the RETURNED centroids (review
+    finding: it was the pre-update reading, so max_iters=1 reported the
+    init-centroid inertia for the once-updated model)."""
+    import numpy as np
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.cluster import (
+        _one_pass, kmeans_fit)
+    rng = np.random.default_rng(3)
+    base = np.eye(3)
+    vecs = np.vstack([base[i] + rng.normal(0, 0.05, (30, 3))
+                      for i in range(3)])
+    t = pa.table({"embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    fit = kmeans_fit(ds, 3, max_iters=1)
+    _, _, expect = _one_pass(ds, fit["centroids"], "embedding")
+    assert abs(fit["inertia"] - expect) < 1e-9

@@ -365,3 +365,65 @@ def test_ngram_jaccard_max_df_drops_stopword_shingle():
     got_capped = ngram_jaccard_pairs(
         ds, threshold=0.1, max_df=10).to_pandas()
     assert len(got_capped) == 0
+
+
+def test_exact_dedup_null_text(ray_session):
+    """md5-path exact_dedup on a corpus containing null texts: nulls form
+    their own dedup group instead of crashing the partition hash (review
+    finding: null digests became NaN partitions -> ArrowInvalid)."""
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", None, "a", None], pa.string())}))
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 2  # "a" group + null group
+    assert sorted(out["n_copies"]) == [2, 2]
+
+
+def test_ann_topk_with_empty_candidate_blocks(ray_session):
+    """Selective filters can hand similarity stages 0-row blocks; the
+    matmul path must survive them (review finding: reshape(0, -1))."""
+    import numpy as np
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        ann_topk)
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8))
+    t = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "flag": pa.array([i % 2 for i in range(20)], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))})
+    # filter leaves some blocks empty across the 4-block layout
+    ds = rd.from_arrow(t).repartition(4).filter(
+        lambda r: r["flag"] == 0 and r["vec_id"] < 6)
+    out = ann_topk(ds, vecs[:2], [0, 1], k=3).to_pandas()
+    assert set(out["query_id"]) <= {0, 1}
+
+
+def test_minhash_lsh_rejects_bad_bands(ray_session):
+    """bands > num_perm would make every band zero-width (one global
+    bucket, silently wrong); a remainder silently drops permutations.
+    Both must raise (review finding)."""
+    import pytest
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        minhash_lsh_pairs)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": ["hello world"]}))
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(ds, num_perm=16, bands=32)
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(ds, num_perm=128, bands=24)
+
+
+def test_langid_capitalized_markers(ray_session):
+    """Sentence-initial capitalized markers must count (review finding:
+    case-sensitive patterns scored 'The dog. The cat.' as unknown)."""
+    from opentelemetry_collector_contrib_ray.stages.textstats import (
+        LanguageID)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["The dog and The cat", "El gato es grande"]})
+    out = LanguageID()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es"]
