@@ -83,7 +83,7 @@ def _transform(ds: ray.data.Dataset, *, concurrency=None) -> ray.data.Dataset:
     # flagship lookup tables are tiny -> enrich_stage plans a task closure
     # (full fusion, no pool cap); a real k8sattributes-size index would get
     # the actor pool automatically (stages/enrich.py)
-    ds = enrich_stage(ds, flagship_enrich_spec(use_object_store=False),
+    ds = enrich_stage(ds, flagship_enrich_spec(),
                       concurrency=concurrency or _default_pool())
     ds = ds.map_batches(flagship_route_table(), batch_format="pyarrow",
                         batch_size=None)

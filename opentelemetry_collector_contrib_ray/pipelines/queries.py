@@ -1218,9 +1218,14 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
         "time_parse": ("SELECT event_id, date_trunc('second', ts) "
                        "AS ts_parsed FROM events"),
         "groupbyattrs": (
+            # canonical_identity's length-prefixed encoding
+            # ("<len>:<value>" per column, 'N' for null — a prefix code,
+            # so no value content can collide with the separator)
             f"SELECT conv_id, turn_idx, "
-            f"COALESCE(role, chr(0)||chr(0)||'null') || chr(31) || "
-            f"COALESCE(tool, chr(0)||chr(0)||'null') AS resource_id "
+            f"COALESCE(CAST(length(role) AS VARCHAR) || ':' || role, 'N')"
+            f" || "
+            f"COALESCE(CAST(length(tool) AS VARCHAR) || ':' || tool, 'N')"
+            f" AS resource_id "
             f"FROM read_parquet('{_transcripts_glob()}')"),
         "rfc3164": (
             f"SELECT conv_id, turn_idx, "

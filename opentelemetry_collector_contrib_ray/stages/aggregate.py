@@ -141,9 +141,12 @@ def sum_by(ds: Dataset, keys: list[str], value_col: str,
 def canonical_identity(batch: pa.Table, cols: list[str]) -> pa.Array:
     """Canonical serialization of a column tuple — the columnar analogue of
     the reference's sorted-key, type-prefixed identity hash
-    (pkg/pdatautil/hash.go:16-32). Nulls get a distinct marker so
-    null != "" != "null-marker". Never null itself, so it is safe as a
-    shuffle/groupby key."""
+    (pkg/pdatautil/hash.go:16-32). Each value is LENGTH-PREFIXED
+    ("<len>:<value>", a prefix code) so no value content can collide with
+    the encoding — a plain separator join would merge ("a\x1fb","c") with
+    ("a","b\x1fc"); nulls get the marker "N" (distinct from every
+    length-prefixed piece and from ""). Never null itself, so it is safe
+    as a shuffle/groupby key."""
     parts = []
     for c in cols:
         arr = batch[c]
@@ -152,10 +155,12 @@ def canonical_identity(batch: pa.Table, cols: list[str]) -> pa.Array:
         if pa.types.is_null(arr.type):
             arr = pc.cast(arr, pa.string())
         s = pc.cast(arr, pa.string())
-        parts.append(pc.coalesce(s, pa.scalar("\x00\x00null")))
+        piece = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(s), pa.string()), s, ":")
+        parts.append(pc.coalesce(piece, pa.scalar("N")))
     if len(parts) == 1:
         return parts[0]
-    return pc.binary_join_element_wise(*parts, "\x1f")
+    return pc.binary_join_element_wise(*parts, "")
 
 
 def dedup_counts(ds: Dataset, identity_cols: list[str], ts_col: str = "ts",
@@ -185,11 +190,18 @@ def dedup_counts(ds: Dataset, identity_cols: list[str], ts_col: str = "ts",
                 sel = sel.set_column(i, f.name, pc.cast(sel.column(i), pa.string()))
         ident = canonical_identity(sel, identity_cols)
         sel = sel.append_column("_id", ident)
-        # identity cardinality can be O(N) (body text in the identity):
-        # hash-partition the merge like exact_dedup, never a 1-block fan-in
-        ih = pl.from_arrow(ident).hash(seed=31).to_numpy()
-        sel = sel.append_column(
-            "_mp", pa.array((ih % n_parts).astype("int64"), pa.int64()))
+        if wide:
+            # identity cardinality can be O(N) (body text in the
+            # identity): hash-partition the merge like exact_dedup,
+            # never a 1-block fan-in
+            ih = pl.from_arrow(ident).hash(seed=31).to_numpy()
+            mp = (ih % n_parts).astype("int64")
+            sel = sel.append_column(
+                "_mp", pa.array(mp, pa.int64()))
+        else:
+            # single-task merge: constant partition, no hash pass
+            sel = sel.append_column(
+                "_mp", pc.fill_null(pa.nulls(sel.num_rows, pa.int64()), 0))
         aggs = [("_mp", "min"), ([], "count_all"),
                 (ts_col, "min"), (ts_col, "max")]
         aggs += [(c, "min") for c in identity_cols]  # constant per group

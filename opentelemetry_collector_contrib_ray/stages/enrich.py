@@ -74,8 +74,11 @@ TOOL_TO_RESOURCE = {
 }
 
 
-def flagship_enrich_spec(use_object_store: bool = True):
-    """Build the flagship spec; broadcasts via ray.put when a Ray session is up."""
+def flagship_enrich_spec(use_object_store: bool = False):
+    """Build the flagship spec. The lookup tables are a few dozen bytes,
+    so the default ships them INLINE (task closure -> full fusion);
+    ``use_object_store=True`` exercises the broadcast path (which
+    enrich_stage treats as big state and runs on an actor pool)."""
     role_map, tool_map = ROLE_TO_SERVICE, TOOL_TO_RESOURCE
     if use_object_store and ray.is_initialized():
         role_map, tool_map = ray.put(role_map), ray.put(tool_map)
@@ -104,6 +107,7 @@ def enrich_stage(ds, spec, *, concurrency=None,
     k8sattributes/geoip case) becomes an actor pool that fetches the
     broadcast once per actor.
     """
+    from .shuffle import actor_pool_size
     if spec_state_bytes(spec) <= task_threshold_bytes:
         enricher = BroadcastLookupEnricher(spec)  # compiled once, tiny
         return ds.map_batches(enricher, batch_format="pyarrow",
@@ -114,7 +118,7 @@ def enrich_stage(ds, spec, *, concurrency=None,
     return ds.map_batches(
         BroadcastLookupEnricher, fn_constructor_args=(spec,),
         batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency or (2, 8))
+        concurrency=concurrency or actor_pool_size())
 
 
 class RangeLookupEnricher:
@@ -169,6 +173,10 @@ class RangeLookupEnricher:
             col = col.combine_chunks()
         if self.key_is_ip:
             keys = self.ip_to_int(col)
+        elif pa.types.is_unsigned_integer(col.type):
+            # unsigned keys can't be negative, and routing them through
+            # int64 would crash on values >= 2^63
+            keys = pc.cast(col, pa.uint64())
         else:
             # out-of-range integer keys (negative sentinels etc.) map to
             # the default instead of crashing the cast

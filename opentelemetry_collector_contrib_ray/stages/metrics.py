@@ -28,6 +28,8 @@ def histogram_by(ds: Dataset, keys: list[str], value_col: str,
     """Explicit-bucket histogram: one output row per (keys..., bucket) with
     counts; bucket label = '<=X' / '>last'. Null values are skipped (the
     reference counts only recorded durations)."""
+    if not bounds:
+        raise ValueError("histogram_by: bounds must be non-empty")
     bounds_arr = np.asarray(bounds, np.float64)
     labels = [f"<={b:g}" for b in bounds] + [f">{bounds[-1]:g}"]
     labels_arr = pa.array(labels, pa.string())
@@ -44,6 +46,11 @@ def histogram_by(ds: Dataset, keys: list[str], value_col: str,
                              "_partial": pa.array([], pa.int64())})
         vv = pc.cast(batch[value_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
+        if np.isnan(vv).any():
+            # NaN is valid/non-null in Arrow but just as unrecorded as a
+            # null (searchsorted would bucket it into '>last')
+            keep = ~np.isnan(vv)
+            batch, vv = batch.filter(pa.array(keep)), vv[keep]
         idx = np.searchsorted(bounds_arr, vv, side="left")
         b = pc.take(labels_arr, pa.array(idx.astype(np.int64)))
         t = batch.select(keys).append_column("bucket", b)
@@ -187,13 +194,23 @@ def cumulative_to_delta(ds: Dataset, *, key_col: str, order_col: str,
         starts = _segment_starts(group, key_col)
         v = pc.cast(group[value_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
-        prev = np.concatenate([[0.0], v[:-1]])
-        delta = v - np.where(starts, 0.0, prev)
-        if initial == "drop":
-            out = pc.if_else(pa.array(~starts), pa.array(delta),
-                             pa.nulls(n, pa.float64()))
-        else:
-            out = pa.array(delta, pa.float64())
+        has_v = ~np.isnan(v)
+        idx = np.arange(n)
+        seg_first = np.maximum.accumulate(np.where(starts, idx, 0))
+        # last VALID point per row (exclusive of the row itself); a null
+        # value is a gap: its delta is null and it does not become prev —
+        # without this one null poisons its own AND the next delta as
+        # non-null NaN floats
+        lastv = np.maximum.accumulate(np.where(has_v, idx, -1))
+        lastv_excl = np.concatenate([[-1], lastv[:-1]])
+        is_first = lastv_excl < seg_first  # no valid predecessor in series
+        prev = np.where(is_first, 0.0, v[np.maximum(lastv_excl, 0)])
+        delta = v - prev
+        emit = has_v & (~is_first if initial == "drop"
+                        else np.ones(n, bool))
+        out = pc.if_else(pa.array(emit),
+                         pa.array(np.nan_to_num(delta, nan=0.0)),
+                         pa.nulls(n, pa.float64()))
         return group.append_column(out_col, out)
 
     return _per_key_scan(ds, key_col, order_col, seg, n_parts, size_bytes)
@@ -228,7 +245,7 @@ def delta_to_rate(ds: Dataset, *, key_col: str, order_col: str,
         dt_s = dt_us / 1e6
         with np.errstate(divide="ignore", invalid="ignore"):
             rate = np.where(dt_s > 0, v / dt_s, np.nan)
-        valid = (~starts) & (dt_s > 0)
+        valid = (~starts) & (dt_s > 0) & ~np.isnan(v)
         out = pc.if_else(pa.array(valid), pa.array(rate),
                          pa.nulls(n, pa.float64()))
         return group.append_column(out_col, out)
@@ -262,19 +279,25 @@ def metric_start_time(ds: Dataset, *, key_col: str, order_col: str,
         if n == 0:
             return group.append_column(out_start, pa.array([], ts_t))
         starts = _segment_starts(group, key_col)
-        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_i = pc.cast(group[ts_col], pa.int64())
+        # keep int64 end-to-end: to_numpy on a null-bearing int column
+        # falls back to float64 (NaN crashes the int cast back, and ns
+        # epochs past 2^53 lose precision)
+        ts_ok = pc.is_valid(ts_i).to_numpy(zero_copy_only=False)
+        ts = pc.fill_null(ts_i, 0).to_numpy(zero_copy_only=False)
         idx = np.arange(n)
         first_idx = np.maximum.accumulate(np.where(starts, idx, 0))
         start_ts = ts[first_idx]
+        start_arr = pa.array(start_ts, pa.int64(),
+                             mask=~ts_ok[first_idx])
         if strategy == "true_reset_point":
             return group.append_column(
-                out_start, pc.cast(pa.array(start_ts, pa.int64()), ts_t))
+                out_start, pc.cast(start_arr, ts_t))
         # subtract_initial_point
         v = pc.cast(group[value_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
         base = v[first_idx]
-        out = group.append_column(
-            out_start, pc.cast(pa.array(start_ts, pa.int64()), ts_t))
+        out = group.append_column(out_start, pc.cast(start_arr, ts_t))
         i = out.column_names.index(value_col)
         out = out.set_column(i, value_col, pa.array(v - base, pa.float64()))
         return out.filter(pa.array(~starts))

@@ -7,6 +7,7 @@ import ray.data
 
 from opentelemetry_collector_contrib_ray.expr import col
 from opentelemetry_collector_contrib_ray.stages.aggregate import (
+    canonical_identity,
     count_by,
     dedup_counts,
     sum_by,
@@ -107,3 +108,15 @@ def test_count_by_typed_default_keeps_int_schema(ray_session):
                    default_value="0").to_pandas()
     got = dict(zip(out.status, out["count"]))
     assert got == {200: 2, 0: 1}
+
+
+def test_canonical_identity_separator_injection(ray_session):
+    """Length-prefixed encoding: values containing the old separator (or
+    the null marker) must NOT merge distinct identities (review finding:
+    ('a\\x1fb','c') and ('a','b\\x1fc') collided)."""
+    t = pa.table({"x": ["a\x1fb", "a"], "y": ["c", "b\x1fc"]})
+    ids = canonical_identity(t, ["x", "y"]).to_pylist()
+    assert ids[0] != ids[1]
+    t2 = pa.table({"x": [None, "\x00\x00null"], "y": ["c", "c"]})
+    ids2 = canonical_identity(t2, ["x", "y"]).to_pylist()
+    assert ids2[0] != ids2[1]

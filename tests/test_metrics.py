@@ -4,9 +4,14 @@ delta->cumulative (SURVEY.md §2.6-2.7)."""
 import pyarrow as pa
 import ray.data
 
+import pandas as pd
+
 from opentelemetry_collector_contrib_ray.stages.metrics import (
     cumulative_per_key,
+    cumulative_to_delta,
+    delta_to_rate,
     histogram_by,
+    metric_start_time,
     transition_edges,
 )
 
@@ -157,3 +162,65 @@ def test_delta_to_rate_normalizes_timestamp_unit(ray_session):
                         order_col="ts", value_col="v",
                         n_parts=2).to_pandas().sort_values("ts")
     assert out["rate"].dropna().tolist() == [5.0]  # 10 / 2s
+
+
+def test_cumulative_to_delta_null_value_is_gap(ray_session):
+    """A null value is a gap: its delta is null (not a valid NaN float)
+    and the NEXT point diffs against the last VALID point (review
+    finding: one null poisoned two deltas with NaN)."""
+    import ray.data as rd
+    t = pa.table({
+        "k": ["a"] * 3, "o": [1, 2, 3],
+        "v": pa.array([10.0, None, 30.0], pa.float64())})
+    out = cumulative_to_delta(rd.from_arrow(t), key_col="k", order_col="o",
+                              value_col="v").to_pandas().sort_values("o")
+    d = list(out["delta"])
+    assert d[0] == 10.0
+    assert pd.isna(d[1])
+    assert d[2] == 20.0  # 30 - last valid (10), not NaN
+
+
+def test_delta_to_rate_null_value_yields_null(ray_session):
+    """A null value must give a NULL rate, not a valid NaN that survives
+    is_valid filters (review finding)."""
+    import ray.data as rd
+    t = pa.table({
+        "k": ["a"] * 3,
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+        "v": pa.array([5.0, None, 7.0], pa.float64())})
+    out = delta_to_rate(rd.from_arrow(t), key_col="k", order_col="ts",
+                        value_col="v").to_pandas().sort_values("ts")
+    r = list(out["rate"])
+    assert pd.isna(r[0]) and pd.isna(r[1])
+    assert r[2] == 7.0
+
+
+def test_metric_start_time_null_ts(ray_session):
+    """Null timestamps must not crash the int64 round-trip or corrupt
+    start stamps (review finding: float64 fallback -> NaN cast crash)."""
+    import ray.data as rd
+    t = pa.table({
+        "k": ["a", "a", "b"],
+        "o": [1, 2, 1],
+        "ts": pa.array([None, 2_000_000, 3_000_000], pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    out = metric_start_time(rd.from_arrow(t), key_col="k", order_col="o",
+                            value_col="v", ts_col="ts") \
+        .to_pandas().sort_values(["k", "o"])
+    s = list(out["start_ts"])
+    assert pd.isna(s[0]) and pd.isna(s[1])  # series start ts unknown
+    assert s[2] == pd.Timestamp("1970-01-01 00:00:03")
+
+
+def test_histogram_skips_nan_values(ray_session):
+    """NaN is as unrecorded as null — it must not inflate the overflow
+    bucket (review finding)."""
+    import ray.data as rd
+    t = pa.table({"k": ["x"] * 4,
+                  "v": pa.array([1.0, float("nan"), 100.0, None],
+                                pa.float64())})
+    out = histogram_by(rd.from_arrow(t), ["k"], "v", [10.0]) \
+        .to_pandas().set_index("bucket")["n"]
+    assert out.get("<=10", 0) == 1
+    assert out.get(">10", 0) == 1
