@@ -36,7 +36,7 @@ KV_RE = (r'^level=(?P<level>\w+) code=(?P<code>\S+) latency_ms=(?P<latency>\d+) 
          r'msg="(?P<msg>[^"]*)" tool=(?P<tool>\w*)$')
 JSON_RE = (r'^\{"severity":"(?P<sev>[A-Z]+)","error":\{"code":"(?P<code>[^"]+)",'
            r'"retryable":(?P<retryable>true|false)\},"dur":"(?P<dur>[0-9.]+)s"')
-SYSLOG_RE = (r'^<(?P<pri>\d{1,3})>1 (?P<sts>\S+) (?P<host>\S+) (?P<app>\S+) '
+SYSLOG_RE = (r'^<(?P<pri>1[0-8]\d|19[01]|\d{1,2})>1 (?P<sts>\S+) (?P<host>\S+) (?P<app>\S+) '
              r'(?P<pid>\d+) (?P<msgid>\S+) - tool=(?P<tool>\w+) rc=(?P<rc>\d+)$')
 TRACEBACK_HEAD_RE = r'^Traceback '
 CONTINUATION_RE = r'^\s'
@@ -180,6 +180,53 @@ def regex_parser(pattern: str, parse_from: str = "text", prefix: str = "",
     return fn
 
 
+def _parseutils_pairs(s: str, delimiter: str,
+                      pair_delimiter: str) -> dict:
+    """Exact parseutils.SplitString + ParseKeyValuePairs
+    (internal/coreinternal/parseutils/parser.go:16-82): quote-aware
+    pair split with quote stripping and backslash escapes, then
+    SplitN(2) + TrimSpace on both sides; pairs without the delimiter
+    are skipped (the reference records an error per pair and keeps
+    the rest); an unterminated quote raises -> whole row unparsed."""
+    result, cur = [], []
+    dl = len(pair_delimiter)
+    quote, esc = "", False
+    i, L = 0, len(s)
+    while i < L:
+        if quote == "" and s[i:i + dl] == pair_delimiter:
+            if cur:
+                result.append("".join(cur))
+                cur = []
+            i += dl
+            continue
+        ch = s[i]
+        if not esc:
+            if quote == "" and ch in "\"'":
+                quote = ch
+                i += 1
+                continue
+            if ch == quote:
+                quote = ""
+                i += 1
+                continue
+            esc = ch == "\\"
+        else:
+            esc = False
+        cur.append(ch)
+        i += 1
+    if quote:
+        raise ValueError("never reached the end of a quoted value")
+    if cur:
+        result.append("".join(cur))
+    out = {}
+    for p in result:
+        k, sep, v = p.partition(delimiter)
+        if not sep:
+            continue
+        out[k.strip()] = v.strip()
+    return out
+
+
 def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
                     pair_delimiter: str = " ", keys: list[str] | None = None,
                     prefix: str = "attr_"):
@@ -191,72 +238,48 @@ def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
     """
     if keys:
         import re as _re
-        # two passes per key: quoted value first, bare token second (a single
-        # alternation won't do — RE2 reports non-participating groups as ""
-        # through pc.extract_regex, losing the null/empty distinction).
-        # Keys and delimiters are regex-escaped; the bare-value class is
-        # derived from pair_delimiter so 'k=v|k2=v2' parses with pd='|'.
+        # hybrid like the dynamic path: rows WITHOUT quote/backslash chars
+        # take one vectorized RE2 pass per key with a greedy prefix so the
+        # LAST occurrence of a repeated key wins (parseutils map overwrite
+        # semantics); rows WITH them take the exact quote-aware scan —
+        # a regex-only keyed path read key tokens inside other keys'
+        # quoted values and returned FIRST occurrences.
         pd, dl = _re.escape(pair_delimiter), _re.escape(delimiter)
         stop = _re.escape(pair_delimiter)
-        pats = {k: (rf'(?:^|{pd}){_re.escape(k)}{dl}"(?P<q>[^"]*)"',
-                    rf'(?:^|{pd}){_re.escape(k)}{dl}(?P<v>[^"{stop}][^{stop}]*)')
+        pats = {k: rf'^(?:.*{pd})?{_re.escape(k)}{dl}(?P<v>[^{stop}]*)'
                 for k in keys}
 
         def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
             col = batch[parse_from]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            for k, (pq_, pv_) in pats.items():
-                q = pc.struct_field(pc.extract_regex(col, pq_), "q")
-                v = pc.struct_field(pc.extract_regex(col, pv_), "v")
-                batch = batch.append_column(prefix + k, pc.coalesce(q, v))
+            col = pc.cast(col, pa.string())
+            special = pc.fill_null(
+                pc.match_substring_regex(col, r'["\'\\]'), False)
+            scan_maps: dict[int, dict] = {}
+            if pc.any(special).as_py():
+                for ridx in np.nonzero(
+                        special.to_numpy(zero_copy_only=False))[0]:
+                    txt = col[int(ridx)].as_py()
+                    if txt is None:
+                        continue
+                    try:
+                        scan_maps[int(ridx)] = _parseutils_pairs(
+                            txt, delimiter, pair_delimiter)
+                    except ValueError:
+                        scan_maps[int(ridx)] = {}
+            for k, pat in pats.items():
+                v = pc.utf8_trim_whitespace(
+                    pc.struct_field(pc.extract_regex(col, pat), "v"))
+                if scan_maps:
+                    vals = v.to_pylist()
+                    for ridx, m in scan_maps.items():
+                        vals[ridx] = m.get(k)
+                    v = pa.array(vals, pa.string())
+                batch = batch.append_column(prefix + k, v)
             return batch
         return fn
-
-    def _parseutils_pairs(s: str) -> dict:
-        """Exact parseutils.SplitString + ParseKeyValuePairs
-        (internal/coreinternal/parseutils/parser.go:16-82): quote-aware
-        pair split with quote stripping and backslash escapes, then
-        SplitN(2) + TrimSpace on both sides; pairs without the delimiter
-        are skipped (the reference records an error per pair and keeps
-        the rest); an unterminated quote raises -> whole row unparsed."""
-        result, cur = [], []
-        dl = len(pair_delimiter)
-        quote, esc = "", False
-        i, L = 0, len(s)
-        while i < L:
-            if quote == "" and s[i:i + dl] == pair_delimiter:
-                if cur:
-                    result.append("".join(cur))
-                    cur = []
-                i += dl
-                continue
-            ch = s[i]
-            if not esc:
-                if quote == "" and ch in "\"'":
-                    quote = ch
-                    i += 1
-                    continue
-                if ch == quote:
-                    quote = ""
-                    i += 1
-                    continue
-                esc = ch == "\\"
-            else:
-                esc = False
-            cur.append(ch)
-            i += 1
-        if quote:
-            raise ValueError("never reached the end of a quoted value")
-        if cur:
-            result.append("".join(cur))
-        out = {}
-        for p in result:
-            k, sep, v = p.partition(delimiter)
-            if not sep:
-                continue
-            out[k.strip()] = v.strip()
-        return out
 
     def fn_dynamic(batch: pa.Table) -> pa.Table:
         """Dynamic-keys path: rows WITHOUT quote/backslash characters go
@@ -316,7 +339,8 @@ def keyvalue_parser(parse_from: str = "text", delimiter: str = "=",
                 if txt is None:
                     continue
                 try:
-                    scan_maps[int(ridx)] = _parseutils_pairs(txt)
+                    scan_maps[int(ridx)] = _parseutils_pairs(
+                        txt, delimiter, pair_delimiter)
                 except ValueError:
                     pass
         scan_keys = {k for m in scan_maps.values() for k in m}
@@ -358,11 +382,12 @@ def json_parser(parse_from: str = "text", fields: dict[str, str] | None = None,
         try:
             decoded = s.str.json_decode()
         except pl.exceptions.ComputeError:
-            # malformed rows -> null instead of failing the batch
-            import json as _json
+            # malformed rows -> null instead of failing the batch; pin the
+            # dtype — an all-None list infers Null and json_decode would
+            # raise SchemaError, failing the rescue path itself
             ok = [None if v is None else
                   (v if _is_json(v) else None) for v in s.to_list()]
-            decoded = pl.Series(ok).str.json_decode()
+            decoded = pl.Series(ok, dtype=pl.String).str.json_decode()
         return batch.append_column("parsed", decoded.to_arrow())
     return fn
 
@@ -568,7 +593,7 @@ def _set_column(batch: pa.Table, name: str, arr) -> pa.Table:
 
 # --- syslog RFC3164 (parser/syslog/parser.go BSD format path) -------------
 
-RFC3164_RE = (r'^<(?P<pri>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d '
+RFC3164_RE = (r'^<(?P<pri>1[0-8]\d|19[01]|\d{1,2})>(?P<ts>[A-Z][a-z]{2} [ \d]\d '
               r'\d{2}:\d{2}:\d{2}) (?P<host>\S+) '
               r'(?P<app>[^\[:]+)(?:\[(?P<pid>\d+)\])?: (?P<msg>.*)$')
 
@@ -650,13 +675,12 @@ def jsonarray_parser(parse_from: str = "text", header: list[str] | None = None,
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
         lst = lst.cast(pa.list_(pa.string()))
-        offsets = np.asarray(lst.offsets)
-        # null rows surface as null offsets after cast; normalize
-        offsets = np.where(np.equal(offsets, None), 0, offsets) \
-            if offsets.dtype == object else offsets
+        # ragged-safe positional access shared with assign_keys
+        # (functions/maps.list_parts rebases sliced arrays)
+        from ..functions.maps import list_parts
+        offsets, values, lvalid = list_parts(lst)
         lengths = offsets[1:] - offsets[:-1]
-        valid = ~np.asarray(pc.is_null(lst))
-        values = lst.values
+        valid = np.asarray(lvalid)
         ok = (lengths == len(header)) & valid
         for i, name in enumerate(header):
             has = ok
@@ -708,9 +732,16 @@ def trace_parser(trace_from: str = "trace_id", span_from: str = "span_id",
                 f = f.combine_chunks()
             flags_bytes = _hex_to_bytes(f)
             first = pc.binary_slice(flags_bytes, 0, 1)
-            as_int = pa.array(
+            # byte -> int per DISTINCT value (<= 256), like _hex_to_bytes:
+            # no Python-per-row loop in this hot path
+            d = pc.dictionary_encode(first)
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            ints = pa.array(
                 [None if v is None or len(v) == 0 else v[0]
-                 for v in first.to_pylist()], pa.int32())
+                 for v in d.dictionary.to_pylist()], pa.int32())
+            as_int = pc.take(ints, d.indices) if len(ints) else \
+                pa.nulls(batch.num_rows, pa.int32())
             batch = _set_column(batch, prefix + "trace_flags", as_int)
         return batch
     return fn

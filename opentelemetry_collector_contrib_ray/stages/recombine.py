@@ -108,8 +108,11 @@ def merge_segments(batch: pa.Table, *, source_col: str = "conv_id",
             [pa.array([True]), is_last.slice(0, n - 1)])
         starts = pc.or_(prev_last, changed)
     else:
+        # a null line does not match the boundary regex in the reference
+        # (nil/empty body fails ^\S) -> it CONTINUES the open entry; the
+        # SQL oracle agrees (regexp_matches(NULL) -> NULL -> not-first)
         is_first = pc.fill_null(pc.match_substring_regex(mcol, is_first_re),
-                                True)
+                                False)
         starts = pc.or_(is_first, changed)
     seg = pc.cumulative_sum(pc.cast(starts, pa.int64()))
     extras = [c for c in (keep_cols or [])

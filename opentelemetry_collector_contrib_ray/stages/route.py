@@ -72,6 +72,16 @@ class RouteTable:
                 old = batch[k]
                 if isinstance(old, pa.ChunkedArray):
                     old = old.combine_chunks()
+                if not (pa.types.is_string(old.type)
+                        or pa.types.is_large_string(old.type)
+                        or pa.types.is_null(old.type)):
+                    # stamping string attributes into a non-string column
+                    # would silently re-type every unstamped row's value
+                    # ('7' for 7) — surface the config conflict instead
+                    raise TypeError(
+                        f"route attribute {k!r} collides with existing "
+                        f"column of type {old.type} — rename the attribute "
+                        "or cast the column first")
                 arr = pc.coalesce(arr, pc.cast(old, pa.string()))
                 batch = batch.set_column(batch.column_names.index(k), k, arr)
             else:

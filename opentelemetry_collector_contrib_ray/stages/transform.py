@@ -80,10 +80,19 @@ def remove(fields: list[str]):
 
 
 def move(src: str, dest: str, where: Expr | None = None):
-    """move transformer (transformer/move/config.go:36-38): rename/relocate."""
+    """move transformer (transformer/move/config.go:36-38): rename/relocate.
+    Ungated: the src column is dropped. Row-gated: the column must stay
+    (other rows still own it), but the MOVED rows' src values are nulled —
+    without this a gated move silently degrades to a gated copy."""
     def fn(batch: pa.Table) -> pa.Table:
-        out = _masked(batch, dest, _get(batch, src), where)
-        return out.drop_columns([src]) if where is None else out
+        src_vals = _get(batch, src)
+        if where is None:
+            return _set(batch, dest, src_vals).drop_columns([src])
+        mask = pc.fill_null(where.mask(batch), False)
+        out = _masked(batch, dest, src_vals, where)
+        cleared = pc.if_else(mask, pa.nulls(len(src_vals), src_vals.type),
+                             src_vals)
+        return _set(out, src, cleared)
     return fn
 
 
@@ -172,10 +181,17 @@ def attr_update(field: str, value, where: Expr | None = None):
 
 def attr_upsert(field: str, value=None, from_attribute: str | None = None,
                 where: Expr | None = None):
-    """attraction UPSERT: unconditional set, from literal or another column."""
+    """attraction UPSERT: unconditional set, from literal or another column.
+    A ``from_attribute`` column absent from the batch schema means no
+    record carries it — the reference upsert is then a no-op, not an
+    error (same guard as attr_update/attr_hash)."""
     def fn(batch: pa.Table) -> pa.Table:
-        out = _get(batch, from_attribute) if from_attribute else \
-            pa.array([value] * batch.num_rows)
+        if from_attribute:
+            if from_attribute not in batch.column_names:
+                return batch
+            out = _get(batch, from_attribute)
+        else:
+            out = pa.array([value] * batch.num_rows)
         return _masked(batch, field, out, where)
     return fn
 
@@ -371,6 +387,13 @@ def assign_keys(src: str, keys: list[str], dest_prefix: str = "",
         # null for missing positions via offset arithmetic instead
         # (list_parts rebases sliced arrays)
         offsets, values, _valid = list_parts(col)
+        if len(values) == 0:
+            # all rows empty/null: pc.take(values, 0) would raise
+            for k in keys:
+                batch = _masked(batch, dest_prefix + k,
+                                pa.nulls(batch.num_rows, values.type),
+                                where)
+            return batch
         lengths = offsets[1:] - offsets[:-1]
         for i, k in enumerate(keys):
             has = lengths > i

@@ -419,3 +419,37 @@ def test_ref_csv_dynamic_fields_header_delimiter():
     out = csv_parser(header_col="hdr", header_delimiter="|")(t)
     assert out["name"].to_pylist() == ["stanza"]
     assert out["age"].to_pylist() == ["1"]
+
+
+def test_keyvalue_keyed_last_wins_and_quote_safe():
+    """Review findings: the keyed path must return the LAST occurrence of
+    a repeated key (parseutils map overwrite) and must not read a key
+    token inside another key's quoted value."""
+    t = pa.table({"text": ['msg="x tool=hammer" tool=axe', "k=a k=b",
+                           None]})
+    out = keyvalue_parser(keys=["tool", "msg", "k"])(t)
+    assert out["attr_tool"].to_pylist() == ["axe", None, None]
+    assert out["attr_msg"].to_pylist() == ["x tool=hammer", None, None]
+    assert out["attr_k"].to_pylist() == [None, "b", None]
+
+
+def test_json_parser_all_rows_malformed():
+    """The malformed-row rescue path must survive a batch where EVERY row
+    is invalid (review finding: all-None list inferred dtype Null and the
+    rescue itself raised SchemaError)."""
+    from opentelemetry_collector_contrib_ray.stages.parse import json_parser
+    t = pa.table({"text": ["not json", "{bad", None]})
+    out = json_parser()(t)
+    assert out["parsed"].to_pylist() == [None, None, None]
+
+
+def test_syslog_pri_over_191_is_unparsed():
+    """RFC PRI max is 191 (facility 23); larger values must leave the row
+    unparsed like the reference, not yield bogus facility/severity."""
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        syslog_rfc3164_parser)
+    t = pa.table({"text": [
+        "<999>Jan  1 00:00:00 h app[1]: msg",
+        "<188>Jan  1 00:00:00 h app[1]: msg"]})
+    out = syslog_rfc3164_parser()(t)
+    assert out["syslog_pri"].to_pylist() == [None, 188]

@@ -113,14 +113,14 @@ def test_merge_segments_null_body_and_envelope():
         "text": ["start", None, " end"],
     })
     out = merge_segments(t).sort_by("turn_idx")
-    # a null body can't prove it's a continuation -> starts a segment
-    # (is_first fill_null=True); within a segment a null body joins as ''
-    # and still counts as a line; a null first-row ts survives as the
-    # envelope (skip_nulls=False first)
-    assert out["n_lines"].to_pylist() == [1, 2]
-    assert out["text"].to_pylist() == ["start", "\n end"]
-    assert out["ts"].to_pylist() == [None,
-                                     datetime.datetime(2024, 1, 1)]
+    # a null body does not match ^\S -> it CONTINUES the open entry (the
+    # reference regex can't match nil; the SQL oracle's regexp_matches
+    # yields NULL -> not-first); it joins as '' and still counts as a
+    # line; a null first-row ts survives as the envelope
+    # (skip_nulls=False first)
+    assert out["n_lines"].to_pylist() == [3]
+    assert out["text"].to_pylist() == ["start\n\n end"]
+    assert out["ts"].to_pylist() == [None]
 
 
 # ---------------------------------------------------------------------------

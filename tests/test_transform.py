@@ -227,3 +227,45 @@ def test_redact_empty_blocked_values_is_noop():
     out = redact(["x"], [])(t)
     assert out["x"].to_pylist() == ["hello"]
     assert out["redacted_count"].to_pylist() == [0]
+
+
+def test_assign_keys_all_empty_lists(ray_session):
+    """An all-empty/null list block must yield null columns, not
+    ArrowIndexError (review finding)."""
+    t = pa.table({"lst": pa.array([[], [], None],
+                                  pa.list_(pa.string()))})
+    out = tr.assign_keys("lst", ["a", "b"])(t)
+    assert out["a"].to_pylist() == [None, None, None]
+    assert out["b"].to_pylist() == [None, None, None]
+
+
+def test_attr_upsert_missing_from_attribute_is_noop(ray_session):
+    """from_attribute naming an absent column = no record carries it ->
+    no-op, not KeyError (review finding)."""
+    t = pa.table({"x": [1, 2]})
+    out = tr.attr_upsert("dest", from_attribute="missing")(t)
+    assert out.column_names == ["x"]
+
+
+def test_gated_move_nulls_moved_rows(ray_session):
+    """A row-gated move must null the moved rows' src values — otherwise
+    it silently degrades to a gated copy (review finding)."""
+    t = pa.table({"a": [1, 2, 3]})
+    out = tr.move("a", "b", where=col("a") > 1)(t)
+    assert out["b"].to_pylist() == [None, 2, 3]
+    assert out["a"].to_pylist() == [1, None, None]
+
+
+def test_route_attribute_type_conflict_raises(ray_session):
+    """Stamping string route attributes into an existing non-string
+    column must surface the config conflict, not silently re-type
+    unstamped rows (review finding)."""
+    import pytest
+    from opentelemetry_collector_contrib_ray.stages.route import (
+        Route, RouteTable)
+    t = pa.table({"r": pa.array([9, 8], pa.int64()),
+                  "x": ["a", "b"]})
+    rt = RouteTable([Route("s1", col("x") == "a", attributes={"r": "e"})],
+                    default="d")
+    with pytest.raises(TypeError, match="collides"):
+        rt(t)
