@@ -172,6 +172,12 @@ def extract_grok_patterns(expression: str, parse_from: str = "text",
             name = st.type.field(i).name
             arr = pc.struct_field(st, name)
             if name in types and not pa.types.is_string(types[name]):
+                # a non-participating optional group surfaces as '' (Arrow
+                # extract_regex has no absent marker): '' is not a value
+                # of any typed capture, so null it instead of failing the
+                # numeric cast for the whole batch
+                arr = pc.if_else(pc.equal(arr, ""),
+                                 pa.nulls(len(arr), pa.string()), arr)
                 if pa.types.is_boolean(types[name]):
                     arr = pc.equal(arr, "true")
                 else:

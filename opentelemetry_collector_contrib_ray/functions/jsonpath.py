@@ -55,10 +55,14 @@ def _as_str_series(arr: pa.Array) -> pl.Series:
 
 
 def _go_float(v: float) -> str:
-    """Go strconv.FormatFloat(v, 'g', -1, 64): integral floats print bare
-    (1.0 -> "1"), like pcommon.Value.AsString."""
-    if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
-        return str(int(v))
+    """pcommon.Value.AsString float encoding (encoding/json rules):
+    positional 'f' shortest-round-trip for 1e-6 <= |v| < 1e21 (so 1e16
+    prints bare digits, 1.0 prints "1"), scientific shortest otherwise —
+    a 1e15 cutoff diverged on [1e15, 1e21)."""
+    if v == 0:
+        return "0"
+    if math.isfinite(v) and 1e-6 <= abs(v) < 1e21:
+        return np.format_float_positional(v, unique=True, trim="-")
     return repr(v)
 
 
@@ -101,8 +105,29 @@ def json_get(arr: pa.Array, segs: list) -> pa.Array:
     if any(p is None for p in parts):  # quote/backslash-bearing key
         return json_get_dyn(arr, segs)
     path = "$" + "".join(parts)
-    out = _as_str_series(arr).str.json_path_match(path).to_arrow()
-    return out.cast(pa.string()) if not pa.types.is_string(out.type) else out
+    s = _as_str_series(arr)
+    out = s.str.json_path_match(path).to_arrow()
+    out = out.cast(pa.string()) if not pa.types.is_string(out.type) else out
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    # polars returns null on key-type mismatches (str key into a list,
+    # index into a map) that the dyn path — and the reference's ctxutil —
+    # raise for; error_mode must see the same error whichever path a key
+    # took. Only the null-result container-shaped rows are re-checked via
+    # the exact walker (rare), so the vectorized read stays the fast path.
+    a = _arr(arr)
+    a = pc.cast(a, pa.string()) if not pa.types.is_string(a.type) else a
+    sus = pc.and_(pc.and_(pc.is_null(out), pc.is_valid(a)),
+                  pc.fill_null(pc.or_(pc.starts_with(a, "{"),
+                                      pc.starts_with(a, "[")), False))
+    if pc.any(sus).as_py():
+        idx = np.nonzero(sus.to_numpy(zero_copy_only=False))[0]
+        sub = json_get_dyn(a.take(pa.array(idx)), segs)  # raises on mismatch
+        vals = out.to_pylist()
+        for i, v in zip(idx, sub.to_pylist()):
+            vals[i] = v
+        out = pa.array(vals, pa.string())
+    return out
 
 
 def _as_int_key(s):
@@ -275,6 +300,11 @@ def json_set(arr: pa.Array, segs: list, values: list) -> pa.Array:
     for v, segs_row, newval in zip(vals, rows, values):
         if newval is None or any(s is None for s in segs_row):
             out.append(None)
+            continue
+        if not segs_row:
+            # empty path = replace the whole document (json_append
+            # supports segs=[], so this entry point must too)
+            out.append(encode_val(_from_flat(newval)))
             continue
         doc = _try_decode(v)
         if doc is None or not isinstance(doc, (dict, list)):

@@ -169,42 +169,65 @@ def map_get(col, key: str) -> pa.Array:
                       pa.nulls(n_rows, items.type))
 
 
+def map_has(col, key: str) -> np.ndarray:
+    """bool per row: does the map contain ``key`` (even with a null
+    value)? Presence is a KEY question — is_valid(map_get(...)) conflates
+    'key absent' with 'key present, value null'."""
+    _, offsets, keys, items, valid = _map_parts(col)
+    n_rows = len(offsets) - 1
+    if len(keys) == 0:
+        return np.zeros(n_rows, bool)
+    hit = np.asarray(pc.equal(keys, key)).astype(bool)
+    idx = np.arange(len(keys))
+    row_of = np.searchsorted(offsets[1:], idx, side="right")
+    out = np.zeros(n_rows, bool)
+    out[row_of[hit]] = True
+    return out
+
+
 def map_set(col, key: str, values) -> pa.MapArray:
-    """set(attributes["key"], v): upsert one key per row (vectorized:
-    delete-then-append at row end). Null rows become single-entry maps —
-    pdata maps are never nil, so `set` always creates the entry
-    (pcommon.Map.PutStr semantics)."""
+    """set(attributes["key"], v): upsert one key per row — an EXISTING
+    key's value is replaced IN PLACE (pcommon.Map.Put* semantics: entry
+    order is insertion order and an update never moves the entry); rows
+    without the key append it at the end. Null rows become single-entry
+    maps — pdata maps are never nil, so `set` always creates the entry.
+    Repeated keys (never produced by this module) all get the value."""
     arr, offsets, keys, items, valid = _map_parts(col)
-    without = delete_key(arr, key)
-    _, offs2, keys2, items2, valid2 = _map_parts(without)
-    n_rows = len(offs2) - 1
+    n_rows = len(offsets) - 1
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = pa.array([values] * n_rows, items2.type)
+        values = pa.array([values] * n_rows, items.type)
     elif isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    # interleave: for each row, existing entries then the new (key, value)
-    # — vectorized with the concatenated-aranges trick (no per-row loop)
-    old_counts = (offs2[1:] - offs2[:-1]).astype(np.int64)
-    new_counts = old_counts + 1
+    if len(keys) == 0:  # all maps empty/null: one new entry per row
+        new_offsets = np.arange(n_rows + 1, dtype=np.int64)
+        return pa.MapArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            pa.array([key] * n_rows, pa.string()), values)
+    hit = np.asarray(pc.equal(keys, key)).astype(bool)
+    idx = np.arange(len(keys))
+    entry_row = np.searchsorted(offsets[1:], idx, side="right")
+    has = np.zeros(n_rows, bool)
+    has[entry_row[hit]] = True
+    # in-place replacement lane: existing entries, hit items swapped
+    repl_items = pc.if_else(pa.array(hit),
+                            pc.take(values, pa.array(entry_row, pa.int64())),
+                            items)
+    # append lane: rows lacking the key grow one trailing entry
+    old_counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    new_counts = old_counts + (~has).astype(np.int64)
     new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
     total = int(new_offsets[-1])
     within = np.arange(total, dtype=np.int64) - np.repeat(
         new_offsets[:-1], new_counts)
     is_new = within == np.repeat(old_counts, new_counts)
-    pos = np.repeat(offs2[:-1].astype(np.int64), new_counts) + within
-    pos = np.where(is_new, 0, pos)
-    row_take = pa.array(np.searchsorted(new_offsets[1:],
-                                        np.arange(total), side="right"),
-                        pa.int64())
-    if len(keys2) == 0:  # all maps empty/null: every entry is the new one
-        out_keys = pa.array([key] * total, pa.string())
-        out_items = pc.take(values, row_take)
-    else:
-        old_take = pa.array(np.where(is_new, 0, pos), pa.int64())
-        out_keys = pc.if_else(pa.array(is_new), pa.scalar(key),
-                              pc.take(keys2, old_take))
-        out_items = pc.if_else(pa.array(is_new), pc.take(values, row_take),
-                               pc.take(items2, old_take))
+    old_pos = np.repeat(offsets[:-1].astype(np.int64), new_counts) + within
+    row_take = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64),
+                                  new_counts), pa.int64())
+    old_take = pa.array(np.where(is_new, 0, old_pos), pa.int64())
+    out_keys = pc.if_else(pa.array(is_new), pa.scalar(key),
+                          pc.take(keys, old_take))
+    out_items = pc.if_else(pa.array(is_new), pc.take(values, row_take),
+                           pc.take(repl_items, old_take))
     return pa.MapArray.from_arrays(
         pa.array(new_offsets, pa.int32()), out_keys, out_items)
 
@@ -220,9 +243,11 @@ def merge_maps(target, source, strategy: str = "upsert") -> pa.MapArray:
     # per distinct source key: set into target (source maps are small)
     for k in pc.unique(s_keys).to_pylist():
         vals = map_get(s, k)
-        has = pc.is_valid(vals)
+        has = pa.array(map_has(s, k))
         cur = map_get(out, k)
-        had = pc.is_valid(cur)
+        # presence is a KEY question: a target entry holding a null value
+        # still exists, so insert must NOT overwrite it and update MUST
+        had = pa.array(map_has(out, k))
         if strategy == "insert":
             take_src = pc.and_(has, pc.invert(had))
         elif strategy == "update":
@@ -231,11 +256,15 @@ def merge_maps(target, source, strategy: str = "upsert") -> pa.MapArray:
             take_src = has
         merged = pc.if_else(take_src, vals, cur)
         out = map_set(out, k, merged)
-        # rows where the merged value is null (neither side, or the
-        # strategy rejected the source) must not grow a null entry
+        # map_set created the entry on EVERY row; rows that neither had
+        # the key nor took it from source must not keep the artifact —
+        # but a pre-existing null-valued entry is PRESENT and stays
+        want = np.asarray(had) | np.asarray(take_src)
         _, offs, ks, its, vld = _map_parts(out)
+        entry_row = np.searchsorted(offs[1:], np.arange(len(ks)),
+                                    side="right")
         keep = ~(np.asarray(pc.equal(ks, k)).astype(bool) &
-                 np.asarray(pc.is_null(its)))
+                 ~want[entry_row])
         out = _rebuild(offs, ks, its, keep, vld)
     return out
 
@@ -262,6 +291,10 @@ def to_key_value_string(col, delimiter: str = "=",
         items_s = items_s.take(perm)
 
     def _quoted(a):
+        # escapeAndQuoteKV: existing double quotes are backslash-escaped
+        # FIRST, then the string is quoted iff it contains a delimiter —
+        # without the escape the quoted field is unparseable
+        a = pc.replace_substring(a, '"', '\\"')
         needs_q = pc.or_(pc.match_substring(a, delimiter),
                          pc.match_substring(a, pair_delimiter))
         return pc.if_else(

@@ -101,9 +101,12 @@ def concat(delimiter: str, *cols):
 
 def format_str(fmt: str, cols):
     """func_format.go: %-style sprintf per row (row loop over pylists —
-    Format is control-plane, not a hot-path kernel)."""
-    n = max(len(_arr(c)) for c in cols
-            if isinstance(c, (pa.Array, pa.ChunkedArray)))
+    Format is control-plane, not a hot-path kernel). All-literal operands
+    (no Arrow array among them) produce a single-row constant the caller
+    broadcasts — max() over no arrays was an unhandled crash."""
+    lens = [len(_arr(c)) for c in cols
+            if isinstance(c, (pa.Array, pa.ChunkedArray))]
+    n = max(lens) if lens else 1
     cols_py = [(_arr(c).to_pylist() if isinstance(c, (pa.Array, pa.ChunkedArray))
                 else [c] * n) for c in cols]
     return pa.array([fmt % tuple(vals) for vals in zip(*cols_py)], pa.string())
@@ -178,10 +181,14 @@ def hex_encode(col):
     return _dict_apply(col, lambda v: v.encode().hex())
 
 
-def uuid_v4(n: int):
+def uuid_v4(n):
     """func_uuid.go — nondeterministic by design; provide seeded variant for
-    reproducible pipelines."""
-    return pa.array([str(_uuid.uuid4()) for _ in range(n)], pa.string())
+    reproducible pipelines. Accepts a row count OR (like every other
+    registry converter) a column to derive the count from."""
+    if isinstance(n, (pa.Array, pa.ChunkedArray)):
+        n = len(n)
+    return pa.array([str(_uuid.uuid4()) for _ in range(int(n))],
+                    pa.string())
 
 
 def deterministic_uuid(col):
@@ -550,9 +557,12 @@ def parse_simplified_xml(col):
 
 
 def get_xml(col, tag: str):
-    """func_get_xml.go (element-text subset): first <tag>...</tag> body."""
+    """func_get_xml.go (element-text subset): first <tag>...</tag> body.
+    The tag is regex-escaped — XML names legally contain '.' and '-',
+    which must match literally, not as metacharacters."""
+    t = re.escape(tag)
     st = pc.extract_regex(_arr(col),
-                          rf"<{tag}(?:\s[^>]*)?>(?P<body>[^<]*)</{tag}>")
+                          rf"<{t}(?:\s[^>]*)?>(?P<body>[^<]*)</{t}>")
     return pc.struct_field(st, "body")
 
 
@@ -634,7 +644,11 @@ def extract_patterns(col, pattern: str, names: dict[str, str] | None = None):
         offsets.append(total if valid_np[i] else None)
         if valid_np[i]:
             for nm, colv in zip(names, cols_py):
-                if colv[i] is not None:
+                # '' = non-participating optional group (Arrow has no
+                # absent marker): the reference omits unmatched captures
+                # from the map (matched-empty is indistinguishable — the
+                # documented flat-model trade)
+                if colv[i] is not None and colv[i] != "":
                     keys_flat.append(nm)
                     items_flat.append(colv[i])
                     total += 1

@@ -242,3 +242,79 @@ def test_sub_second_components_normalize_units():
     ms = pa.array([1500], pa.timestamp("ms"))
     assert ottl.nanosecond(ms).to_pylist() == [500_000_000]
     assert ottl.microsecond(ms).to_pylist() == [500_000]
+
+
+def test_grok_optional_typed_captures_null_not_crash():
+    """Non-participating optional groups surface as '' from Arrow; typed
+    captures must null them, map entries must omit them (review
+    findings)."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.functions.grok import (
+        extract_grok_patterns)
+    fn = extract_grok_patterns("%{ELB_URI}", parse_from="text")
+    out = fn(pa.table({"text": ["https://example.com/path"]}))
+    assert out["url.port"].to_pylist() == [None]  # typed, absent
+    pats = ottl.REGISTRY["ExtractGrokPatterns"](
+        pa.array(["https://example.com/path"]), "%{ELB_URI}")
+    entries = dict(pats.to_pylist()[0])
+    assert "url.port" not in entries and "url.query" not in entries
+
+
+def test_go_float_encoding_1e15_to_1e21():
+    from opentelemetry_collector_contrib_ray.functions.jsonpath import (
+        encode_val)
+    assert encode_val(1e15) == "1000000000000000"
+    assert encode_val(1e16) == "10000000000000000"
+    assert encode_val(1e21) == "1e+21"
+    assert encode_val(1.0) == "1"
+
+
+def test_json_get_static_raises_like_dyn_on_type_mismatch():
+    import pyarrow as pa
+    import pytest
+    from opentelemetry_collector_contrib_ray.functions.jsonpath import (
+        json_get, json_get_dyn)
+    with pytest.raises(ValueError):
+        json_get(pa.array(["[1,2,3]"]), ["a"])
+    with pytest.raises(ValueError):
+        json_get_dyn(pa.array(["[1,2,3]"]), ["a"])
+    # genuinely missing keys stay null, no error
+    assert json_get(pa.array(['{"x":1}']), ["y"]).to_pylist() == [None]
+
+
+def test_map_set_updates_in_place_and_merge_presence():
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.functions import maps as M
+    t = pa.array([[("k", None), ("o", "1")]],
+                 pa.map_(pa.string(), pa.string()))
+    s = pa.array([[("k", "S")]], pa.map_(pa.string(), pa.string()))
+    # present-null entry: insert must NOT overwrite, update MUST
+    assert M.merge_maps(t, s, "insert").to_pylist()[0] == \
+        [("k", None), ("o", "1")]
+    assert M.merge_maps(t, s, "update").to_pylist()[0] == \
+        [("k", "S"), ("o", "1")]
+    # in-place update preserves entry order
+    assert M.map_set(t, "k", "X").to_pylist()[0] == \
+        [("k", "X"), ("o", "1")]
+
+
+def test_to_key_value_string_escapes_quotes():
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.functions import maps as M
+    t = pa.array([[("k", 'he said "hi"')]],
+                 pa.map_(pa.string(), pa.string()))
+    assert M.to_key_value_string(t).to_pylist() == ['k="he said \\"hi\\""']
+
+
+def test_format_only_literals_and_uuid_column_arg():
+    import pyarrow as pa
+    out = ottl.format_str("%s-%d", ["a", 1])
+    assert out.to_pylist() == ["a-1"]
+    u = ottl.uuid_v4(pa.array(["x", "y"]))
+    assert len(u) == 2
+
+
+def test_get_xml_escapes_tag_metacharacters():
+    import pyarrow as pa
+    out = ottl.get_xml(pa.array(["<axb>BAD</axb><a.b>GOOD</a.b>"]), "a.b")
+    assert out.to_pylist() == ["GOOD"]
