@@ -169,7 +169,11 @@ class _Parser:
         k, v = self.peek()
         if k == "str":
             self.eat()
-            return v[1:-1].replace('\\"', '"')
+            # the tokenizer accepts any backslash escape; decode the two
+            # the stanza expr language produces (\" and \\) — leaving
+            # \\ doubled made 'C:\\logs' never match real paths
+            return v[1:-1].replace("\\\\", "\x00") \
+                .replace('\\"', '"').replace("\x00", "\\")
         if k == "num":
             self.eat()
             return float(v) if "." in v else int(v)
@@ -183,7 +187,8 @@ class _Parser:
         if k != "str":
             raise ValueError("expected string literal")
         self.eat()
-        return v[1:-1].replace('\\"', '"')
+        return v[1:-1].replace("\\\\", "\x00") \
+            .replace('\\"', '"').replace("\x00", "\\")
 
 
 def parse_condition(s: str) -> Expr:

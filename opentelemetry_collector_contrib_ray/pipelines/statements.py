@@ -556,7 +556,22 @@ def _eval_path(segs, ctx: _Ctx):
         key = str(eval_expr(idxs[0], ctx)) if idxs else None
         if key is None:
             raise ValueError("cache must be indexed")
-        return ctx.cache.get(key, pa.nulls(ctx.n, pa.string()))
+        cur = ctx.cache.get(key, pa.nulls(ctx.n, pa.string()))
+        # nested reads (cache["a"]["b"]): a MapArray value indexes via
+        # map_get, a flat-model JSON string via json_get — ignoring the
+        # extra indices silently returned the whole container
+        for node in idxs[1:]:
+            k = eval_expr(node, ctx)
+            a = _broadcast(cur, ctx.n)
+            if pa.types.is_map(a.type):
+                cur = M.map_get_dyn(a, _broadcast(k, ctx.n)) \
+                    if isinstance(k, (pa.Array, pa.ChunkedArray)) \
+                    else M.map_get(a, str(k))
+            else:
+                cur = J.json_get_dyn(a, [k]) \
+                    if isinstance(k, (pa.Array, pa.ChunkedArray)) \
+                    else J.json_get(pc.cast(a, pa.string()), [k])
+        return cur
     if name == "resource" and len(segs) > 1 and segs[1][0] == "attributes":
         colname = ctx.colmap.get("resource.attributes", "resource")
         idxs = segs[1][1]
@@ -684,11 +699,18 @@ def _eval_binop(node, ctx: _Ctx):
     # comparisons
     if both_scalar:
         return _cmp_scalars(op, lv, rv)
-    # nil comparisons -> validity checks
+    # nil comparisons: equality tests validity; ORDERING vs nil is
+    # false for every row (LANGUAGE.md: nil participates in == and !=
+    # only) — returning the validity mask made "x < nil" match all
+    # non-null rows
     if rv is None or lv is None:
         arr = _broadcast(lv if rv is None else rv, ctx.n)
         valid = pc.is_valid(arr)
-        return pc.invert(valid) if op == "==" else valid
+        if op == "==":
+            return pc.invert(valid)
+        if op == "!=":
+            return valid
+        return pa.array(np.zeros(ctx.n, bool))
     a, b = _broadcast(lv, ctx.n), _broadcast(rv, ctx.n)
     try:
         k = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
@@ -733,7 +755,7 @@ def _resolve_target(segs, ctx: _Ctx, allow_dyn: bool = False):
     name, idxs = segs[0]
     if name == "cache":
         key = str(eval_expr(idxs[0], ctx))
-        return ("cache", key)
+        return ("cache", key, [eval_expr(i, ctx) for i in idxs[1:]])
     if name == "resource" and len(segs) > 1 and segs[1][0] == "attributes":
         colname = ctx.colmap.get("resource.attributes", "resource")
         idxs = segs[1][1]
@@ -769,7 +791,26 @@ def _apply_set(ctx: _Ctx, args, mask):
     value = eval_expr(value_node, ctx)
     tgt = _resolve_target(target_node[1], ctx, allow_dyn=True)
     if tgt[0] == "cache":
-        ctx.cache[tgt[1]] = _broadcast(value, ctx.n)
+        rest = tgt[2]
+        if not rest:
+            ctx.cache[tgt[1]] = _broadcast(value, ctx.n)
+            return ctx.batch
+        # nested write (cache["a"]["b"]): edit INSIDE the cached value —
+        # clobbering the whole entry silently lost the sibling keys
+        cur = _broadcast(ctx.cache.get(tgt[1],
+                                       pa.nulls(ctx.n, pa.string())),
+                         ctx.n)
+        if pa.types.is_map(cur.type) and len(rest) == 1 \
+                and not isinstance(rest[0], (pa.Array, pa.ChunkedArray)):
+            ctx.cache[tgt[1]] = M.map_set(cur, str(rest[0]),
+                                          _broadcast(value, ctx.n))
+            return ctx.batch
+        if isinstance(value, (dict, list)):
+            value = J.encode_rowwise(value, ctx.n)
+        vals = _arr(pc.cast(_broadcast(value, ctx.n),
+                            pa.string())).to_pylist()
+        ctx.cache[tgt[1]] = J.json_set(pc.cast(cur, pa.string()), rest,
+                                       vals)
         return ctx.batch
     if isinstance(value, (dict, list)) and tgt[0] == "map":
         # replace the whole map column with a map literal
@@ -1038,6 +1079,24 @@ def _apply_replace_all_patterns(ctx: _Ctx, args, mask):
         new_keys = F.replace_pattern(keys, pattern, repl)
         new = pa.MapArray.from_arrays(
             M._offsets_arr(np.asarray(offsets), valid), new_keys, items)
+        # a rename can collide two keys within one row; pcommon.Map key
+        # uniqueness keeps ONE entry — the LAST write wins (Range +
+        # PutStr iteration order). Scan only when a key actually changed.
+        if not pc.any(pc.fill_null(pc.not_equal(new_keys, keys),
+                                   False)).as_py():
+            return _set_column(ctx.batch, colname,
+                               _choose_rows(mask, new, old))
+        karr = np.asarray(new_keys, dtype=object)
+        row_of = np.searchsorted(np.asarray(offsets)[1:],
+                                 np.arange(len(karr)), side="right")
+        seen: dict[tuple, int] = {}
+        for i, rk in enumerate(zip(row_of, karr)):
+            seen[rk] = i  # last occurrence per (row, key)
+        if len(seen) != len(karr):
+            keep = np.zeros(len(karr), bool)
+            keep[list(seen.values())] = True
+            new = M._rebuild(np.asarray(offsets), new_keys, items, keep,
+                             valid)
     else:
         new = _map_values_rewrite(old, lambda it: F.replace_pattern(
             it, pattern, repl))
@@ -1265,30 +1324,36 @@ class StatementGroupExecutor:
             self._apply(probe, st, gate.slice(0, 0))
         except Exception:  # noqa: BLE001 — config-level: skip for all rows
             return batch, cache
-        return self._bisect_apply(batch, cache, colmap, st, _arr(gate))
+        # the caller just saw the FULL batch fail — skip straight to the
+        # halves instead of re-running the known-failing full attempt
+        return self._bisect_apply(batch, cache, colmap, st, _arr(gate),
+                                  known_failing=True)
 
-    def _bisect_apply(self, batch, cache, colmap, st, gate):
+    def _bisect_apply(self, batch, cache, colmap, st, gate,
+                      known_failing: bool = False):
         n = batch.num_rows
         if n == 0:
             return batch, cache
-        ctx = _Ctx(batch, colmap)
-        ctx.cache = dict(cache)
-        try:
-            out = self._apply(ctx, st, gate)
-            return out, ctx.cache
-        except Exception:  # noqa: BLE001
-            if n == 1:  # this record skips the statement, keeps prior edits
-                return batch, cache
-            mid = n // 2
-            outs, caches = [], []
-            for lo, sz in ((0, mid), (mid, n - mid)):
-                c = {k: _arr(v).slice(lo, sz) for k, v in cache.items()}
-                o, c2 = self._bisect_apply(
-                    batch.slice(lo, sz), c, colmap, st, gate.slice(lo, sz))
-                outs.append(o)
-                caches.append(c2)
-            return (_concat_aligned(outs),
-                    _merge_caches(caches, [mid, n - mid]))
+        if not known_failing:
+            ctx = _Ctx(batch, colmap)
+            ctx.cache = dict(cache)
+            try:
+                out = self._apply(ctx, st, gate)
+                return out, ctx.cache
+            except Exception:  # noqa: BLE001
+                pass
+        if n == 1:  # this record skips the statement, keeps prior edits
+            return batch, cache
+        mid = n // 2
+        outs, caches = [], []
+        for lo, sz in ((0, mid), (mid, n - mid)):
+            c = {k: _arr(v).slice(lo, sz) for k, v in cache.items()}
+            o, c2 = self._bisect_apply(
+                batch.slice(lo, sz), c, colmap, st, gate.slice(lo, sz))
+            outs.append(o)
+            caches.append(c2)
+        return (_concat_aligned(outs),
+                _merge_caches(caches, [mid, n - mid]))
 
     def _apply(self, ctx: _Ctx, st, gate):
         _, name, args, kwargs, where = st

@@ -102,8 +102,10 @@ def groupbyattrs(keys: list[str], out_col: str = "resource_id"):
 
 
 def roundrobin(ds: Dataset, n: int) -> list[Dataset]:
-    """roundrobinconnector: distribute the stream across n pipelines."""
-    return ds.split(n, equal=True)
+    """roundrobinconnector: distribute the stream across n pipelines.
+    equal=False: equal=True may DROP records to even the splits, and a
+    connector must deliver every record to some pipeline."""
+    return ds.split(n, equal=False)
 
 
 def failover_sink(*sinks):
@@ -177,7 +179,9 @@ def signal_to_metrics(ds: Dataset, metric_defs: list[dict]) -> dict:
         filtered = ds.map_batches(make_filter(), batch_format="pyarrow",
                                   batch_size=None) if conds else ds
         typ = d.get("type", "count")
-        attrs = d["attributes"]
+        # attributes are optional in the reference config: no attributes
+        # = one unsegmented metric (grouped on nothing)
+        attrs = d.get("attributes", [])
         if typ == "count":
             out[d["name"]] = count_by(filtered, attrs, count_col="value")
         elif typ == "sum":

@@ -44,7 +44,11 @@ class ManifestStore:
         return os.path.join(self.dir, f"part-{partition_id}.json")
 
     def is_complete(self, partition_id: str) -> bool:
-        return os.path.exists(self._path(partition_id))
+        """A partition is complete only if its manifest PARSES — a bare
+        existence check would let a truncated/garbled manifest mark its
+        partition complete, which the resume path could never repair
+        (load() treats corrupt as incomplete; so must this)."""
+        return self.load(partition_id) is not None
 
     def pending(self, partition_ids: list[str]) -> list[str]:
         return [p for p in partition_ids if not self.is_complete(p)]

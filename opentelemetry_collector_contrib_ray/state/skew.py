@@ -76,20 +76,30 @@ def add_salt(ds: Dataset, key: str, hot_keys: dict[str, int], *,
     contiguous RANGE bucket (order_col // rows_per_salt) so ordered stages
     can stitch; without it, a hash of the row order within the block."""
     hot = {k: int(np.ceil(n / rows_per_salt)) for k, n in hot_keys.items()}
-    keys_arr = pa.array(list(hot.keys()), pa.string())
+    # infer the key array's type from the values (detect_hot_keys hands
+    # back numpy scalars for int keys; forcing pa.string() crashed the
+    # detect -> salt pipeline for any non-string key column)
+    keys_arr = pa.array([k.item() if hasattr(k, "item") else k
+                         for k in hot.keys()])
     nsalts_arr = pa.array(list(hot.values()), pa.int32())
 
     def fn(batch: pa.Table) -> pa.Table:
         k = batch[key]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
-        idx = pc.index_in(k, value_set=keys_arr)
+        idx = pc.index_in(k, value_set=pc.cast(keys_arr, k.type)
+                          if keys_arr.type != k.type else keys_arr)
         nsalt = pc.fill_null(pc.take(nsalts_arr, idx), 1) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         if order_col is not None:
             o = pc.cast(batch[order_col], pa.int64()) \
                 .to_numpy(zero_copy_only=False)
-            salt = (o // rows_per_salt) % nsalt
+            # clamp instead of wrapping (% nsalt): a modulo makes salt 0
+            # hold DISJOINT order ranges when the hot count was
+            # underestimated or order_col isn't 0-based — clamping keeps
+            # every salt a contiguous range (the last bucket just grows),
+            # preserving the docstring's stitchability contract
+            salt = np.minimum(o // rows_per_salt, nsalt - 1)
         else:
             salt = np.arange(batch.num_rows, dtype=np.int64) % nsalt
         return batch.append_column(salt_col,

@@ -129,8 +129,11 @@ def test_manifest_corrupt_file_reads_as_incomplete(tmp_path):
     with open(store._path("0001"), "w") as f:
         f.write("")  # simulated torn write
     assert store.load("0001") is None
-    assert store.pending(["0001"]) == []  # existence says complete...
-    assert store.load("0001") is None     # ...but load says rebuild
+    # a corrupt manifest must read as PENDING from the resume decision
+    # path too — a bare existence check let it mark the partition
+    # complete and the rebuild could never trigger (review finding)
+    assert store.pending(["0001"]) == ["0001"]
+    assert not store.is_complete("0001")
 
 
 def test_compaction_repair_removes_stale_originals(ray_session, tmp_path):

@@ -95,3 +95,22 @@ def test_detect_hot_keys_high_cardinality_driver_only_sees_hot_tail():
     ds = ray.data.from_arrow(t).repartition(8)
     got = detect_hot_keys(ds, "k", threshold_fraction=0.02)
     assert got == {"hotA": 5_000, "hotB": 4_000}
+
+
+def test_add_salt_int_keys_and_clamped_ranges(ray_session):
+    """Review findings: non-string keys must not crash the detect->salt
+    pipeline, and an undercounted hot key must keep salts CONTIGUOUS
+    (clamp, not wrap)."""
+    import numpy as np
+    import ray.data as rd
+    t = pa.table({
+        "k": pa.array([7] * 40 + [8], pa.int64()),
+        "o": pa.array(list(range(40)) + [0], pa.int64())})
+    # numpy scalar keys, count UNDERCOUNTED to 25 (nsalt=3 @ 10/salt)
+    out = add_salt(rd.from_arrow(t), "k", {np.int64(7): 25},
+                   rows_per_salt=10, order_col="o").to_pandas()
+    hot = out[out.k == 7].sort_values("o")
+    # contiguous: 0-9 -> 0, 10-19 -> 1, 20+ -> 2 (clamped, never wraps)
+    assert list(hot["_salt"][:10]) == [0] * 10
+    assert list(hot["_salt"][10:20]) == [1] * 10
+    assert list(hot["_salt"][20:]) == [2] * 20

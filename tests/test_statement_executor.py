@@ -954,3 +954,52 @@ def test_parse_csv_strict_field_count(ray_session):
     assert got[0] == "h1=a h2=b h3=c"
     assert got[1] is None  # 2 fields vs 3 headers: reference errors
     assert got[2] is None  # 4 fields vs 3 headers: reference errors
+
+
+def test_nested_cache_read_and_write(ray_session):
+    """cache["a"]["b"]: read applies the inner index; write edits INSIDE
+    the cached value (review finding: extra indices were silently
+    ignored / the whole entry clobbered)."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        transform_processor)
+    groups = [{"context": "log", "statements": [
+        'set(cache["m"], ParseJSON(payload))',
+        'set(inner, cache["m"]["b"])',
+        'set(cache["j"], payload)',
+        'set(cache["j"]["b"], "EDITED")',
+        'set(roundtrip, cache["j"]["b"])',
+        'set(sibling, cache["j"]["a"])',
+    ]}]
+    t = pa.table({"payload": ['{"a":"keep","b":"inner"}']})
+    out = transform_processor(groups, {"payload": "payload"})(t)
+    assert out["inner"].to_pylist() == ["inner"]
+    assert out["roundtrip"].to_pylist() == ["EDITED"]
+    assert out["sibling"].to_pylist() == ["keep"]  # sibling survives
+
+
+def test_nil_ordering_comparisons_false(ray_session):
+    """LANGUAGE.md: nil participates in == / != only; orderings vs nil
+    are false (review finding: validity mask leaked through)."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        value_expression)
+    t = pa.table({"body": pa.array(["x", None], pa.string())})
+    for expr in ('body < nil', 'body > nil', 'body <= nil', 'body >= nil'):
+        assert value_expression(expr)(t).to_pylist() == [False, False], expr
+    assert value_expression('body == nil')(t).to_pylist() == [False, True]
+
+
+def test_replace_all_patterns_key_collision_collapses(ray_session):
+    """pcommon.Map key uniqueness: a rename that collides two keys keeps
+    ONE entry, last write wins (review finding)."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        transform_processor)
+    groups = [{"context": "log", "statements": [
+        'replace_all_patterns(attributes, "key", "^https?\\\\.host$", '
+        '"host")']}]
+    attrs = pa.array([[("http.host", "h1"), ("https.host", "h2")]],
+                     pa.map_(pa.string(), pa.string()))
+    out = transform_processor(groups)(pa.table({"attributes": attrs}))
+    assert out["attributes"].to_pylist()[0] == [("host", "h2")]
