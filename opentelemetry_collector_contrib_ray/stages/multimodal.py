@@ -59,7 +59,8 @@ class ImageDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._decode_one(p or b"") for p in payloads])
+        feats = np.stack([self._decode_one(p or b"") for p in payloads]) \
+            if payloads else np.empty((0, self.FEATURE_DIM))
         flat = pa.array(feats.ravel(), pa.float64())
         return pa.table({
             "media_id": batch["media_id"],

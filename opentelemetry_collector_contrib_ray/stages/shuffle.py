@@ -160,7 +160,9 @@ def partitioned_attach(left: Dataset, left_schema: dict[str, pa.DataType],
         cols["_rv"] = pa.nulls(b.num_rows, val_type)
         # explicit side marker: a null right VALUE must not demote a lookup
         # row to a fact row
-        cols["_side_r"] = pa.array([False] * b.num_rows)
+        # typed: [False] * 0 infers the null type and the union's schema
+        # unification then rejects empty blocks against bool blocks
+        cols["_side_r"] = pa.array([False] * b.num_rows, pa.bool_())
         return pa.table(cols)
 
     def aug_right(b: pa.Table) -> pa.Table:
@@ -177,7 +179,7 @@ def partitioned_attach(left: Dataset, left_schema: dict[str, pa.DataType],
         cols["_rv"] = pc.cast(
             rv.combine_chunks() if isinstance(rv, pa.ChunkedArray) else rv,
             val_type)
-        cols["_side_r"] = pa.array([True] * b.num_rows)
+        cols["_side_r"] = pa.array([True] * b.num_rows, pa.bool_())
         return pa.table(cols)
 
     def join_group(g: pa.Table) -> pa.Table:
