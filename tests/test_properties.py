@@ -125,3 +125,85 @@ def test_keyvalue_parser_dynamic_last_wins(pairs):
     got = {c[len("attr_"):]: out[c].to_pylist()[0]
            for c in out.column_names if c.startswith("attr_")}
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.one_of(st.none(),
+                  st.text(alphabet="ab\x1f:N0123", max_size=6)),
+        st.one_of(st.none(),
+                  st.text(alphabet="ab\x1f:N0123", max_size=6))),
+    min_size=2, max_size=8))
+def test_canonical_identity_injective(rows):
+    """Length-prefix encoding: two rows get the same identity IFF their
+    column tuples are equal — no separator/marker content can collide."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        canonical_identity)
+    t = pa.table({"x": pa.array([r[0] for r in rows], pa.string()),
+                  "y": pa.array([r[1] for r in rows], pa.string())})
+    ids = canonical_identity(t, ["x", "y"]).to_pylist()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            assert (ids[i] == ids[j]) == (rows[i] == rows[j]), \
+                (rows[i], rows[j], ids[i], ids[j])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet="abcd", min_size=1, max_size=3),
+    st.text(alphabet="0123", max_size=3)), max_size=6),
+    st.text(alphabet="abcd", min_size=1, max_size=3),
+    st.text(alphabet="0123", max_size=3))
+def test_map_set_in_place_roundtrip(entries, key, val):
+    """pcommon Put* semantics: after map_set, map_get returns the value,
+    entry order of untouched keys is preserved, and the key appears
+    exactly once."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.functions import maps as M
+    # dedupe entries like pcommon maps (unique keys, first build wins)
+    seen = {}
+    for k, v in entries:
+        seen[k] = v
+    row = list(seen.items())
+    m = pa.array([row], pa.map_(pa.string(), pa.string()))
+    out = M.map_set(m, key, val)
+    got = out.to_pylist()[0]
+    assert M.map_get(out, key).to_pylist() == [val]
+    assert [k for k, _ in got].count(key) == 1
+    expect_keys = [k for k, _ in row] + ([key] if key not in seen else [])
+    assert [k for k, _ in got] == expect_keys
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=9), min_size=1,
+                max_size=8),
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=200))
+def test_group_safe_spans_never_split_groups(group_sizes, rg_size,
+                                             target_rows):
+    """Any sorted-by-group file, any row-group size, any target: spans
+    cover every row group exactly once and no group straddles a cut."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.sources.grouped import (
+        _group_safe_spans)
+    keys = [f"g{i:02d}" for i, n in enumerate(group_sizes)
+            for _ in range(n)]
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(range(len(keys)), pa.int64())})
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(t, f.name, row_group_size=rg_size)
+        md = pq.ParquetFile(f.name).metadata
+        spans = _group_safe_spans(f.name, "k", target_rows)
+        # coverage: contiguous, complete, non-overlapping
+        assert spans[0][0] == 0 and spans[-1][1] == md.num_row_groups
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
+        # containment: no group crosses a span boundary
+        pf = pq.ParquetFile(f.name)
+        for (_, b), (c, _) in zip(spans, spans[1:]):
+            left = pf.read_row_group(b - 1, columns=["k"])["k"][-1].as_py()
+            right = pf.read_row_group(c, columns=["k"])["k"][0].as_py()
+            assert left != right
