@@ -13,10 +13,12 @@ pkg/ottl/contexts/ottllog.
 Vectorized re-expression: one group == one pass over the Arrow batch.
 Conditions and `where` clauses compile to boolean masks; editors become
 masked column rewrites (pc.if_else / concat+take for nested types).
-error_mode granularity is the STATEMENT (a failing statement is skipped
-under ignore/silent, raised under propagate) rather than the record —
-per-record error isolation does not exist in columnar execution
-(documented in DIVERGENCES.md).
+error_mode matches the reference's PER-RECORD isolation: under
+ignore/silent a failing statement triggers a bisecting retry
+(_apply_rowsafe) that applies the statement to every non-poisoned row
+and skips only the failing records, after an O(1) empty-slice probe
+separates config-level errors (skip for all rows) from data-dependent
+ones; propagate raises.
 
 The statement text itself is real OTTL (parsed by
 functions/ottl_parser.py), so reference e2e cases replay verbatim:
