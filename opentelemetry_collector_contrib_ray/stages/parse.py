@@ -15,6 +15,8 @@ No Python-per-row loops in any hot path.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -535,15 +537,69 @@ def _expand_severity_ranges(mapping: dict) -> dict[str, int]:
     return out
 
 
+def _expand_severity_mapping_ref(mapping: dict) -> dict[str, int]:
+    """Reference-shaped custom mapping (severity_builder.go:56-114):
+    keys are SEVERITY NAMES ('error', 'error2', ...), values are a token,
+    an int token, a {'min','max'} range, or a LIST mixing those. Expands
+    to the same token->number dict the column kernel consumes."""
+    from ..model import SEVERITY_NAMES
+    name_to_num = {v: k for k, v in SEVERITY_NAMES.items()}
+    out: dict[str, int] = {}
+
+    def one(num: int, v) -> None:
+        if isinstance(v, dict):
+            lo, hi = int(v["min"]), int(v["max"])
+            if lo > hi:  # buildRange swaps out-of-order bounds
+                lo, hi = hi, lo
+            for s in range(lo, hi + 1):
+                out[str(s)] = num
+        elif isinstance(v, list):
+            for item in v:
+                one(num, item)
+        elif isinstance(v, str) and re.fullmatch(r"[1-9]xx", v.lower()):
+            base = int(v[0]) * 100
+            for s in range(base, base + 100):
+                out[str(s)] = num
+        elif isinstance(v, float) and v == int(v):
+            out[str(int(v))] = num
+        else:
+            out[str(v).lower()] = num
+
+    for name, v in mapping.items():
+        key = str(name).lower()
+        num = name_to_num.get(key)
+        if num is None and key.isdigit() and 0 <= int(key) <= 24:
+            num = int(key)  # numeric keys name the severity value directly
+        if num is None:
+            raise ValueError(f"unknown severity name {name!r} in mapping")
+        one(num, v)
+    return out
+
+
 def severity_parser(parse_from: str, mapping: dict | None = None,
-                    out_num: str = "severity_number", out_text: str = "severity_text"):
+                    out_num: str = "severity_number",
+                    out_text: str = "severity_text",
+                    mapping_shape: str = "tokens",
+                    overwrite_text: bool | None = None):
     """stanza severity_parser (parser/severity + helper/severity_builder.go).
     Maps a token column through the (default or custom) mapping; unmapped
-    tokens -> 0/'default'. Custom mapping keys may be '2xx'..'5xx' HTTP
-    range sugar or (min, max) tuples (severity_builder.go:94-104)."""
+    tokens -> 0.
+
+    ``mapping_shape``: 'tokens' = this repo's column-model shape
+    ({token_or_range: number}); 'reference' = the stanza config shape
+    ({severity_name: token|int|range|list}, severity_builder.go:56-114).
+
+    ``overwrite_text``: None (column-model default, what the oracle gate
+    pins) writes the canonical lowercase name for every row; False keeps
+    the ORIGINAL token text (the reference default); True writes the
+    canonical UPPERCASE name on matched rows, original text on unmatched
+    (helper/severity.go overwrite_text)."""
     m = dict(default_severity_mapping())
     if mapping:
-        m.update(_expand_severity_ranges(mapping))
+        if mapping_shape == "reference":
+            m.update(_expand_severity_mapping_ref(mapping))
+        else:
+            m.update(_expand_severity_ranges(mapping))
     keys = pa.array(list(m.keys()), pa.string())
     vals = pa.array(list(m.values()), pa.int32())
 
@@ -551,9 +607,17 @@ def severity_parser(parse_from: str, mapping: dict | None = None,
         col = batch[parse_from]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        idx = pc.index_in(pc.utf8_lower(pc.cast(col, pa.string())), value_set=keys)
+        col_s = pc.cast(col, pa.string())
+        idx = pc.index_in(pc.utf8_lower(col_s), value_set=keys)
+        matched = pc.is_valid(idx)
         num = pc.coalesce(pc.take(vals, idx), pa.scalar(0, pa.int32()))
-        txt = pc.coalesce(severity_name(num), pa.scalar("default"))
+        if overwrite_text is None:
+            txt = pc.coalesce(severity_name(num), pa.scalar("default"))
+        elif overwrite_text:
+            canon = pc.utf8_upper(severity_name(num))
+            txt = pc.if_else(matched, canon, col_s)
+        else:
+            txt = col_s
         batch = _set_column(batch, out_num, num)
         batch = _set_column(batch, out_text, txt)
         return batch

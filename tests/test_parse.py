@@ -1,6 +1,7 @@
 """Parser-stage unit tests (stanza parser semantics, SURVEY.md §2.3)."""
 
 import pyarrow as pa
+import pytest
 
 from opentelemetry_collector_contrib_ray import model
 from opentelemetry_collector_contrib_ray.stages.parse import (
@@ -453,3 +454,97 @@ def test_syslog_pri_over_191_is_unparsed():
         "<188>Jan  1 00:00:00 h app[1]: msg"]})
     out = syslog_rfc3164_parser()(t)
     assert out["syslog_pri"].to_pylist() == [None, 188]
+
+
+# ---------------------------------------------------------------------------
+# Reference case replay — pkg/stanza/operator/helper/severity_test.go
+# TestSeverityParser, transcribed to the batch model (reference mapping
+# shape + overwrite_text semantics).
+# ---------------------------------------------------------------------------
+
+_ALL_THE_THINGS = {
+    "info": "3xx",
+    "error3": {"min": 200, "max": 299},
+    "debug4": "100",
+    "trace2": ["ttttttracer", {"min": 1111, "max": 1234}],
+    "12": "infooo",
+    "fatal2": "",
+}
+
+SEVERITY_REF_CASES = [
+    # (name, sample, mapping, expected_num, expected_text, overwrite)
+    ("unknown", "blah", None, 0, "blah", False),
+    ("error", "error", None, 17, "error", False),
+    ("error-overwrite-text", "error", None, 17, "ERROR", True),
+    ("error2", "error2", None, 18, "error2", False),
+    ("error3", "error3", None, 19, "error3", False),
+    ("error4", "error4", None, 20, "error4", False),
+    ("error-capitalized", "Error", None, 17, "Error", False),
+    ("error-capitalized-overwrite", "Error", None, 17, "ERROR", True),
+    ("error-all-caps", "ERROR", None, 17, "ERROR", False),
+    ("custom-string", "NOOOOOOO", {"error": "NOOOOOOO"}, 17, "NOOOOOOO",
+     False),
+    ("custom-string-overwrite", "NOOOOOOO", {"error": "NOOOOOOO"}, 17,
+     "ERROR", True),
+    ("custom-string-caps-key", "NOOOOOOO", {"ErRoR": "NOOOOOOO"}, 17,
+     "NOOOOOOO", False),
+    ("custom-int", 1234, {"error": 1234}, 17, "1234", False),
+    ("mixed-list-string", "ThiS Is BaD",
+     {"error": ["NOOOOOOO", "this is bad", 1234]}, 17, "ThiS Is BaD",
+     False),
+    ("custom-float64", 6.0, {"error": 6}, 17, "6", False),
+    ("mixed-list-int", 1234,
+     {"error": ["NOOOOOOO", "this is bad", 1234]}, 17, "1234", False),
+    ("numbered-level", "critical", {"error2": "critical"}, 18, "critical",
+     False),
+    ("numbered-level-overwrite", "critical", {"error2": "critical"}, 18,
+     "ERROR2", True),
+    ("override-standard", "error", {"error3": ["error"]}, 19, "error",
+     False),
+    ("level-unfound", "not-in-the-list-but-thats-ok",
+     {"error4": ["hey!", 1234]}, 0, "not-in-the-list-but-thats-ok", False),
+    ("in-range", 123, {"error": {"min": 120, "max": 125}}, 17, "123",
+     False),
+    ("in-range-overwrite", 123, {"error": {"min": 120, "max": 125}}, 17,
+     "ERROR", True),
+    ("in-range-min", 120, {"error": {"min": 120, "max": 125}}, 17, "120",
+     False),
+    ("in-range-max", 125, {"error": {"min": 120, "max": 125}}, 17, "125",
+     False),
+    ("out-of-range-min-minus", 119, {"error": {"min": 120, "max": 125}},
+     0, "119", False),
+    ("out-of-range-max-plus", 126, {"error": {"min": 120, "max": 125}},
+     0, "126", False),
+    ("range-out-of-order", 123, {"error": {"min": 125, "max": 120}}, 17,
+     "123", False),
+    ("Http2xx-hit", 201, {"error": "2xx"}, 17, "201", False),
+    ("Http2xx-miss", 301, {"error": "2xx"}, 0, "301", False),
+    ("Http3xx-hit", 301, {"error": "3xx"}, 17, "301", False),
+    ("Http4xx-hit", "404", {"error": "4xx"}, 17, "404", False),
+    ("Http5xx-hit", 555, {"error": "5xx"}, 17, "555", False),
+    ("Http-All", "301",
+     {"debug": "2xx", "info": "3xx", "error": "4xx", "warn": "5xx"},
+     9, "301", False),
+    ("Http-All-overwrite", "301",
+     {"debug": "2xx", "info": "3xx", "error": "4xx", "warn": "5xx"},
+     9, "INFO", True),
+    ("all-the-things-midrange", 1234, _ALL_THE_THINGS, 2, "1234", False),
+    ("all-the-things-empty", "", _ALL_THE_THINGS, 22, "", False),
+    ("all-the-things-3xx", "399", _ALL_THE_THINGS, 9, "399", False),
+    ("all-the-things-miss", "miss", _ALL_THE_THINGS, 0, "miss", False),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sample,mapping,want_num,want_text,overwrite",
+    SEVERITY_REF_CASES, ids=[c[0] for c in SEVERITY_REF_CASES])
+def test_severity_parser_reference_cases(name, sample, mapping, want_num,
+                                         want_text, overwrite):
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        severity_parser)
+    t = pa.table({"tok": pa.array([sample])})
+    out = severity_parser("tok", mapping=mapping,
+                          mapping_shape="reference",
+                          overwrite_text=overwrite)(t)
+    assert out["severity_number"].to_pylist() == [want_num], name
+    assert out["severity_text"].to_pylist() == [want_text], name
