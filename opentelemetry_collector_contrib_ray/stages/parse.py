@@ -636,12 +636,26 @@ def time_parser(parse_from: str, layout: str, layout_type: str = "strptime",
             parsed = pc.strptime(col, format=layout, unit="us",
                                  error_is_null=True)
         elif layout_type == "epoch":
-            unit = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[layout]
-            v = pc.cast(col, pa.int64())
-            if layout == "ns":
-                v = pc.divide(v, 1000)
+            if layout in ("s.ms", "s.us", "s.ns"):
+                # fractional-seconds layouts (helper/time.go parseUnix):
+                # float seconds, truncated to the layout's precision
+                # (engine cap: us — s.ns rounds to the nearest us)
+                f = pc.cast(col, pa.float64())
+                us = pc.round(pc.multiply(f, 1e6))
+                if layout == "s.ms":
+                    us = pc.multiply(
+                        pc.floor(pc.divide(us, 1000.0)), 1000.0)
+                v = pc.cast(us, pa.int64())
             else:
-                v = pc.multiply(v, unit)
+                unit = {"s": 1_000_000, "ms": 1_000, "us": 1,
+                        "ns": 1}[layout]
+                v = pc.cast(pc.cast(col, pa.float64()), pa.int64()) \
+                    if pa.types.is_floating(col.type) \
+                    else pc.cast(col, pa.int64())
+                if layout == "ns":
+                    v = pc.divide(v, 1000)
+                else:
+                    v = pc.multiply(v, unit)
             parsed = pc.cast(v, pa.timestamp("us"))
         else:
             raise ValueError(f"unknown layout_type {layout_type}")

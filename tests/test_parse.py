@@ -548,3 +548,44 @@ def test_severity_parser_reference_cases(name, sample, mapping, want_num,
                           overwrite_text=overwrite)(t)
     assert out["severity_number"].to_pylist() == [want_num], name
     assert out["severity_text"].to_pylist() == [want_text], name
+
+
+# ---------------------------------------------------------------------------
+# Reference case replay — pkg/stanza/operator/helper/time_test.go
+# TestTimeEpochs (epoch layouts; engine timestamp precision is us, so ns
+# cases truncate to us like the reference's maxLoss allowance).
+# ---------------------------------------------------------------------------
+
+EPOCH_REF_CASES = [
+    # (name, sample, layout, expected_us_since_epoch)
+    ("s-string", "1136214245", "s", 1136214245_000000),
+    ("s-int", 1136214245, "s", 1136214245_000000),
+    ("s-float", 1136214245.0, "s", 1136214245_000000),
+    ("ms-string", "1136214245123", "ms", 1136214245_123000),
+    ("ms-int", 1136214245123, "ms", 1136214245_123000),
+    ("ms-float", 1136214245123.0, "ms", 1136214245_123000),
+    ("us-string", "1136214245123456", "us", 1136214245_123456),
+    ("us-int", 1136214245123456, "us", 1136214245_123456),
+    ("us-float", 1136214245123456.0, "us", 1136214245_123456),
+    ("ns-string", "1136214245123456789", "ns", 1136214245_123456),
+    ("ns-int", 1136214245123456789, "ns", 1136214245_123456),
+    ("s.ms-string", "1136214245.123", "s.ms", 1136214245_123000),
+    ("s.ms-int", 1136214245, "s.ms", 1136214245_000000),
+    ("s.ms-float", 1136214245.123, "s.ms", 1136214245_123000),
+    ("s.us-string", "1136214245.123456", "s.us", 1136214245_123456),
+    ("s.us-int", 1136214245, "s.us", 1136214245_000000),
+    ("s.us-float", 1136214245.123456, "s.us", 1136214245_123456),
+    ("s.ns-string", "1136214245.123456789", "s.ns", 1136214245_123457),
+    ("s.ns-int", 1136214245, "s.ns", 1136214245_000000),
+    ("s.ns-float", 1136214245.123456789, "s.ns", 1136214245_123457),
+]
+
+
+@pytest.mark.parametrize("name,sample,layout,want_us", EPOCH_REF_CASES,
+                         ids=[c[0] for c in EPOCH_REF_CASES])
+def test_time_parser_epoch_reference_cases(name, sample, layout, want_us):
+    from opentelemetry_collector_contrib_ray.stages.parse import time_parser
+    t = pa.table({"v": pa.array([sample])})
+    out = time_parser("v", layout, layout_type="epoch")(t)
+    got = out["ts_parsed"].cast(pa.int64()).to_pylist()[0]
+    assert got == want_us, (name, got, want_us)
