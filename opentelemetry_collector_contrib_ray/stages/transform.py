@@ -163,18 +163,35 @@ def attr_insert(field: str, value, where: Expr | None = None):
         if field not in batch.column_names:
             return _masked(batch, field, pa.array([value] * batch.num_rows), where)
         col = _get(batch, field)
-        out = pc.fill_null(col, value)
+        if col.null_count == 0:
+            return batch  # every row already has the key: pure no-op
+        try:
+            out = pc.fill_null(col, value)
+        except (pa.ArrowTypeError, pa.ArrowInvalid):
+            # heterogeneous pcommon maps become typed columns here; a
+            # fill value of another type lands as its string form
+            out = pc.fill_null(pc.cast(col, pa.string()), str(value))
         return _masked(batch, field, out, where)
     return fn
 
 
-def attr_update(field: str, value, where: Expr | None = None):
-    """attraction UPDATE: set only if the column exists (attraction.go)."""
+def attr_update(field: str, value=None, from_attribute: str | None = None,
+                where: Expr | None = None):
+    """attraction UPDATE: per-row, set only where the target EXISTS
+    (attraction.go); with ``from_attribute`` also only where the source
+    exists (a missing source leaves the target row unchanged)."""
     def fn(batch: pa.Table) -> pa.Table:
         if field not in batch.column_names:
             return batch
         col = _get(batch, field)
-        out = pc.if_else(pc.is_valid(col), pa.scalar(value), col)
+        if from_attribute:
+            if from_attribute not in batch.column_names:
+                return batch
+            src = _get(batch, from_attribute)
+            gate = pc.and_(pc.is_valid(col), pc.is_valid(src))
+            out = pc.if_else(gate, pc.cast(src, col.type), col)
+        else:
+            out = pc.if_else(pc.is_valid(col), pa.scalar(value), col)
         return _masked(batch, field, out, where)
     return fn
 
@@ -184,15 +201,35 @@ def attr_upsert(field: str, value=None, from_attribute: str | None = None,
     """attraction UPSERT: unconditional set, from literal or another column.
     A ``from_attribute`` column absent from the batch schema means no
     record carries it — the reference upsert is then a no-op, not an
-    error (same guard as attr_update/attr_hash)."""
+    error (same guard as attr_update/attr_hash); per ROW, a null source
+    leaves the target unchanged (attraction.go: FromAttribute upsert
+    does nothing when the source attribute is missing)."""
     def fn(batch: pa.Table) -> pa.Table:
         if from_attribute:
             if from_attribute not in batch.column_names:
                 return batch
-            out = _get(batch, from_attribute)
+            src = _get(batch, from_attribute)
+            old = _get(batch, field) if field in batch.column_names \
+                else pa.nulls(batch.num_rows, src.type)
+            out = pc.if_else(pc.is_valid(src), src,
+                             pc.cast(old, src.type))
         else:
             out = pa.array([value] * batch.num_rows)
         return _masked(batch, field, out, where)
+    return fn
+
+
+def attr_delete(key: str | None = None, pattern: str | None = None):
+    """attraction DELETE (attraction.go): remove the named attribute
+    and/or every attribute whose NAME matches the regex — both may be
+    configured on one action (Key + RegexPattern)."""
+    import re as _re
+    rx = _re.compile(pattern) if pattern else None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        drop = [c for c in batch.column_names
+                if c == key or (rx is not None and rx.search(c))]
+        return batch.drop_columns(drop)
     return fn
 
 

@@ -269,3 +269,176 @@ def test_route_attribute_type_conflict_raises(ray_session):
                     default="d")
     with pytest.raises(TypeError, match="collides"):
         rt(t)
+
+
+# ---------------------------------------------------------------------------
+# Reference case replay — internal/coreinternal/attraction/attraction_test.go
+# (insert/update/upsert x value/from_attribute, delete+regex, ordering),
+# transcribed to the column model: each attribute key is a column; a key
+# absent from a row's map is an absent column (one-row tables) or a null.
+# ---------------------------------------------------------------------------
+
+def _attr_table(attrs: dict) -> pa.Table:
+    if not attrs:
+        return pa.table({"_rowid": pa.array([0], pa.int64())})
+    return pa.table({"_rowid": pa.array([0], pa.int64()),
+                     **{k: pa.array([v]) for k, v in attrs.items()}})
+
+
+def _attrs_of(t: pa.Table) -> dict:
+    out = {}
+    for c in t.column_names:
+        if c == "_rowid":
+            continue
+        v = t[c].to_pylist()[0]
+        if v is not None:
+            out[c] = v
+    return out
+
+
+ATTRACTION_CASES = [
+    # (name, actions, input, expected)
+    # TestAttributes_InsertValue
+    ("InsertEmptyAttributes", [("insert", dict(field="attribute1", value=123))],
+     {}, {"attribute1": 123}),
+    ("InsertKeyNoExists", [("insert", dict(field="attribute1", value=123))],
+     {"anotherkey": "bob"}, {"anotherkey": "bob", "attribute1": 123}),
+    ("InsertKeyExists", [("insert", dict(field="attribute1", value=123))],
+     {"attribute1": "bob"}, {"attribute1": "bob"}),
+    # TestAttributes_UpdateValue
+    ("UpdateNoAttributes",
+     [("update", dict(field="db.secret", value="redacted"))], {}, {}),
+    ("UpdateKeyNoExist",
+     [("update", dict(field="db.secret", value="redacted"))],
+     {"boo": "foo"}, {"boo": "foo"}),
+    ("UpdateAttributes",
+     [("update", dict(field="db.secret", value="redacted"))],
+     {"db.secret": "password1234"}, {"db.secret": "redacted"}),
+    # TestAttributes_UpdateFromAttribute
+    ("UpdateFA-NoAttributes",
+     [("update", dict(field="boo", from_attribute="foo"))], {}, {}),
+    ("UpdateFA-KeyNoExistFromAttribute",
+     [("update", dict(field="boo", from_attribute="foo"))],
+     {"boo": "bob"}, {"boo": "bob"}),
+    ("UpdateFA-KeyNoExistMain",
+     [("update", dict(field="boo", from_attribute="foo"))],
+     {"foo": "over there"}, {"foo": "over there"}),
+    ("UpdateFA-FromExisting",
+     [("update", dict(field="boo", from_attribute="foo"))],
+     {"foo": "there is a party over here", "boo": "not here"},
+     {"foo": "there is a party over here",
+      "boo": "there is a party over here"}),
+    # TestAttributes_UpsertValue
+    ("UpsertNoAttributes",
+     [("upsert", dict(field="region", value="planet-earth"))], {},
+     {"region": "planet-earth"}),
+    ("UpsertAttributeNoExist",
+     [("upsert", dict(field="region", value="planet-earth"))],
+     {"mission": "to mars"},
+     {"mission": "to mars", "region": "planet-earth"}),
+    ("UpsertAttributeExists",
+     [("upsert", dict(field="region", value="planet-earth"))],
+     {"mission": "to mars", "region": "solar system"},
+     {"mission": "to mars", "region": "planet-earth"}),
+    # TestAttributes_UpsertFromAttribute
+    ("UpsertFA-Empty",
+     [("upsert", dict(field="new_user_key", from_attribute="user_key"))],
+     {}, {}),
+    ("UpsertFA-NoExist",
+     [("upsert", dict(field="new_user_key", from_attribute="user_key"))],
+     {"boo": "ghosts are scary"}, {"boo": "ghosts are scary"}),
+    ("UpsertFA-ExistsInsert",
+     [("upsert", dict(field="new_user_key", from_attribute="user_key"))],
+     {"user_key": 2245, "foo": "casper the friendly ghost"},
+     {"user_key": 2245, "new_user_key": 2245,
+      "foo": "casper the friendly ghost"}),
+    ("UpsertFA-ExistsUpdate",
+     [("upsert", dict(field="new_user_key", from_attribute="user_key"))],
+     {"user_key": 2245, "new_user_key": 5422,
+      "foo": "casper the friendly ghost"},
+     {"user_key": 2245, "new_user_key": 2245,
+      "foo": "casper the friendly ghost"}),
+    # TestAttributes_Delete (key + regex on one action)
+    ("DeleteEmptyAttributes",
+     [("delete", dict(key="duplicate_key",
+                      pattern="^duplicate_key_."))], {}, {}),
+    ("DeleteAttributeNoExist",
+     [("delete", dict(key="duplicate_key", pattern="^duplicate_key_."))],
+     {"boo": "ghosts are scary"}, {"boo": "ghosts are scary"}),
+    ("DeleteAttributeExists",
+     [("delete", dict(key="duplicate_key", pattern="^duplicate_key_."))],
+     {"duplicate_key": 3245.6, "original_key": 3245.6},
+     {"original_key": 3245.6}),
+    ("DeleteRegexp",
+     [("delete", dict(key="duplicate_key", pattern="^duplicate_key_."))],
+     {"duplicate_key_a": 3245.6, "duplicate_key_b": 3245.6,
+      "duplicate_key_c": 3245.6, "original_key": 3245.6,
+      "not_duplicate_key": 3246.6},
+     {"original_key": 3245.6, "not_duplicate_key": 3246.6}),
+    # TestAttributes_FromAttributeNoChange (3 chained self-referencing)
+    ("FromAttributeNoChange",
+     [("insert_fa", dict(field="boo", from_attribute="boo")),
+      ("update", dict(field="boo", from_attribute="boo")),
+      ("upsert", dict(field="boo", from_attribute="boo"))],
+     {"boo": "ghosts are scary"}, {"boo": "ghosts are scary"}),
+    # TestAttributes_Ordering (insert -> upsert-from -> delete chains)
+    ("OrderingApplyAllSteps",
+     [("insert", dict(field="operation", value="default")),
+      ("upsert", dict(field="svc.operation", from_attribute="operation")),
+      ("delete", dict(key="operation"))],
+     {"foo": "casper the friendly ghost"},
+     {"foo": "casper the friendly ghost", "svc.operation": "default"}),
+    ("OrderingOperationExists",
+     [("insert", dict(field="operation", value="default")),
+      ("upsert", dict(field="svc.operation", from_attribute="operation")),
+      ("delete", dict(key="operation"))],
+     {"foo": "casper the friendly ghost", "operation": "arithmetic"},
+     {"foo": "casper the friendly ghost", "svc.operation": "arithmetic"}),
+    ("OrderingSvcOperationExists",
+     [("insert", dict(field="operation", value="default")),
+      ("upsert", dict(field="svc.operation", from_attribute="operation")),
+      ("delete", dict(key="operation"))],
+     {"foo": "casper the friendly ghost", "svc.operation": "some value"},
+     {"foo": "casper the friendly ghost", "svc.operation": "default"}),
+    ("OrderingBothAttributesExist",
+     [("insert", dict(field="operation", value="default")),
+      ("upsert", dict(field="svc.operation", from_attribute="operation")),
+      ("delete", dict(key="operation"))],
+     {"foo": "casper the friendly ghost", "operation": "arithmetic",
+      "svc.operation": "add"},
+     {"foo": "casper the friendly ghost", "svc.operation": "arithmetic"}),
+]
+
+
+def _run_actions(t: pa.Table, actions):
+    for kind, kw in actions:
+        if kind == "insert":
+            t = tr.attr_insert(**kw)(t)
+        elif kind == "insert_fa":
+            # INSERT FromAttribute: set only when target missing AND
+            # source present — expressible as upsert gated on target null
+            field, src = kw["field"], kw["from_attribute"]
+            if src in t.column_names:
+                if field not in t.column_names:
+                    t = tr.attr_upsert(field, from_attribute=src)(t)
+                else:
+                    from opentelemetry_collector_contrib_ray.expr import col
+                    t = tr.attr_upsert(field, from_attribute=src,
+                                       where=col(field).is_null())(t)
+        elif kind == "update":
+            t = tr.attr_update(**kw)(t)
+        elif kind == "upsert":
+            t = tr.attr_upsert(**kw)(t)
+        elif kind == "delete":
+            t = tr.attr_delete(**kw)(t)
+    return t
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name,actions,inp,want", ATTRACTION_CASES,
+                         ids=[c[0] for c in ATTRACTION_CASES])
+def test_attraction_reference_cases(name, actions, inp, want, ray_session):
+    out = _run_actions(_attr_table(inp), actions)
+    assert _attrs_of(out) == want, name
