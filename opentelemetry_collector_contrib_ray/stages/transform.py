@@ -259,13 +259,22 @@ def attr_hash(fields: list[str], algorithm: str = "sha256",
 
 def attr_extract(field: str, pattern: str, where: Expr | None = None):
     """attraction EXTRACT (attraction.go:287-342): regex named groups ->
-    new columns (the processor's regexp-with-named-submatches)."""
+    new columns (the processor's regexp-with-named-submatches). A missing
+    source column is a no-op, and rows the pattern does NOT match keep
+    their existing capture-column values (the reference only touches
+    attributes on a match)."""
     def fn(batch: pa.Table) -> pa.Table:
+        if field not in batch.column_names:
+            return batch
         col = _get(batch, field)
         st = pc.extract_regex(pc.cast(col, pa.string()), pattern)
         for i in range(st.type.num_fields):
             name = st.type.field(i).name
-            batch = _masked(batch, name, pc.struct_field(st, name), where)
+            new = pc.struct_field(st, name)
+            if name in batch.column_names:
+                old = pc.cast(_get(batch, name), pa.string())
+                new = pc.if_else(st.is_valid(), new, old)
+            batch = _masked(batch, name, new, where)
         return batch
     return fn
 

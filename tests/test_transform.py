@@ -375,6 +375,57 @@ ATTRACTION_CASES = [
       "duplicate_key_c": 3245.6, "original_key": 3245.6,
       "not_duplicate_key": 3246.6},
      {"original_key": 3245.6, "not_duplicate_key": 3246.6}),
+    # TestAttributes_Extract (regex named captures; full corpus)
+    ("ExtractEmptyAttributes",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {}, {}),
+    ("ExtractNoTargetKey",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"boo": "ghosts are scary"}, {"boo": "ghosts are scary"}),
+    ("ExtractNonStringTarget",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"boo": "ghosts are scary", "user_key": 1234},
+     {"boo": "ghosts are scary", "user_key": 1234}),
+    ("ExtractNoPatternMatch",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"user_key": "does not match", "boo": "ghosts are scary"},
+     {"user_key": "does not match", "boo": "ghosts are scary"}),
+    ("ExtractPartialMatchRejected",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"user_key": "/api/v1/document/12345678/update",
+      "boo": "ghosts are scary"},
+     {"user_key": "/api/v1/document/12345678/update",
+      "boo": "ghosts are scary"}),
+    ("ExtractInsertNewValues",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"user_key": "/api/v1/document/12345678/update/v1",
+      "foo": "casper the friendly ghost"},
+     {"user_key": "/api/v1/document/12345678/update/v1",
+      "new_user_key": "12345678", "version": "v1",
+      "foo": "casper the friendly ghost"}),
+    ("ExtractUpdatesExisting",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"user_key": "/api/v1/document/12345678/update/v1",
+      "new_user_key": "2321", "version": "na",
+      "foo": "casper the friendly ghost"},
+     {"user_key": "/api/v1/document/12345678/update/v1",
+      "new_user_key": "12345678", "version": "v1",
+      "foo": "casper the friendly ghost"}),
+    ("ExtractUpserts",
+     [("extract", dict(field="user_key",
+        pattern=r"^/api/v1/document/(?P<new_user_key>.*)/update/(?P<version>.*)$"))],
+     {"user_key": "/api/v1/document/12345678/update/v1",
+      "new_user_key": "2321", "foo": "casper the friendly ghost"},
+     {"user_key": "/api/v1/document/12345678/update/v1",
+      "new_user_key": "12345678", "version": "v1",
+      "foo": "casper the friendly ghost"}),
     # TestAttributes_FromAttributeNoChange (3 chained self-referencing)
     ("FromAttributeNoChange",
      [("insert_fa", dict(field="boo", from_attribute="boo")),
@@ -429,6 +480,8 @@ def _run_actions(t: pa.Table, actions):
             t = tr.attr_update(**kw)(t)
         elif kind == "upsert":
             t = tr.attr_upsert(**kw)(t)
+        elif kind == "extract":
+            t = tr.attr_extract(**kw)(t)
         elif kind == "delete":
             t = tr.attr_delete(**kw)(t)
     return t
