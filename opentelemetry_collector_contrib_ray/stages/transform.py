@@ -235,17 +235,34 @@ def attr_delete(key: str | None = None, pattern: str | None = None):
 
 def attr_hash(fields: list[str], algorithm: str = "sha256",
               where: Expr | None = None):
-    """attraction HASH (attraction.go:404-424) / redaction hash_function:
-    replace values with their hex digest. Vectorized over the dictionary of
-    distinct values (hashing cost = O(cardinality), not O(rows))."""
+    """attraction HASH (attraction.go:404-424, hasher.go) / redaction
+    hash_function: replace values with their hex digest. The reference
+    hashes TYPED byte encodings (string = utf-8 bytes, int = 8-byte
+    little-endian, double = float64 bits little-endian, bool = one byte
+    1/0), not string forms. Vectorized over the dictionary of distinct
+    values (hashing cost = O(cardinality), not O(rows))."""
+    import struct
+
+    def enc(v) -> bytes:
+        if isinstance(v, bool):
+            return b"\x01" if v else b"\x00"
+        if isinstance(v, int):
+            return struct.pack("<q", v)
+        if isinstance(v, float):
+            return struct.pack("<d", v)
+        if isinstance(v, bytes):
+            return v
+        return str(v).encode()
+
     def one(col: pa.Array) -> pa.Array:
-        d = pc.dictionary_encode(pc.cast(col, pa.string()))
+        d = pc.dictionary_encode(col) \
+            if not pa.types.is_dictionary(col.type) else col
         if isinstance(d, pa.ChunkedArray):
             d = d.combine_chunks()
         uniq = d.dictionary.to_pylist()
         digests = pa.array(
             [None if v is None else
-             hashlib.new(algorithm, v.encode()).hexdigest() for v in uniq],
+             hashlib.new(algorithm, enc(v)).hexdigest() for v in uniq],
             pa.string())
         return pc.take(digests, d.indices)
 

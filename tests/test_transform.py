@@ -495,3 +495,22 @@ import pytest
 def test_attraction_reference_cases(name, actions, inp, want, ray_session):
     out = _run_actions(_attr_table(inp), actions)
     assert _attrs_of(out) == want, name
+
+
+def test_attr_hash_typed_encodings(ray_session):
+    """hasher.go: string=utf8, int=8-byte LE, double=float64-bits LE,
+    bool=one byte 1/0 — not string forms (reference HashValue corpus)."""
+    import hashlib as _h
+    import struct
+    t = pa.table({
+        "s": ["foo"], "i": pa.array([123], pa.int64()),
+        "d": pa.array([234.129312], pa.float64()),
+        "bt": pa.array([True]), "bf": pa.array([False])})
+    out = tr.attr_hash(["s", "i", "d", "bt", "bf"])(t)
+    assert out["s"].to_pylist() == [_h.sha256(b"foo").hexdigest()]
+    assert out["i"].to_pylist() == \
+        [_h.sha256(struct.pack("<q", 123)).hexdigest()]
+    assert out["d"].to_pylist() == \
+        [_h.sha256(struct.pack("<d", 234.129312)).hexdigest()]
+    assert out["bt"].to_pylist() == [_h.sha256(b"\x01").hexdigest()]
+    assert out["bf"].to_pylist() == [_h.sha256(b"\x00").hexdigest()]
