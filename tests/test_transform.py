@@ -514,3 +514,25 @@ def test_attr_hash_typed_encodings(ray_session):
         [_h.sha256(struct.pack("<d", 234.129312)).hexdigest()]
     assert out["bt"].to_pylist() == [_h.sha256(b"\x01").hexdigest()]
     assert out["bf"].to_pylist() == [_h.sha256(b"\x00").hexdigest()]
+
+
+def test_attr_convert_reference_semantics(ray_session):
+    """type_converter.go: double->int truncates toward zero, bool->1/0,
+    int->double exact, numeric strings parse; unparseable strings null
+    (documented divergence #4: the reference leaves them unchanged)."""
+    t = pa.table({
+        "d": pa.array([1.9, -1.9, 2.0], pa.float64()),
+        "b": pa.array([True, False, True]),
+        "i": pa.array([5, -7, 0], pa.int64()),
+        "s": pa.array(["123", "-9", "not-a-number"]),
+    })
+    assert tr.attr_convert("d", "int")(t)["d"].to_pylist() == [1, -1, 2]
+    assert tr.attr_convert("b", "int")(t)["b"].to_pylist() == [1, 0, 1]
+    assert tr.attr_convert("b", "double")(t)["b"].to_pylist() == \
+        [1.0, 0.0, 1.0]
+    assert tr.attr_convert("i", "double")(t)["i"].to_pylist() == \
+        [5.0, -7.0, 0.0]
+    assert tr.attr_convert("s", "int")(t)["s"].to_pylist() == \
+        [123, -9, None]
+    assert tr.attr_convert("i", "string")(t)["i"].to_pylist() == \
+        ["5", "-7", "0"]
