@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..expr import col
+from ..sources.tables import read_table
 from ..sources.transcripts import ensure_transcripts
 from ..stages.aggregate import count_by, dedup_counts, sum_by
 from ..stages.shuffle import actor_pool_size
@@ -381,7 +382,7 @@ def q_transform_statements(sf_dir: str):
 def q_window_counts(sf_dir: str):
     """intervalprocessor / tumbling window: per-hour counts by event_type
     over the events stream table."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type"])
 
     def add_window(b: pa.Table) -> pa.Table:
@@ -427,7 +428,7 @@ def q_jsonarray(sf_dir: str):
     parsed back, and compared field-for-field."""
     from ..stages.parse import jsonarray_parser
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "event_type"])
 
     def mk(b: pa.Table) -> pa.Table:
@@ -488,7 +489,7 @@ def q_cumulative_to_delta(sf_dir: str):
     from ..stages.metrics import cumulative_to_delta
     from ..stages.shuffle import dir_size_bytes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts", "value"])
     out = cumulative_to_delta(
         ds, key_col="user_id", order_col="ts", value_col="value",
@@ -510,7 +511,7 @@ def q_delta_to_rate(sf_dir: str):
     from ..stages.metrics import delta_to_rate
     from ..stages.shuffle import dir_size_bytes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts", "value"])
     out = delta_to_rate(
         ds, key_col="user_id", order_col="ts", value_col="value",
@@ -535,7 +536,7 @@ def q_metric_start_time(sf_dir: str):
     from ..stages.metrics import metric_start_time
     from ..stages.shuffle import dir_size_bytes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts", "value"])
     out = metric_start_time(
         ds, key_col="user_id", order_col="ts", value_col="value",
@@ -549,7 +550,7 @@ def q_csv_parse(sf_dir: str):
     a delimiter-joined line built from customer fields."""
     from ..stages.parse import csv_parser
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment", "c_nationkey"])
 
@@ -607,7 +608,7 @@ def q_time_parse(sf_dir: str):
     round-trip of the event timestamp."""
     from ..stages.parse import time_parser
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts"])
 
     def fmt(b: pa.Table) -> pa.Table:
@@ -699,7 +700,7 @@ def q_signaltometrics(sf_dir: str):
     the sum metric of SIGNAL_METRIC_DEFS."""
     from ..stages.connectors import signal_to_metrics
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     out = signal_to_metrics(ds, SIGNAL_METRIC_DEFS)["events.value.sum"]
 
@@ -742,7 +743,7 @@ def q_exact_dedup(sf_dir: str):
     distinct text."""
     from ..stages.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return exact_dedup(ds)
 
@@ -753,7 +754,7 @@ def q_ngram_jaccard(sf_dir: str):
     oracle's df CTE, so Ray and DuckDB agree at any sf."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
 
@@ -763,7 +764,7 @@ def q_minhash_lsh(sf_dir: str):
     no SQL oracle; recall vs exact Jaccard is pinned by unit test."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
@@ -772,7 +773,7 @@ def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3). Sketch-based — rows-only."""
     from ..stages.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
@@ -794,7 +795,7 @@ def q_ann_topk(sf_dir: str):
     from ..stages.similarity import ann_topk
 
     qm, qids = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann_topk(ds, qm, qids, k=5, round_digits=4)
 
@@ -806,7 +807,7 @@ def q_ann_lsh(sf_dir: str):
     from ..stages.similarity import ann_lsh_topk
 
     qm, qids = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann_lsh_topk(ds, qm, qids, k=5, n_bits=6, n_tables=12)
 
@@ -818,7 +819,7 @@ def q_ann_ivf(sf_dir: str):
     from ..stages.similarity import ann_ivf_topk
 
     qm, qids = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann_ivf_topk(ds, qm, qids, k=5, nlist=8, nprobe=3)
 
@@ -828,7 +829,7 @@ def q_cosine_pairs(sf_dir: str):
     (the IVF-bucket candidate scope)."""
     from ..stages.similarity import cosine_pairs_within
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
     return cosine_pairs_within(ds, threshold=0.3, round_digits=4)
 
@@ -841,10 +842,10 @@ def q_kmeans(sf_dir: str):
 
     cols = ["vec_id", "embedding"]
     fit = kmeans_fit(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols),
+        read_table(f"{sf_dir}/embeddings.parquet", columns=cols),
         k=8, max_iters=5)
     out = kmeans_assign(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols),
+        read_table(f"{sf_dir}/embeddings.parquet", columns=cols),
         fit["centroids"])
     return out.select_columns(["vec_id", "cluster"])
 
@@ -853,7 +854,7 @@ def q_token_stats(sf_dir: str):
     """Token counting + quality scoring over documents."""
     from ..stages.textstats import token_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(token_stats(), batch_format="pyarrow",
                           batch_size=None)
@@ -863,7 +864,7 @@ def q_fingerprint(sf_dir: str):
     """md5 document fingerprint over normalized text."""
     from ..stages.textstats import fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(fingerprint(), batch_format="pyarrow",
                           batch_size=None)
@@ -873,7 +874,7 @@ def q_langid(sf_dir: str):
     """Language-ID heuristic (marker-word scoring). Model-like — rows-only."""
     from ..stages.textstats import LanguageID
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     # plain callable instance: tiny state -> fuse with the read (no pool)
     return ds.map_batches(LanguageID(), batch_format="pyarrow",
@@ -955,7 +956,7 @@ def q_otlpjson(sf_dir: str):
     (events.props carries a JSON object)."""
     from ..stages.connectors import otlpjson_parser
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
     fn = otlpjson_parser("props", {"k": ("$.k", "int")})
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
@@ -1034,7 +1035,7 @@ def q_delta_to_cumulative(sf_dir: str):
     """deltatocumulativeprocessor: running per-user sum of event values."""
     from ..stages.metrics import cumulative_per_key
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts", "value"])
     out = cumulative_per_key(ds, key_col="user_id", order_col="ts",
                              value_col="value")
@@ -1060,7 +1061,7 @@ def q_sessionize(sf_dir: str):
     from ..stages.sessionize import sessionize
     from ..stages.shuffle import dir_size_bytes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
     return sessionize(ds, key_col="user_id", gap="30m",
                       size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
@@ -1070,7 +1071,7 @@ def q_sum_events(sf_dir: str):
     """sumconnector over events: total value by event_type. Rounded to 6
     decimals — float sums are order-dependent in the last ulp, so exact-bit
     equality vs a serial SQL oracle is not meaningful."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_table(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     out = sum_by(ds, ["event_type"], "value", sum_col="total_value")
 
