@@ -99,26 +99,46 @@ def ann_topk(ds: Dataset, query_vectors: np.ndarray, query_ids,
 def cosine_pairs_within(ds: Dataset, *, partition_col: str = "label",
                         threshold: float = 0.3, vec_col: str = "embedding",
                         id_col: str = "vec_id",
+                        max_bucket: int | None = None,
                         round_digits: int = 6) -> Dataset:
     """Embedding-cosine near-dup pairs, scoped within a partition key (the
     IVF-bucket pattern: candidates only inside a coarse cluster — here the
     given column; at scale the column is a kmeans/LSH bucket id).
+
+    Buckets over ``max_bucket`` members fall back to a representative STAR
+    (every member scored against the bucket's min-id vector — one GEMV,
+    O(m) pairs) instead of the dense m x m GEMM, the same oversized-bucket
+    guard as the LSH/simhash candidate stages (``dedup.DEFAULT_MAX_BUCKET``):
+    a skewed bucket at web scale is near-always a near-exact dup cluster,
+    and an uncapped one is O(m^2) memory in a single task.
     """
+    from .dedup import DEFAULT_MAX_BUCKET, _oversize_warn
+    cap = DEFAULT_MAX_BUCKET if max_bucket is None else max_bucket
+
     def per_group(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
         lab = group[partition_col][0].as_py()
         m = _normalize(_mat(group, vec_col))
-        sims = m @ m.T
         order = np.argsort(ids)
-        ids, sims = ids[order], sims[np.ix_(order, order)]
-        iu = np.triu_indices(len(ids), 1)
-        keep = sims[iu] >= threshold
+        ids, m = ids[order], m[order]
+        if len(ids) > cap:
+            _oversize_warn("cosine_pairs_within", [len(ids)])
+            sims = m @ m[0]  # vs representative (min id)
+            keep = sims[1:] >= threshold
+            a = np.full(int(keep.sum()), ids[0], np.int64)
+            b = ids[1:][keep]
+            s = sims[1:][keep]
+        else:
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), 1)
+            keep = sims[iu] >= threshold
+            a, b, s = ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep]
         return pa.table({
-            partition_col: pa.array([lab] * int(keep.sum()),
+            partition_col: pa.array([lab] * len(a),
                                     type=group[partition_col].type),
-            "a": pa.array(ids[iu[0][keep]], pa.int64()),
-            "b": pa.array(ids[iu[1][keep]], pa.int64()),
-            "sim": pa.array(round_half_away(sims[iu][keep], round_digits)),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "sim": pa.array(round_half_away(s, round_digits)),
         })
 
     return ds.groupby(partition_col).map_groups(per_group,

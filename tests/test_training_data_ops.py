@@ -121,6 +121,31 @@ def test_cosine_pairs_symmetric_scope():
     assert (got["sim"] >= 0.3).all()
 
 
+def test_cosine_pairs_oversized_bucket_star():
+    # planted skew: one bucket over the cap degrades to representative-star
+    # (O(m) pairs anchored at the min id), small buckets stay dense
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    big = np.tile(base, (50, 1)) + rng.standard_normal((50, 8)) * 1e-3
+    small = rng.standard_normal((4, 8))
+    t = pa.table({
+        "vec_id": pa.array(list(range(54)), pa.int64()),
+        "label": pa.array([1] * 50 + [2] * 4, pa.int32()),
+        "embedding": pa.array([list(v) for v in big] +
+                              [list(v) for v in small]),
+    })
+    ds = ray.data.from_arrow(t)
+    got = cosine_pairs_within(ds, threshold=0.9, max_bucket=10).to_pandas()
+    star = got[got.label == 1]
+    # bounded: m-1 star pairs, not m*(m-1)/2 dense pairs
+    assert len(star) == 49
+    assert (star["a"] == 0).all()
+    assert set(star["b"]) == set(range(1, 50))
+    # under-cap bucket unaffected by the guard (dense path)
+    dense = cosine_pairs_within(ds, threshold=0.9).to_pandas()
+    assert len(dense[dense.label == 1]) == 50 * 49 // 2
+
+
 def test_hyperplane_lsh_buckets_deterministic():
     import pyarrow.parquet as pq
     t = pq.read_table(f"{SF}/embeddings.parquet")
