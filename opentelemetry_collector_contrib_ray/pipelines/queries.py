@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -992,6 +994,76 @@ def q_uri_parse(sf_dir: str):
                               "uri_port", "uri_path", "uri_query"])
 
 
+def q_uri_query(sf_dir: str):
+    """uri parser query-string map (parseutils ParseURI -> queryToMap):
+    URLs carry multi-valued + percent/plus-encoded params; the url.Values
+    map column is exploded to (param, pos, value) rows for the oracle."""
+    from ..stages.connectors import uri_parser
+
+    ds = build_parsed(sf_dir)
+
+    def mk_url(b: pa.Table) -> pa.Table:
+        path = b["http_path"]
+        if isinstance(path, pa.ChunkedArray):
+            path = path.combine_chunks()
+        # http_path already ends '?q=N'; append a multi-valued encoded param
+        url = pc.binary_join_element_wise(
+            "https://api.example.com:8443", path, "&tag=a%20b&tag=x+y", "")
+        return b.append_column("url", url)
+
+    ds = ds.map_batches(mk_url, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(uri_parser("url"), batch_format="pyarrow",
+                        batch_size=None)
+
+    def explode(b: pa.Table) -> pa.Table:
+        m = b["uri_query_map"]
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        n = len(m)
+        ent_off = m.offsets.to_numpy(zero_copy_only=False)
+        ent_counts = np.diff(ent_off)
+        row_of_entry = np.repeat(np.arange(n), ent_counts)
+        keys = m.keys
+        vals = m.items  # ListArray of value lists
+        v_off = vals.offsets.to_numpy(zero_copy_only=False)
+        v_counts = np.diff(v_off)
+        ent_of_val = np.repeat(np.arange(len(keys)), v_counts)
+        pos = np.arange(len(vals.values)) - v_off[:-1][ent_of_val]
+        rows = row_of_entry[ent_of_val]
+        out = pa.table({
+            "conv_id": pc.take(_cc(b["conv_id"]), pa.array(rows)),
+            "turn_idx": pc.take(_cc(b["turn_idx"]), pa.array(rows)),
+            "param": pc.take(keys, pa.array(ent_of_val)),
+            "pos": pa.array(pos, pa.int64()),
+            "value": vals.values,
+        })
+        return out
+
+    def only_parsed(b: pa.Table) -> pa.Table:
+        col = _cc(b["uri_query_map"])
+        return b.filter(pc.is_valid(col))
+
+    ds = ds.map_batches(only_parsed, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
+def _cc(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _uri_query_sql() -> str:
+    v = parsed_view_sql()
+    return v + """
+, base AS (SELECT conv_id, turn_idx,
+                  regexp_extract(http_path, 'q=(\\d+)', 1) AS qv
+           FROM routed WHERE http_path IS NOT NULL)
+SELECT conv_id, turn_idx, 'q' AS param, CAST(0 AS BIGINT) AS pos,
+       qv AS value FROM base
+UNION ALL SELECT conv_id, turn_idx, 'tag', CAST(0 AS BIGINT), 'a b' FROM base
+UNION ALL SELECT conv_id, turn_idx, 'tag', CAST(1 AS BIGINT), 'x y' FROM base
+"""
+
+
 def q_text_source(sf_dir: str):
     """filelog-style raw text source: the same lines read from plain .log
     files through read_text, parsed, counted by template. The oracle
@@ -1317,6 +1389,7 @@ FROM m WHERE s IS NOT NULL
             "SELECT event_id, CAST(json_extract_string(props, '$.k') "
             "AS BIGINT) AS k FROM events"),
         "uri_parse": _uri_sql(),
+        "uri_query": _uri_query_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS dedup_key, min(doc_id) AS doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY text"),
@@ -1462,6 +1535,7 @@ def ray_queries() -> dict:
         "geoip_ranges": q_geoip,
         "otlpjson": q_otlpjson,
         "uri_parse": q_uri_parse,
+        "uri_query": q_uri_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,

@@ -18,6 +18,7 @@ plus the remaining stanza parsers (uri, container) and otlpjson.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -49,15 +50,165 @@ def otlpjson_parser(parse_from: str, fields: dict[str, tuple[str, str]],
     return fn
 
 
-def uri_parser(parse_from: str, prefix: str = "uri_"):
-    """stanza uri parser: URL string -> scheme/host/port/path/query columns."""
+# RFC-3986-shaped grammar matching what Go's url.ParseRequestURI accepts
+# for the stanza uri parser (pkg/stanza/operator/parser/uri/parser.go ->
+# internal/coreinternal/parseutils/uri.go ParseURI/urlToMap): optional
+# scheme, optional //authority (user@host:port), path, ?query. One
+# divergence: '#fragment' is split off here, while ParseRequestURI leaves
+# '#' in the path (request URIs never carry fragments in practice).
+_URI_RE = (r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*):)?"
+           r"(?://(?:(?P<userinfo>[^@/?#]*)@)?"
+           r"(?P<host>[^:/?#]*)(?::(?P<port>[0-9]*))?)?"
+           r"(?P<path>[^?#]*)"
+           r"(?:\?(?P<query>[^#]*))?"
+           r"(?:#(?P<fragment>.*))?$")
+
+# a '%' not followed by exactly two hex digits (RE2-safe, no lookahead):
+# Go's url.Parse/QueryUnescape reject the component -> the entry errors.
+_BAD_PCT_RE = r"%([0-9A-Fa-f]?$|[^0-9A-Fa-f]|[0-9A-Fa-f][^0-9A-Fa-f])"
+
+
+def _chunked(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _empty_to_null(arr: pa.Array) -> pa.Array:
+    """'' -> null: urlToMap omits unset components; extract_regex reports
+    a non-participating group as '' (it has no absent marker)."""
+    return pc.if_else(pc.equal(pc.fill_null(arr, ""), ""),
+                      pa.nulls(len(arr), pa.string()), arr)
+
+
+QUERY_MAP_TYPE = pa.map_(pa.string(), pa.list_(pa.string()))
+
+
+def query_values_map(q: pa.Array) -> pa.Array:
+    """Go url.ParseQuery as a vectorized column op: '&'-separated tokens,
+    key/value split at the FIRST '=' ('='-less token -> value ''), empty
+    tokens skipped, percent+plus decoded, repeated keys accumulate values
+    in occurrence order -> map<string, list<string>> (keys sorted by name:
+    a Go map has no order). Null or empty input -> null map (queryToMap
+    creates no 'query' key for an empty url.Values).
+
+    Decode cost is O(distinct tokens) via dictionary encoding (the md5_hex
+    trick, stages/dedup.py) — log query strings repeat heavily.
+    """
+    from urllib.parse import unquote_plus
+
+    q = _chunked(q)
+    n = len(q)
+    has_q = pc.and_(pc.is_valid(q),
+                    pc.not_equal(pc.fill_null(q, ""), "")) \
+        .to_numpy(zero_copy_only=False)
+    parts = _chunked(pc.split_pattern(pc.fill_null(q, ""), "&"))
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    flat = _chunked(parts.flatten())
+    rows = np.repeat(np.arange(n, dtype=np.int64),
+                     counts.astype(np.int64))
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    flat, rows = flat.filter(pa.array(nonempty)), rows[nonempty]
+
+    if len(flat) == 0:
+        offs = np.zeros(n + 1, np.int32).astype(object)
+        offs[:-1][~has_q] = None
+        return pa.MapArray.from_arrays(
+            pa.array(list(offs), pa.int32()),
+            pa.array([], pa.string()),
+            pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                     pa.array([], pa.string())))
+
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    ku, vu = [], []
+    for tok in d.dictionary.to_pylist():
+        k, _, v = tok.partition("=")
+        ku.append(unquote_plus(k))
+        vu.append(unquote_plus(v))
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    keys_np = np.asarray(ku, object)[idx]
+    vals_np = np.asarray(vu, object)[idx]
+
+    ukeys, codes = np.unique(keys_np, return_inverse=True)
+    order = np.lexsort((np.arange(len(rows)), codes, rows))
+    r_s, c_s, v_s = rows[order], codes[order], vals_np[order]
+    new_entry = np.ones(len(r_s), bool)
+    new_entry[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    val_offsets = np.concatenate(
+        [np.flatnonzero(new_entry), [len(r_s)]]).astype(np.int32)
+    items = pa.ListArray.from_arrays(pa.array(val_offsets),
+                                     pa.array(v_s, pa.string()))
+    keys_arr = pa.array(ukeys[c_s[new_entry]], pa.string())
+    ent_per_row = np.bincount(r_s[new_entry], minlength=n)
+    map_offsets = np.concatenate(
+        [[0], np.cumsum(ent_per_row)]).astype(np.int32).astype(object)
+    map_offsets[:-1][~has_q] = None  # null offset -> null map row
+    return pa.MapArray.from_arrays(pa.array(list(map_offsets), pa.int32()),
+                                   keys_arr, items)
+
+
+def uri_parser(parse_from: str, prefix: str = "uri_",
+               query_map: bool = True):
+    """stanza uri parser: URL string -> scheme/user/host/port/path/query
+    columns plus (``query_map=True``) the reference's url.Values map
+    (``<prefix>query_map``: map<string, list<string>>).
+
+    Mirrors parseutils.ParseURI(semconv=false): a leading '?' means a bare
+    query string; otherwise the input must have a scheme or a '/'-rooted
+    path (url.ParseRequestURI), components are omitted (null) when unset,
+    and a row errors to all-null when the shape is invalid, a component
+    has a malformed %-escape, or the query contains ';' (Go rejects the
+    legacy semicolon separator). The raw query string column is kept
+    alongside the map (null when no '?': the map alone loses the
+    raw-vs-decoded distinction some pipelines filter on).
+    """
+    big = 2 ** 31 - 1
+
     def fn(batch: pa.Table) -> pa.Table:
-        col = batch[parse_from]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        st = pc.extract_regex(col, URL_RE)
-        for name in ("scheme", "host", "port", "path", "query"):
-            batch = batch.append_column(prefix + name, pc.struct_field(st, name))
+        col = _chunked(batch[parse_from])
+        st = pc.extract_regex(col, _URI_RE)
+        matched = pc.is_valid(st)
+        f = {name: pc.fill_null(pc.struct_field(st, name), "")
+             for name in ("scheme", "userinfo", "host", "port", "path",
+                          "query")}
+        bare = pc.fill_null(pc.starts_with(col, "?"), False)
+        qsrc = pc.if_else(bare, pc.utf8_slice_codeunits(
+            pc.fill_null(col, ""), 1, big), f["query"])
+        shape_ok = pc.or_(pc.or_(pc.not_equal(f["scheme"], ""),
+                                 pc.starts_with(f["path"], "/")), bare)
+        bad = pc.match_substring_regex(f["userinfo"], _BAD_PCT_RE)
+        for comp in ("path",):
+            bad = pc.or_(bad, pc.match_substring_regex(f[comp], _BAD_PCT_RE))
+        bad = pc.or_(bad, pc.match_substring_regex(qsrc, _BAD_PCT_RE))
+        bad = pc.or_(bad, pc.match_substring(qsrc, ";"))
+        ok = pc.and_(pc.and_(matched, shape_ok), pc.invert(bad))
+
+        def gate(arr):
+            return pc.if_else(ok, arr, pa.nulls(len(col), arr.type))
+
+        user = pc.if_else(
+            pc.match_substring(f["userinfo"], ":"),
+            pc.utf8_slice_codeunits(
+                pc.list_element(pc.split_pattern(
+                    f["userinfo"], ":", max_splits=1), 0), 0, big),
+            f["userinfo"])
+        out = {
+            "scheme": f["scheme"], "user": user, "host": f["host"],
+            "port": f["port"], "path": f["path"],
+        }
+        for name, arr in out.items():
+            batch = batch.append_column(prefix + name,
+                                        gate(_empty_to_null(arr)))
+        # raw query: null when there is no '?' at all (bare '?' -> '')
+        raw_q = pc.if_else(
+            pc.or_(bare, pc.match_substring(pc.fill_null(col, ""), "?")),
+            qsrc, pa.nulls(len(col), pa.string()))
+        batch = batch.append_column(prefix + "query", gate(raw_q))
+        if query_map:
+            qm = query_values_map(pc.if_else(ok, qsrc,
+                                             pa.nulls(len(col), pa.string())))
+            batch = batch.append_column(prefix + "query_map", qm)
         return batch
     return fn
 
