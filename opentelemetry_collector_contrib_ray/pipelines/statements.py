@@ -234,74 +234,103 @@ def _list_to_map(la: pa.ListArray, keys, items) -> pa.MapArray:
                                    keys, items)
 
 
-def _kv_scan_map(a, delim: str, pair: str) -> pa.MapArray:
-    """Exact per-row scan for ParseKeyValue — the reference semantics of
-    parseutils SplitString (quote-aware pair splitting) for arbitrary-
-    length delimiters. Used only for multi-character delimiters, where the
-    token-regex form below cannot apply."""
-    dl, pl_ = len(delim), len(pair)
-
-    def one(s: str):
-        out, i = [], 0
-        while i < len(s):
-            j = s.find(delim, i)
-            if j < 0:
-                break
-            key = s[i:j].strip()
-            if j + dl < len(s) and s[j + dl] == '"':
-                k = s.find('"', j + dl + 1)
-                val = s[j + dl + 1:k if k > 0 else len(s)]
-                i = (k + 1 + pl_) if k > 0 else len(s)
-            else:
-                k = s.find(pair, j + dl)
-                val = s[j + dl:k if k >= 0 else len(s)]
-                i = (k + pl_) if k >= 0 else len(s)
-            out.append((key, val))
-        return out
-
-    return pa.array([None if v is None else one(v) for v in a.to_pylist()],
-                    pa.map_(pa.string(), pa.string()))
-
-
 def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
-    """Vectorized ParseKeyValue (func_parse_key_value.go delegating to
-    internal/coreinternal/parseutils/parser.go SplitString+ParseKeyValue-
-    Pairs): one quote-aware token regex pass + splitn in polars, map
-    assembled from the list offsets — no per-row Python.
+    """ParseKeyValue with full parseutils parity (func_parse_key_value.go
+    -> internal/coreinternal/parseutils/parser.go SplitString +
+    ParseKeyValuePairs), replayed verbatim from
+    func_parse_key_value_test.go in test_statement_executor.py.
 
-    Token semantics mirror the scan form exactly (pinned in
-    test_statement_executor.py): a key runs to the next delimiter and is
-    whitespace-trimmed, a value immediately opened with '"' runs to the
-    closing quote (rest of string when unclosed), otherwise to the next
-    pair delimiter; delimiter-less trailing text is dropped.
-
-    The token regex uses negated character classes, which only express
-    single-character delimiters; multi-character delimiters (e.g. ", ")
-    take the exact scan path instead."""
-    import re as _re
-
+    Hybrid plan like the stanza keyvalue parser (stages/parse.py): rows
+    WITHOUT quote/backslash characters take a fully vectorized polars
+    split -> splitn -> first-occurrence/last-value dedup; rows WITH them
+    (or any multi-character delimiter) take the exact quote-aware scan
+    (_parseutils_pairs strict mode — single+double quotes stripped
+    anywhere, backslash guards the following quote char, unterminated
+    quote errors). Reference error semantics -> null map row: empty
+    target, unterminated quote, any pair that cannot split on the
+    delimiter. Repeated keys: first-occurrence position, last value
+    (Go map assignment)."""
     import polars as pl
 
-    if len(delim) != 1 or len(pair) != 1:
-        return _kv_scan_map(a, delim, pair)
-    D, P = _re.escape(delim), _re.escape(pair)
-    tok = f'[^{D}]+{D}(?:"[^"]*"|"[^"]*$|[^{P}]*)'
-    out = (pl.from_arrow(a).str.extract_all(tok)
-           .list.eval(pl.element().str.splitn(delim, 2))
-           .list.eval(pl.struct(
-               # the token regex leaves the inter-token pair delimiter on
-               # the key (scan form consumes it): drop exactly one, then
-               # whitespace-trim like parseutils
-               k=pl.element().struct.field("field_0")
-                 .str.replace(f"^{P}", "").str.strip_chars(),
-               v=pl.element().struct.field("field_1")
-                 .str.replace(r'^"([^"]*)"?$', "${1}"))))
-    la = out.to_arrow()
-    if isinstance(la, pa.ChunkedArray):
-        la = la.combine_chunks()
-    la = la.cast(pa.list_(pa.struct([("k", pa.string()),
-                                     ("v", pa.string())])))
-    return _list_to_map(la, la.values.field("k"), la.values.field("v"))
+    from ..stages.parse import _parseutils_pairs
+
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    n = len(a)
+    texts = a.to_pylist() if (len(delim) != 1 or len(pair) != 1) else None
+    if texts is None:
+        special = pc.fill_null(
+            pc.match_substring_regex(a, r'["\'\\]'), False) \
+            .to_numpy(zero_copy_only=False)
+    else:
+        special = np.ones(n, bool)  # multi-char delims: exact scan for all
+
+    triplets_i: list[np.ndarray] = []
+    triplets_k: list = []
+    triplets_v: list = []
+    null_rows = ~pc.is_valid(a).to_numpy(zero_copy_only=False)
+
+    if not special.all():
+        s = pl.from_arrow(a)
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        e = (pl.DataFrame({"_i": pl.int_range(n, eager=True), "_s": s})
+             .filter(~pl.Series(special) & pl.col("_s").is_not_null())
+             .with_columns(_t=pl.col("_s").str.split(pair))
+             .explode("_t")
+             .filter(pl.col("_t") != "")
+             .with_columns(_kv=pl.col("_t").str.splitn(delim, 2))
+             .unnest("_kv"))
+        bad = e.filter(pl.col("field_1").is_null())["_i"].to_numpy()
+        null_rows[bad] = True
+        g = (e.filter(pl.col("field_1").is_not_null())
+             .group_by("_i", pl.col("field_0").str.strip_chars(),
+                       maintain_order=True)
+             .agg(_v=pl.col("field_1").str.strip_chars().last()))
+        if g.height:
+            triplets_i.append(g["_i"].to_numpy())
+            triplets_k.append(g["field_0"].to_numpy())
+            triplets_v.append(g["_v"].to_numpy())
+
+    if special.any():
+        if texts is None:
+            texts = a.to_pylist()
+        for ridx in np.flatnonzero(special):
+            t = texts[ridx]
+            if t is None:
+                continue
+            try:
+                m = _parseutils_pairs(t, delim, pair, strict=True)
+            except ValueError:
+                null_rows[ridx] = True
+                continue
+            if m:
+                triplets_i.append(np.full(len(m), ridx, np.int64))
+                triplets_k.append(np.asarray(list(m.keys()), object))
+                triplets_v.append(np.asarray(list(m.values()), object))
+
+    # ParseKeyValue errors on an empty target string
+    null_rows |= pc.equal(pc.fill_null(a, "x"), "").to_numpy(
+        zero_copy_only=False)
+
+    if triplets_i:
+        rows = np.concatenate([x.astype(np.int64) for x in triplets_i])
+        keys = np.concatenate([np.asarray(x, object) for x in triplets_k])
+        vals = np.concatenate([np.asarray(x, object) for x in triplets_v])
+        order = np.argsort(rows, kind="stable")  # within-row order kept
+        rows, keys, vals = rows[order], keys[order], vals[order]
+        keep = ~null_rows[rows]  # a row nulled late (e.g. bad pair) may
+        rows, keys, vals = rows[keep], keys[keep], vals[keep]  # have entries
+        counts = np.bincount(rows, minlength=n)
+    else:
+        keys = vals = np.zeros(0, object)
+        counts = np.zeros(n, np.int64)
+
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    mask = np.append(null_rows, False)
+    return pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32(), mask=mask),
+        pa.array(list(keys), pa.string()),
+        pa.array(list(vals), pa.string()))
 
 
 def _adapter_parse_keyvalue(ctx, args, kwargs):

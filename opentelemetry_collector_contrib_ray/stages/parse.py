@@ -183,7 +183,7 @@ def regex_parser(pattern: str, parse_from: str = "text", prefix: str = "",
 
 
 def _parseutils_pairs(s: str, delimiter: str,
-                      pair_delimiter: str) -> dict:
+                      pair_delimiter: str, strict: bool = False) -> dict:
     """Exact parseutils.SplitString + ParseKeyValuePairs
     (internal/coreinternal/parseutils/parser.go:16-82): quote-aware
     pair split with quote stripping and backslash escapes, then
@@ -224,6 +224,11 @@ def _parseutils_pairs(s: str, delimiter: str,
     for p in result:
         k, sep, v = p.partition(delimiter)
         if not sep:
+            if strict:
+                # ParseKeyValuePairs collects 'cannot split' via multierr
+                # and the OTTL ParseKeyValue call FAILS on any such pair;
+                # the stanza parser path keeps the rest (strict=False)
+                raise ValueError(f"cannot split {p!r} into 2 items")
             continue
         out[k.strip()] = v.strip()
     return out

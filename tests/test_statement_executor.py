@@ -866,6 +866,87 @@ def test_parse_keyvalue_multichar_key_delimiter():
     assert json.loads(attrs_of(out)["test"]) == {"k": "v", "j": "w"}
 
 
+# pkg/ottl/ottlfuncs/func_parse_key_value_test.go Test_parseKeyValue,
+# replayed verbatim: (input, delimiter, pair_delimiter, expected map).
+_REF_PARSE_KV_CASES = [
+    ("name=ottl func=key_value", None, None,
+     {"name": "ottl", "func": "key_value"}),
+    ('name=ottl age=1 job="software engineering" '
+     'location="grand rapids michigan" src="10.3.3.76" dst=172.217.0.10 '
+     'protocol=udp sport=57112 port=443 translated_src_ip=96.63.176.3 '
+     'translated_port=57112', None, None,
+     {"age": "1", "port": "443", "dst": "172.217.0.10",
+      "job": "software engineering", "location": "grand rapids michigan",
+      "name": "ottl", "protocol": "udp", "sport": "57112",
+      "src": "10.3.3.76", "translated_port": "57112",
+      "translated_src_ip": "96.63.176.3"}),
+    ("a=b c='this is a \"co ol\" value'", None, None,
+     {"a": "b", "c": 'this is a "co ol" value'}),
+    ('requestClientApplication="Mozilla/5.0 (Windows NT 6.1; WOW64; '
+     'rv:40.0) Gecko/20100101 Firefox/40.0"', None, None,
+     {"requestClientApplication": "Mozilla/5.0 (Windows NT 6.1; WOW64; "
+      "rv:40.0) Gecko/20100101 Firefox/40.0"}),
+    ("requestClientApplication='Mozilla/5.0 (Windows NT 6.1; WOW64; "
+     "rv:40.0) Gecko/20100101 Firefox/40.0'", None, None,
+     {"requestClientApplication": "Mozilla/5.0 (Windows NT 6.1; WOW64; "
+      "rv:40.0) Gecko/20100101 Firefox/40.0"}),
+    ('name="   ottl " func="  key_ value"', None, None,
+     {"name": "ottl", "func": "key_ value"}),
+    ("   name!ottl     func!key_value hello!world  ", "!", None,
+     {"name": "ottl", "func": "key_value", "hello": "world"}),
+    ("   \nname!!ottl     \nfunc!!key_value                      "
+     "hello!!world  ", "!!", None,
+     {"name": "ottl", "func": "key_value", "hello": "world"}),
+    ("name!!ottl     \nfunc!!      key_value another!!pair\n"
+     "hello!!world  ", "!!", "\n",
+     {"name": "ottl", "func": "key_value another!!pair",
+      "hello": "world"}),
+    ('name="ottl="_func="=key_value"', None, "_",
+     {"name": "ottl=", "func": "=key_value"}),
+    ("k1@*v1_!_k2@**v2_!__k3@@*v3__", "@*", "_!_",
+     {"k1": "v1", "k2": "*v2", "_k3@": "v3__"}),
+    ("   k1=v1   k2==v2       k3=v3= ", None, None,
+     {"k1": "v1", "k2": "=v2", "k3": "v3="}),
+    ("a=b c='this is a \"co ol\"'", None, None,
+     {"a": "b", "c": 'this is a "co ol"'}),
+    ("a=b c=d'='", None, None, {"a": "b", "c": "d="}),
+    ("a=b c=d", None, "aaaaaaaaaaaaaaaa", {"a": "b c=d"}),
+    # error cases -> null map row
+    ("", None, None, None),                    # empty target
+    ("name=ottl!hello_world", "=", "!", None),  # pair without delimiter
+    ("k1=v1 k2='v2\"", None, None, None),       # unterminated quote
+    ("a=b c=d", "=============", None, None),   # delimiter never found
+]
+
+
+def test_ref_parse_key_value_cases_replayed():
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        _kv_to_map)
+    for inp, delim, pair, want in _REF_PARSE_KV_CASES:
+        m = _kv_to_map(pa.array([inp], pa.string()),
+                       delim or "=", pair or " ")
+        got = m.to_pylist()[0]
+        if want is None:
+            assert got is None, (inp, got)
+        else:
+            assert got is not None and dict(got) == want, (inp, got)
+
+
+def test_kv_to_map_batch_mixed_paths_and_order():
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        _kv_to_map)
+    # one batch mixing vectorized rows, quoted rows, errors and nulls;
+    # repeated key keeps first-occurrence position with the LAST value
+    m = _kv_to_map(pa.array(
+        ["a=1 b=2 a=3", 'q="x y" r=z', "bad", None, "", "  "],
+        pa.string()), "=", " ")
+    assert m.to_pylist() == [
+        [("a", "3"), ("b", "2")],
+        [("q", "x y"), ("r", "z")],
+        None, None, None, [],
+    ]
+
+
 def _pj_table(bodies):
     attrs = pa.array([[] for _ in bodies], pa.map_(pa.string(), pa.string()))
     return pa.table({"body": pa.array(bodies), "attributes": attrs})
