@@ -1093,6 +1093,36 @@ def q_latency_histogram(sf_dir: str):
                         LATENCY_BOUNDS)
 
 
+def q_latency_exp_histogram(sf_dir: str):
+    """spanmetricsconnector `histogram: exponential` — base-2 exponential
+    latency buckets by (service, severity_bucket) at fixed scale 3 (the
+    SQL-expressible shape; the max_size auto-fit is pinned by unit
+    tests in test_metrics.py)."""
+    from ..stages.metrics import exp_histogram_by
+
+    ds = build_parsed(sf_dir)
+    return exp_histogram_by(ds, ["service", "severity_bucket"],
+                            "latency_ms", scale=3)
+
+
+def _latency_exp_sql() -> str:
+    # index = floor(ln(v) * (2^3/ln 2)), exact powers of two -> m*8-1;
+    # the (8 / LN(2)) grouping reproduces numpy's scaleFactor rounding
+    return parsed_view_sql() + """
+SELECT service, severity_bucket, CAST(3 AS BIGINT) AS scale,
+       CAST(CASE WHEN latency_ms > 0 THEN 1 WHEN latency_ms < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS sign,
+       CASE WHEN latency_ms = 0 THEN CAST(0 AS BIGINT)
+            WHEN ABS(latency_ms) = POWER(2, FLOOR(LOG2(ABS(latency_ms))))
+            THEN CAST(FLOOR(LOG2(ABS(latency_ms))) AS BIGINT) * 8 - 1
+            ELSE CAST(FLOOR(LN(ABS(latency_ms)) * (8 / LN(2))) AS BIGINT)
+            END AS bucket_idx,
+       count(*) AS n
+FROM routed WHERE latency_ms IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def q_service_graph(sf_dir: str):
     """servicegraphconnector: consecutive-turn service->service edge counts
     per conversation."""
@@ -1318,6 +1348,7 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
             f"FROM read_parquet('{_transcripts_glob()}')"),
         "text_source": parsed_view_sql() + (
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
+        "latency_exp_histogram": _latency_exp_sql(),
         "latency_histogram": parsed_view_sql() + """
 SELECT service, severity_bucket,
        CASE WHEN latency_ms <= 10 THEN '<=10'
@@ -1524,6 +1555,7 @@ def ray_queries() -> dict:
         "rfc3164": q_rfc3164,
         "text_source": q_text_source,
         "latency_histogram": q_latency_histogram,
+        "latency_exp_histogram": q_latency_exp_histogram,
         "service_graph": q_service_graph,
         "delta_to_cumulative": q_delta_to_cumulative,
         "sessionize": q_sessionize,

@@ -14,9 +14,12 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 from .aggregate import _merge_partials
@@ -60,6 +63,172 @@ def histogram_by(ds: Dataset, keys: list[str], value_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _merge_partials(partials, keys + ["bucket"],
                            [("_partial", "sum")], [count_col])
+
+
+def expo_index(v: np.ndarray, scale: int) -> np.ndarray:
+    """go-expohisto LogarithmMapping.MapToIndex for positive values — the
+    OTel base-2 exponential histogram mapping used by
+    connector/spanmetricsconnector (internal/metrics/metrics.go:225
+    Observe -> lightstep structure.Histogram): bucket i covers
+    (base^i, base^(i+1)] with base = 2^(2^-scale), so
+    index = floor(ln(v) * 2^scale/ln2), and an exact power of two
+    2^m maps to (m << scale) - 1 (the boundary belongs to the lower
+    bucket). Supported scales: 0..20 (the logarithm mapping range; a
+    160-bucket histogram at scale 0 already spans 2^160 of dynamic
+    range, so negative scales are never reached by the fit)."""
+    sf = (2.0 ** scale) / math.log(2.0)
+    idx = np.floor(np.log(v) * sf).astype(np.int64)
+    frac, ex = np.frexp(v)
+    exact = frac == 0.5
+    if exact.any():
+        idx[exact] = ((ex[exact].astype(np.int64) - 1) << scale) - 1
+    return idx
+
+
+def _fit_scales(vmin: np.ndarray, vmax: np.ndarray, max_size: int,
+                s_max: int = 20) -> np.ndarray:
+    """Largest scale in [0, s_max] whose bucket-index range for
+    [vmin, vmax] fits max_size buckets — the batch analogue of
+    go-expohisto's downscale-on-overflow (the final scale depends only
+    on the value RANGE, not arrival order, so one min/max pass
+    reproduces it deterministically)."""
+    k = len(vmin)
+    out = np.zeros(k, np.int64)
+    done = np.zeros(k, bool)
+    for s in range(s_max, -1, -1):
+        need = expo_index(vmax, s) - expo_index(vmin, s) + 1
+        newly = (~done) & (need <= max_size)
+        out[newly] = s
+        done |= newly
+    return out
+
+
+def exp_histogram_by(ds: Dataset, keys: list[str], value_col: str, *,
+                     max_size: int = 160, scale: int | None = None,
+                     count_col: str = "n", s_max: int = 20) -> Dataset:
+    """spanmetricsconnector `histogram: exponential` — per-key base-2
+    exponential bucket counts (connector/spanmetricsconnector/config.go
+    `Exponential.MaxSize`, connector.go:160-165).
+
+    Output rows: (keys..., scale, sign, bucket_idx, count) with sign
+    +1/-1 for the positive/negative range and a (sign=0, bucket_idx=0)
+    row carrying the zero_count. ``scale=None`` (the reference shape)
+    derives each key's scale from its value range to fit ``max_size``
+    buckets per range — one extra min/max aggregation pass over the
+    input (tiny result: 2 rows per key), the deterministic analogue of
+    expohisto's incremental downscaling. Pass an explicit ``scale`` for
+    a single-pass fixed-scale histogram. Null/NaN values are skipped
+    like the explicit-bounds histogram."""
+    from .aggregate import canonical_identity
+
+    if scale is None:
+        scale_by_cid = _expo_scale_map(ds, keys, value_col, max_size, s_max)
+        ref = ray.put(scale_by_cid) if ray.is_initialized() else scale_by_cid
+    else:
+        ref = None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({**{k: pa.array([], batch[k].type) for k in keys},
+                          "scale": pa.array([], pa.int64()),
+                          "sign": pa.array([], pa.int64()),
+                          "bucket_idx": pa.array([], pa.int64()),
+                          "_partial": pa.array([], pa.int64())})
+        v0 = batch[value_col]
+        if isinstance(v0, pa.ChunkedArray):
+            v0 = v0.combine_chunks()
+        keep = pc.is_valid(v0)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return empty
+        v = pc.cast(batch[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        if not ok.all():
+            batch, v = batch.filter(pa.array(ok)), v[ok]
+        if batch.num_rows == 0:
+            return empty
+        n = len(v)
+        scales = np.full(n, scale if scale is not None else 0, np.int64)
+        if scale is None:
+            smap = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            cid = pc.dictionary_encode(canonical_identity(batch, keys))
+            cid = cid.combine_chunks() if isinstance(cid, pa.ChunkedArray) \
+                else cid
+            per_uniq = np.asarray(
+                [smap.get(c, 0) for c in cid.dictionary.to_pylist()],
+                np.int64)
+            scales = per_uniq[cid.indices.to_numpy(zero_copy_only=False)]
+        sign = np.sign(v).astype(np.int64)
+        idx = np.zeros(n, np.int64)
+        for s in np.unique(scales):
+            m = scales == s
+            pos = m & (sign != 0)
+            if pos.any():
+                idx[pos] = expo_index(np.abs(v[pos]), int(s))
+        t = batch.select(keys).append_column(
+            "scale", pa.array(scales, pa.int64())).append_column(
+            "sign", pa.array(sign, pa.int64())).append_column(
+            "bucket_idx", pa.array(idx, pa.int64()))
+        out = t.group_by(keys + ["scale", "sign", "bucket_idx"]) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["scale", "sign", "bucket_idx",
+                                          "_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return _merge_partials(partials, keys + ["scale", "sign", "bucket_idx"],
+                           [("_partial", "sum")], [count_col])
+
+
+def _expo_scale_map(ds: Dataset, keys: list[str], value_col: str,
+                    max_size: int, s_max: int) -> dict:
+    """Pass 1 of the auto-scale plan: per-key |value| min/max per sign ->
+    fitted scale keyed by the canonical key identity. The merged table is
+    2 rows per key — driver-side materialization is bounded by key
+    cardinality, never input size. The shared scale is the MIN of the
+    two signs' fits (expohisto shares one scale across both ranges)."""
+    from .aggregate import _merge_partials as merge
+    from .aggregate import canonical_identity
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"_cid": pa.array([], pa.string()),
+                          "sign": pa.array([], pa.int64()),
+                          "_vmin": pa.array([], pa.float64()),
+                          "_vmax": pa.array([], pa.float64())})
+        v0 = batch[value_col]
+        if isinstance(v0, pa.ChunkedArray):
+            v0 = v0.combine_chunks()
+        batch = batch.filter(pc.is_valid(v0))
+        if batch.num_rows == 0:
+            return empty
+        v = pc.cast(batch[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & (v != 0.0)
+        if not ok.any():
+            return empty
+        batch, v = batch.filter(pa.array(ok)), v[ok]
+        cid = canonical_identity(batch, keys)
+        t = pa.table({"_cid": cid,
+                      "sign": pa.array(np.sign(v).astype(np.int64)),
+                      "_v": pa.array(np.abs(v), pa.float64())})
+        out = t.group_by(["_cid", "sign"]).aggregate(
+            [("_v", "min"), ("_v", "max")])
+        return out.rename_columns(["_cid", "sign", "_vmin", "_vmax"])
+
+    merged = merge(ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None),
+                   ["_cid", "sign"], [("_vmin", "min"), ("_vmax", "max")],
+                   ["_vmin", "_vmax"])
+    # bounded driver-side materialization: 2 rows per distinct key
+    t = pa.concat_tables(ray.get(merged.to_arrow_refs()))
+    cids = t["_cid"].to_pylist()
+    fits = _fit_scales(t["_vmin"].to_numpy(zero_copy_only=False),
+                       t["_vmax"].to_numpy(zero_copy_only=False),
+                       max_size, s_max)
+    out: dict[str, int] = {}
+    for c, s in zip(cids, fits):
+        out[c] = min(out.get(c, s_max), int(s))
+    return out
 
 
 def transition_edges(ds: Dataset, *, key_col: str = "conv_id",

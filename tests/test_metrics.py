@@ -224,3 +224,57 @@ def test_histogram_skips_nan_values(ray_session):
         .to_pandas().set_index("bucket")["n"]
     assert out.get("<=10", 0) == 1
     assert out.get(">10", 0) == 1
+
+
+def test_expo_index_reference_mapping():
+    """OTel base-2 exponential mapping (go-expohisto LogarithmMapping):
+    bucket i covers (base^i, base^(i+1)]; exact powers of two land in
+    the LOWER bucket."""
+    import numpy as np
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        expo_index)
+    # scale 0: base 2 -> 4 is the top of bucket 1 (2,4]; 5 is in (4,8]
+    assert list(expo_index(np.array([4.0, 5.0, 1.0, 0.5, 3.0]), 0)) == \
+        [1, 2, -1, -2, 1]
+    # scale 3: base 2^(1/8); 2.0 = base^8 exactly -> index 7
+    assert list(expo_index(np.array([2.0]), 3)) == [7]
+    # scale 1: sqrt(2) base
+    assert list(expo_index(np.array([2.0, 2.8, 4.0]), 1)) == [1, 2, 3]
+
+
+def test_expo_fit_scales_downscale_to_max_size():
+    import numpy as np
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        _fit_scales)
+    # log2 range ~9.97 decades: 160 buckets fit at scale 3 (81 needed),
+    # not at 4 (161 needed) — expohisto would downscale to exactly this
+    assert list(_fit_scales(np.array([1.0]), np.array([1000.0]), 160)) \
+        == [3]
+    # single value fits at s_max
+    assert list(_fit_scales(np.array([7.0]), np.array([7.0]), 4)) == [20]
+
+
+def test_exp_histogram_by_signs_zero_and_autoscale(ray_session):
+    import ray.data as rd
+    t = pa.table({
+        "k": ["a"] * 6 + ["b"] * 3,
+        "v": pa.array([1.0, 2.0, 4.0, 5.0, 0.0, -3.0,
+                       100.0, 200.0, None], pa.float64()),
+    })
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        exp_histogram_by)
+    out = exp_histogram_by(rd.from_arrow(t), ["k"], "v", scale=0) \
+        .to_pandas().sort_values(["k", "sign", "bucket_idx"],
+                                 ignore_index=True)
+    a = out[out.k == "a"]
+    # zero row, negative range row, positive buckets; null skipped
+    assert list(map(tuple, a[["sign", "bucket_idx", "n"]].values)) == [
+        (-1, 1, 1), (0, 0, 1), (1, -1, 1), (1, 0, 1), (1, 1, 1), (1, 2, 1)]
+    # auto-scale: key b (range 100..200) refits to scale 1 under
+    # max_size=4 while key a's mixed range forces scale 0
+    out2 = exp_histogram_by(rd.from_arrow(t), ["k"], "v", max_size=4) \
+        .to_pandas()
+    assert set(out2[out2.k == "b"]["scale"]) == {1}
+    assert set(out2[out2.k == "a"]["scale"]) == {0}
+    assert list(out2[out2.k == "b"].sort_values("bucket_idx")
+                ["bucket_idx"]) == [13, 15]
