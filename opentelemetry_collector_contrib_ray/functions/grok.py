@@ -79,6 +79,59 @@ BASE_PATTERNS: dict[str, str] = {
                         r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:[0-5][0-9])"),
 }
 
+# Date/time + URI + network families (public logstash / elastic go-grok
+# base set, RE2-safe forms — no lookarounds/atomic groups; exercised by
+# func_extract_grok_patterns_test.go: DATE/DATESTAMP/TZ/URI/ELB_URI)
+BASE_PATTERNS.update({
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "DAY": (r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|"
+            r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"),
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"(?:[APMCE][SD]T|UTC)",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "ISO8601_SECOND": r"%{SECOND}",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822":
+        r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG":
+        r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATHPARAM": r"%{URIPATH}(?:\?%{URIQUERY})?",
+    "URIPARAM": r"\?%{URIQUERY}",
+    "URI": (r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?"
+            r"(?:%{URIHOST})?(?:%{URIPATHPARAM})?"),
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "IPV6": (r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,7}:|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}|"
+             r"[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}|"
+             r":(?:(?::[0-9A-Fa-f]{1,4}){1,7}|:)|"
+             r"::(?:ffff(?::0{1,4})?:)?%{IPV4}|"
+             r"(?:[0-9A-Fa-f]{1,4}:){1,4}:%{IPV4})"),
+    "QS": r"%{QUOTEDSTRING}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT}.%{NONNEGINT}>",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~.]+",
+})
+# IP covers both families now that IPV6 exists (go-grok base set)
+BASE_PATTERNS["IP"] = r"(?:%{IPV6}|%{IPV4})"
+
 # composite patterns built from the pieces (classic logstash core set)
 BASE_PATTERNS["COMMONAPACHELOG"] = (
     r'%{IPV4:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
@@ -112,10 +165,17 @@ class GrokCompiler:
                  max_depth: int = 16):
         self.patterns = dict(BASE_PATTERNS)
         if extra:
+            for k in extra:
+                # go-grok AddPattern parity: a pattern ID carrying ':'
+                # would be unparseable as a later %{ID:alias} reference
+                if ":" in k:
+                    raise ValueError(
+                        f"pattern ID {k!r} should not contain ':'")
             self.patterns.update(extra)
         self.max_depth = max_depth
 
-    def compile(self, expression: str) \
+    def compile(self, expression: str,
+                named_captures_only: bool = True) \
             -> tuple[str, dict[str, pa.DataType], dict[str, str]]:
         """-> (RE2 source with named captures, {capture: arrow type},
         {capture group: display name}).
@@ -124,7 +184,12 @@ class GrokCompiler:
         capture surfaces as ``url.port`` (nested-field syntax flattened
         with dots); RE2 group names must be identifiers, so the group
         carries a sanitized alias and the display map restores the real
-        name at extraction time."""
+        name at extraction time.
+
+        ``named_captures_only=False`` mirrors go-grok's default mode: an
+        un-aliased ``%{NAME}`` reference still captures under the pattern
+        name itself (first occurrence; RE2 rejects duplicate group
+        names, so repeats fall back to non-capturing)."""
         types: dict[str, pa.DataType] = {}
         names: dict[str, str] = {}
         seen_names: set[str] = set()
@@ -139,7 +204,11 @@ class GrokCompiler:
                     raise ValueError(f"unknown grok pattern %{{{pat}}}")
                 body = expand(self.patterns[pat], depth + 1)
                 if not name:
-                    return f"(?:{body})"
+                    if named_captures_only or pat in seen_names:
+                        return f"(?:{body})"
+                    seen_names.add(pat)
+                    names[pat] = pat
+                    return f"(?P<{pat}>{body})"
                 display = (".".join(re.findall(r"\[(\w+)\]", name))
                            if name.startswith("[") else name)
                 safe = re.sub(r"\W", "_", name)
@@ -153,15 +222,29 @@ class GrokCompiler:
 
             return _GROK_REF.sub(sub, expr)
 
-        return expand(expression, 0), types, names
+        src = expand(expression, 0)
+        # factory-time validation like extractGrokPatterns: an invalid
+        # regex or (in named-captures-only mode) a capture-less pattern
+        # should fail at compile, not on the first batch
+        try:
+            pc.extract_regex(pa.array([], pa.string()), src)
+        except pa.ArrowInvalid as e:
+            raise ValueError(f"invalid grok pattern: {e}") from e
+        if named_captures_only and not seen_names \
+                and "(?P<" not in expression:
+            raise ValueError(
+                "at least 1 named capture group must be supplied")
+        return src, types, names
 
 
 def extract_grok_patterns(expression: str, parse_from: str = "text",
                           prefix: str = "", extra: dict[str, str] | None = None,
-                          on_error: str = "send"):
+                          on_error: str = "send",
+                          named_captures_only: bool = True):
     """OTTL ExtractGrokPatterns as a map_batches stage: named captures ->
     columns (typed captures cast per the :type suffix)."""
-    regex, types, names = GrokCompiler(extra).compile(expression)
+    regex, types, names = GrokCompiler(extra).compile(
+        expression, named_captures_only=named_captures_only)
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch[parse_from]
