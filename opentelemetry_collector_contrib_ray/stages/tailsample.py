@@ -134,11 +134,22 @@ class _GroupCtx:
 
 
 def _md5_group_hash(keys: pa.Array, percent: float) -> np.ndarray:
+    """md5-threshold sampling vote per group key — hashing cost
+    O(distinct keys) via dictionary encoding (the md5_hex trick,
+    stages/dedup.py), not O(groups)."""
     cut = int(percent * 100)
-    return np.array([
-        False if v is None else
+    d = pc.dictionary_encode(pc.cast(keys, pa.string()))
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = np.array([
         int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % 10000 < cut
-        for v in pc.cast(keys, pa.string()).to_pylist()], bool)
+        for v in d.dictionary.to_pylist()], bool)
+    idx = d.indices.to_numpy(zero_copy_only=False)  # float64 when nulls
+    ok = ~np.isnan(idx) if idx.dtype.kind == "f" else np.ones(len(idx), bool)
+    out = np.zeros(len(idx), bool)
+    if uniq.size:
+        out[ok] = uniq[idx[ok].astype(np.int64)]
+    return out
 
 
 def _eval_policy(p: dict, ctx: _GroupCtx) -> np.ndarray:
