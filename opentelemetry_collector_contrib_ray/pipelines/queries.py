@@ -1093,6 +1093,42 @@ def q_latency_histogram(sf_dir: str):
                         LATENCY_BOUNDS)
 
 
+# schemaprocessor semconv hop chain: an 'all' rename at 1.1.0 chains into
+# a 'logs' rename at 1.2.0 (translation.go revision walk)
+SCHEMA_VERSIONS = {
+    "1.1.0": {
+        "all": {"changes": [{"rename_attributes": {"attribute_map": {
+            "http_status": "http.response.status_code"}}}]},
+        "logs": {"changes": [{"rename_attributes": {"attribute_map": {
+            "log_level": "log.level"}}}]},
+    },
+    "1.2.0": {
+        "logs": {"changes": [{"rename_attributes": {"attribute_map": {
+            "http.response.status_code": "http.status"}}}]},
+    },
+}
+
+
+def q_schema_translate(sf_dir: str):
+    """schemaprocessor: semconv schema-file translation 1.0.0 -> 1.2.0
+    over parsed columns (chained all+logs renames across two revisions)."""
+    from ..stages.schema import semconv_log_transform
+
+    ds = build_parsed(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "http_status", "log_level", "error_code"])
+    return ds.map_batches(
+        semconv_log_transform(SCHEMA_VERSIONS, "1.0.0", "1.2.0"),
+        batch_format="pyarrow", batch_size=None)
+
+
+def _schema_translate_sql() -> str:
+    return parsed_view_sql() + """
+SELECT conv_id, turn_idx, http_status AS "http.status",
+       log_level AS "log.level", error_code
+FROM routed
+"""
+
+
 def q_latency_exp_histogram(sf_dir: str):
     """spanmetricsconnector `histogram: exponential` — base-2 exponential
     latency buckets by (service, severity_bucket) at fixed scale 3 (the
@@ -1349,6 +1385,7 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
         "text_source": parsed_view_sql() + (
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_exp_histogram": _latency_exp_sql(),
+        "schema_translate": _schema_translate_sql(),
         "latency_histogram": parsed_view_sql() + """
 SELECT service, severity_bucket,
        CASE WHEN latency_ms <= 10 THEN '<=10'
@@ -1556,6 +1593,7 @@ def ray_queries() -> dict:
         "text_source": q_text_source,
         "latency_histogram": q_latency_histogram,
         "latency_exp_histogram": q_latency_exp_histogram,
+        "schema_translate": q_schema_translate,
         "service_graph": q_service_graph,
         "delta_to_cumulative": q_delta_to_cumulative,
         "sessionize": q_sessionize,

@@ -536,3 +536,132 @@ def test_attr_convert_reference_semantics(ray_session):
         [123, -9, None]
     assert tr.attr_convert("i", "string")(t)["i"].to_pylist() == \
         ["5", "-7", "0"]
+
+
+# processor/schemaprocessor/internal/translation/testdata/
+# complex_changeset.yml — reference TEST DATA replayed as the semconv
+# translation fixture (versions section only, spans/span_events omitted:
+# span-scope is outside the log pipeline)
+_COMPLEX_CHANGESET = """
+versions:
+  1.7.0:
+    logs:
+      changes:
+      - rename_attributes:
+          attribute_map:
+            process.stacktrace: application.stacktrace
+  1.5.0:
+    metrics:
+      changes:
+      - rename_metrics:
+          container.restart: container.restart.total
+  1.4.0: {}
+  1.2.0:
+    all:
+      changes:
+      - rename_attributes:
+          attribute_map:
+            test.suite: test.name
+  1.1.0:
+    all:
+      changes:
+      - rename_attributes:
+          attribute_map:
+            test-suite: test.suite
+    resources:
+      changes:
+      - rename_attributes:
+          attribute_map:
+            resource-description: resource.description
+    metrics:
+      changes:
+      - rename_metrics:
+          container.respawn: container.restart
+      - rename_attributes:
+          attribute_map:
+            container-exit-code: container.exit.status
+          apply_to_metrics:
+          - container.stop
+          - container.restart
+    logs:
+      changes:
+      - rename_attributes:
+          attribute_map:
+            go.stacktrace: process.stacktrace
+  1.0.0: {}
+"""
+
+
+def _log_table_at(version):
+    # translation_helpers_test.go NewExampleLogs, flat-model form
+    cols = {
+        "1.0.0": {"test-suite": "T", "go.stacktrace": "func main()"},
+        "1.1.0": {"test.suite": "T", "process.stacktrace": "func main()"},
+        "1.2.0": {"test.name": "T", "process.stacktrace": "func main()"},
+        "1.7.0": {"test.name": "T",
+                  "application.stacktrace": "func main()"},
+    }[version]
+    cols = {k: pa.array([v]) for k, v in cols.items()}
+    cols["severity_text"] = pa.array(["ERROR"])
+    cols["body"] = pa.array(["bad program"])
+    return pa.table(cols)
+
+
+def test_semconv_log_translation_replays_reference_scenarios():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        parse_schema_file, semconv_log_transform)
+    versions = parse_schema_file(_COMPLEX_CHANGESET)
+    # TestTranslationLogChanges upgrade scenarios (1.4.0/1.5.0 == 1.2.0)
+    for target, want in [("1.1.0", "1.1.0"), ("1.2.0", "1.2.0"),
+                         ("1.4.0", "1.2.0"), ("1.5.0", "1.2.0"),
+                         ("1.7.0", "1.7.0")]:
+        got = semconv_log_transform(versions, "1.0.0", target)(
+            _log_table_at("1.0.0"))
+        assert got.equals(_log_table_at(want)), target
+    # no-change and downgrade-to-original scenarios
+    same = semconv_log_transform(versions, "1.1.0", "1.1.0")(
+        _log_table_at("1.1.0"))
+    assert same.equals(_log_table_at("1.1.0"))
+    down = semconv_log_transform(versions, "1.7.0", "1.0.0")(
+        _log_table_at("1.7.0"))
+    assert down.equals(_log_table_at("1.0.0"))
+
+
+def _metric_table_at(version):
+    # NewExampleMetrics flat-model form (one histogram row)
+    name = {"1.0.0": "container.respawn", "1.2.0": "container.restart",
+            "1.7.0": "container.restart.total"}[version]
+    attr = "container-exit-code" if version == "1.0.0" \
+        else "container.exit.status"
+    return pa.table({"metric_name": pa.array([name]),
+                     attr: pa.array([124], pa.int64())})
+
+
+def test_semconv_metric_translation_replays_reference_scenarios():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        parse_schema_file, semconv_metric_transform)
+    versions = parse_schema_file(_COMPLEX_CHANGESET)
+    for target, want in [("1.2.0", "1.2.0"), ("1.7.0", "1.7.0")]:
+        got = semconv_metric_transform(versions, "1.0.0", target)(
+            _metric_table_at("1.0.0"))
+        w = _metric_table_at(want)
+        assert got.select(sorted(got.column_names)).equals(
+            w.select(sorted(w.column_names))), target
+    down = semconv_metric_transform(versions, "1.7.0", "1.0.0")(
+        _metric_table_at("1.7.0"))
+    w = _metric_table_at("1.0.0")
+    assert down.select(sorted(down.column_names)).equals(
+        w.select(sorted(w.column_names)))
+
+
+def test_semconv_conditional_metric_rename_gates_on_name():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        parse_schema_file, semconv_metric_transform)
+    versions = parse_schema_file(_COMPLEX_CHANGESET)
+    # one row matches apply_to_metrics after rename_metrics, one does not
+    t = pa.table({"metric_name": pa.array(["container.respawn", "other"]),
+                  "container-exit-code": pa.array([124, 9], pa.int64())})
+    out = semconv_metric_transform(versions, "1.0.0", "1.1.0")(t)
+    assert out["metric_name"].to_pylist() == ["container.restart", "other"]
+    assert out["container.exit.status"].to_pylist() == [124, None]
+    assert out["container-exit-code"].to_pylist() == [None, 9]
