@@ -19,15 +19,18 @@ from opentelemetry_collector_contrib_ray.pipelines.statements import (
     _kv_to_map)
 
 # keys/values that survive the kv wire format unquoted: no delimiters, no
-# quotes, non-empty, no surrounding whitespace (keys are trimmed on parse)
+# quote/backslash characters (the writer leaves ' and \\ untouched while
+# the parseutils parser treats them as quoting/escape syntax — the
+# REFERENCE roundtrip is lossy for them too: a bare ' key errors as an
+# unterminated quote), non-empty, no surrounding whitespace
 _safe = st.text(
     alphabet=st.characters(min_codepoint=33, max_codepoint=126,
-                           blacklist_characters='="'),
+                           blacklist_characters='="\'\\'),
     min_size=1, max_size=12)
 # values may additionally contain the delimiters — the writer quotes them
 _quotable = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126,
-                           blacklist_characters='"'),
+                           blacklist_characters='"\'\\'),
     min_size=1, max_size=20).filter(lambda s: s == s.strip())
 
 
