@@ -82,16 +82,29 @@ def run_once(num_cpus: int) -> dict:
     out_root = f"{out_base}/{os.getpid()}"
     shutil.rmtree(out_root, ignore_errors=True)
 
-    # warm-up (untimed): start the FULL worker pool (one trivial task per
+    # warm-up (untimed): start the FULL worker pool (one import task per
     # CPU) + run a tiny pipeline so measured runs reflect steady state,
-    # not process cold-start
+    # not process cold-start. The import matters: the first leg touching
+    # polars-backed kernels otherwise pays ~0.5s × pool-size of one-time
+    # worker imports (measured: minhash_sign 8.7s first-touch vs 1.2-2.1s
+    # warm), and which leg pays it depends on bench ordering.
     import ray
 
     @ray.remote(num_cpus=1)
-    def _noop():
+    def _warm_worker():
+        import pyarrow as pa
+
+        from opentelemetry_collector_contrib_ray.stages import (  # noqa: F401
+            dedup, sessionize, tailsample)
+        # exercise the polars-backed kernel once: the Rust thread pool and
+        # kernel JIT-ish first-call costs are paid on first OPERATION, not
+        # import
+        dedup.minhash_map_fn()(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["warm up the polars hash kernel"])}))
         return 0
 
-    ray.get([_noop.remote() for _ in range(num_cpus * 2)])
+    ray.get([_warm_worker.remote() for _ in range(num_cpus * 2)])
     run_flagship("/root/testdata/sf0.001", os.path.join(out_root, "warmup"),
                  resume=False)
 

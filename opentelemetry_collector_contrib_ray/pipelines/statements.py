@@ -241,43 +241,64 @@ def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
     func_parse_key_value_test.go in test_statement_executor.py.
 
     Hybrid plan like the stanza keyvalue parser (stages/parse.py): rows
-    WITHOUT quote/backslash characters take a fully vectorized polars
-    split -> splitn -> first-occurrence/last-value dedup; rows WITH them
-    (or any multi-character delimiter) take the exact quote-aware scan
-    (_parseutils_pairs strict mode — single+double quotes stripped
-    anywhere, backslash guards the following quote char, unterminated
-    quote errors). Reference error semantics -> null map row: empty
+    whose only quote syntax is BALANCED DOUBLE QUOTES (the dominant log
+    shape, e.g. msg="...") run a fully vectorized polars pipeline —
+    quote-aware tokenization via `(?:"[^"]*"|[^<pair>"])+` (exactly
+    SplitString for such rows: pair delimiters inside quotes protected,
+    quotes stripped anywhere, empty tokens skipped) -> splitn ->
+    first-occurrence/last-value dedup. Rows with a backslash, a single
+    quote OUTSIDE double-quoted regions, or any multi-character
+    delimiter take the exact scan (_parseutils_pairs strict). Rows with
+    an odd number of quotes (no backslash) are unterminated-quote
+    errors outright. Reference error semantics -> null map row: empty
     target, unterminated quote, any pair that cannot split on the
     delimiter. Repeated keys: first-occurrence position, last value
     (Go map assignment)."""
+    import re as _re
+
     import polars as pl
 
     from ..stages.parse import _parseutils_pairs
 
     a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
     n = len(a)
-    texts = a.to_pylist() if (len(delim) != 1 or len(pair) != 1) else None
-    if texts is None:
-        special = pc.fill_null(
-            pc.match_substring_regex(a, r'["\'\\]'), False) \
-            .to_numpy(zero_copy_only=False)
-    else:
+    null_rows = ~pc.is_valid(a).to_numpy(zero_copy_only=False)
+    texts = None
+    if len(delim) != 1 or len(pair) != 1:
         special = np.ones(n, bool)  # multi-char delims: exact scan for all
+        texts = a.to_pylist()
+    else:
+        filled = pc.fill_null(a, "")
+        has_bs = pc.match_substring(filled, "\\").to_numpy(
+            zero_copy_only=False)
+        dq_odd = (pc.count_substring(filled, '"').to_numpy(
+            zero_copy_only=False) % 2).astype(bool)
+        # a single quote OUTSIDE double-quoted regions opens a
+        # '-quoted region the token regex can't see
+        stripped_dq = pc.replace_substring_regex(filled, '"[^"]*"', "")
+        sq_outside = pc.match_substring(stripped_dq, "'").to_numpy(
+            zero_copy_only=False)
+        null_rows |= (~has_bs) & dq_odd  # unterminated quote
+        special = has_bs | ((~dq_odd) & sq_outside)
 
     triplets_i: list[np.ndarray] = []
     triplets_k: list = []
     triplets_v: list = []
-    null_rows = ~pc.is_valid(a).to_numpy(zero_copy_only=False)
 
-    if not special.all():
+    fast = ~(special | null_rows)
+    if fast.any():
+        P = _re.escape(pair)
+        tok_re = f'(?:"[^"]*"|[^{P}"])+'
         s = pl.from_arrow(a)
         if isinstance(s, pl.DataFrame):
             s = s.to_series()
         e = (pl.DataFrame({"_i": pl.int_range(n, eager=True), "_s": s})
-             .filter(~pl.Series(special) & pl.col("_s").is_not_null())
-             .with_columns(_t=pl.col("_s").str.split(pair))
+             .filter(pl.Series(fast))
+             .with_columns(_t=pl.col("_s").str.extract_all(tok_re))
              .explode("_t")
-             .filter(pl.col("_t") != "")
+             .with_columns(pl.col("_t").str.replace_all('"', "",
+                                                        literal=True))
+             .filter(pl.col("_t").is_not_null() & (pl.col("_t") != ""))
              .with_columns(_kv=pl.col("_t").str.splitn(delim, 2))
              .unnest("_kv"))
         bad = e.filter(pl.col("field_1").is_null())["_i"].to_numpy()
