@@ -111,12 +111,89 @@ def retain(fields: list[str]):
     return fn
 
 
+_GO_SIMPLE_ESCAPES = {"a": "\a", "b": "\b", "f": "\f", "n": "\n",
+                      "r": "\r", "t": "\t", "v": "\v", "\\": "\\"}
+
+
+def _go_unquote(s: str) -> str | None:
+    """strconv.Unquote: double-quoted strings with full Go escape decoding
+    (\\n, \\xNN, \\uNNNN, \\UNNNNNNNN, 3-digit octal), backquoted raw
+    strings (carriage returns discarded), single quotes only around ONE
+    character. None = ErrSyntax (the transformer passes the value through
+    unchanged under on_error=send)."""
+    if len(s) < 2 or s[0] != s[-1] or s[0] not in "\"'`":
+        return None
+    q, body = s[0], s[1:-1]
+    if q == "`":
+        return None if "`" in body else body.replace("\r", "")
+
+    def one(i: int) -> tuple[str, int] | None:
+        c = body[i]
+        if c == "\n" or c == q:
+            return None
+        if c != "\\":
+            return c, i + 1
+        if i + 1 >= len(body):
+            return None
+        e = body[i + 1]
+        if e in _GO_SIMPLE_ESCAPES:
+            return _GO_SIMPLE_ESCAPES[e], i + 2
+        if e in "'\"":
+            return (e, i + 2) if e == q else None  # \' only in '', \" in ""
+        if e in "xuU":
+            width = {"x": 2, "u": 4, "U": 8}[e]
+            h = body[i + 2:i + 2 + width]
+            if len(h) < width or any(c not in "0123456789abcdefABCDEF"
+                                     for c in h):
+                return None
+            v = int(h, 16)
+            if e != "x" and (0xD800 <= v <= 0xDFFF or v > 0x10FFFF):
+                return None
+            return chr(v), i + 2 + width
+        if e in "01234567":
+            o = body[i + 1:i + 4]
+            if len(o) < 3 or any(c not in "01234567" for c in o):
+                return None
+            v = int(o, 8)
+            return (chr(v), i + 4) if v <= 255 else None
+        return None
+
+    out, i = [], 0
+    while i < len(body):
+        r = one(i)
+        if r is None:
+            return None
+        out.append(r[0])
+        i = r[1]
+    if q == "'" and len(out) != 1:  # rune literal: exactly one char
+        return None
+    return "".join(out)
+
+
 def unquote(field: str, where: Expr | None = None):
-    """unquote transformer (transformer/unquote/config.go:34-35): strip one
-    pair of surrounding double quotes (Go strconv.Unquote-ish happy path)."""
+    """unquote transformer (transformer/unquote/transformer.go:39 ->
+    strconv.Unquote): full Go unquoting — escape decoding in "...",
+    raw backquoted strings, single-character '.' literals. ErrSyntax
+    rows (not quoted, bad escape, multi-char single quotes) keep their
+    value, the on_error=send behavior pinned by transformer_test.go.
+    Plain `"..."` without escapes/newlines stays one vectorized regex;
+    only rows with quote/escape syntax hit the per-DISTINCT fallback."""
     def fn(batch: pa.Table) -> pa.Table:
         col = _get(batch, field)
-        out = pc.replace_substring_regex(col, r'(?s)^"(.*)"$', r"\1")
+        filled = pc.fill_null(col, "")
+        plain = pc.match_substring_regex(filled, r'^"[^"\\\n]*"$')
+        other = pc.and_(pc.match_substring_regex(filled, r"^[\"'`]"),
+                        pc.invert(plain))
+        out = pc.replace_substring_regex(col, r'^"([^"\\\n]*)"$', r"\1")
+        if pc.any(other).as_py():
+            d = pc.dictionary_encode(pc.if_else(
+                other, filled, pa.nulls(len(filled), pa.string())))
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            uniq = [None if v is None else _go_unquote(v)
+                    for v in d.dictionary.to_pylist()]
+            dec = pc.take(pa.array(uniq, pa.string()), d.indices)
+            out = pc.if_else(pc.and_(other, pc.is_valid(dec)), dec, out)
         return _masked(batch, field, out, where)
     return fn
 

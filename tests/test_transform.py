@@ -665,3 +665,29 @@ def test_semconv_conditional_metric_rename_gates_on_name():
     assert out["metric_name"].to_pylist() == ["container.restart", "other"]
     assert out["container.exit.status"].to_pylist() == [124, None]
     assert out["container-exit-code"].to_pylist() == [None, 9]
+
+
+def test_unquote_strconv_reference_cases():
+    """transformer/unquote/transformer_test.go replayed: strconv.Unquote
+    semantics — escapes decoded in double quotes, raw backquotes, single
+    quotes only for one character, ErrSyntax rows pass through."""
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        unquote)
+    cases = [
+        ("val", "val"),             # not_quoted -> error -> unchanged
+        ('"val"', "val"),           # double_quoted
+        ("`val`", "val"),           # back_quoted
+        ("'v'", "v"),               # single char rune
+        ("'val'", "'val'"),         # multi-char rune -> error -> unchanged
+        ('"a\\nb"', "a\nb"),        # escape decoding
+        ('"a\\x41b"', "aAb"),       # \xNN
+        ('"\\u00e9"', "é"),    # \uNNNN
+        ('"\\101"', "A"),           # 3-digit octal
+        ('"bad\\q"', '"bad\\q"'),   # invalid escape -> unchanged
+        ('"unterminated', '"unterminated'),
+        ("`has`tick`", "`has`tick`"),  # backquote inside raw -> error
+        (None, None),
+    ]
+    t = pa.table({"v": pa.array([c[0] for c in cases], pa.string())})
+    out = unquote("v")(t)
+    assert out["v"].to_pylist() == [c[1] for c in cases]
