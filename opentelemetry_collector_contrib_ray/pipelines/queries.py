@@ -750,6 +750,43 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+def q_dedup_components(sf_dir: str):
+    """Connected components over the ngram-Jaccard near-dup pairs ->
+    (node, component=min doc_id of the cluster): the pairs->clusters
+    step of a dedup pipeline (keep node == component). Distributed
+    min-label propagation; the oracle is a recursive transitive
+    closure over the identical pair SQL."""
+    from ..stages.dedup import connected_components, ngram_jaccard_pairs
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
+    return connected_components(pairs)
+
+
+_DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') arr
+                     FROM documents),
+sh AS (SELECT DISTINCT doc_id, arr[i]||' '||arr[i+1]||' '||arr[i+2] AS sh
+       FROM d, unnest(generate_series(1, len(arr)-2)) t(i)),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+rare AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 256),
+inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+          FROM sh x JOIN sh y USING (sh) JOIN rare USING (sh)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+          WHERE i*1.0/(sa.n+sb.n-i) >= 0.5),
+e AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+m AS (SELECT u, min(v) mv FROM reach GROUP BY u)
+SELECT u AS node, least(u, mv) AS component FROM m
+"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shingle-join).
     max_df=256 (the scale guard) is explicit here and mirrored in the SQL
@@ -1461,6 +1498,7 @@ FROM m WHERE s IS NOT NULL
         "exact_dedup": (
             "SELECT md5(text) AS dedup_key, min(doc_id) AS doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY text"),
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') arr FROM documents),
 sh AS (SELECT DISTINCT doc_id, arr[i]||' '||arr[i+1]||' '||arr[i+2] AS sh
@@ -1608,6 +1646,7 @@ def ray_queries() -> dict:
         "uri_query": q_uri_query,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         # multimodal sits with the other rows-only training-data ops, NOT

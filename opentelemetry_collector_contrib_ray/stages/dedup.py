@@ -877,3 +877,127 @@ def minhash_lsh_pairs_scale(ds: Dataset, *, num_perm: int = 128,
 
     return joined.map_batches(estimate, batch_format="pyarrow",
                               batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+def _cc_local(b: pa.Table) -> pa.Table:
+    """Single-task connected components: numpy min-label propagation with
+    pointer doubling over the (already symmetrized) edge block."""
+    u = b["u"].to_numpy(zero_copy_only=False)
+    v = b["v"].to_numpy(zero_copy_only=False)
+    if len(u) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    label = np.arange(len(nodes))
+    prev = -1
+    while True:
+        np.minimum.at(label, vi, label[ui])
+        np.minimum.at(label, ui, label[vi])
+        label = np.minimum(label, label[label])
+        s = int(label.sum())
+        if s == prev:
+            break
+        prev = s
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "component": pa.array(nodes[label], pa.int64())})
+
+
+def connected_components(pairs: Dataset, *, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 12,
+                         n_parts: int | None = None) -> Dataset:
+    """Distributed connected components over a pair/edge Dataset ->
+    (node, component) with component = min node id of the cluster.
+
+    This is the step that turns near-dup PAIRS (minhash_lsh / simhash /
+    ngram_jaccard output) into dedup CLUSTERS: keep the row whose
+    node == component, drop the rest. Min-label propagation, one round =
+    one reduce-side label join (partitioned_attach — hash-partitioned,
+    no driver state) + a groupby-min; labels only ever decrease, so the
+    global label sum is a monotone convergence witness (equal sums ==
+    fixed point, one cheap scalar per round). Near-dup graphs are
+    star/clique shaped (the candidate stages emit representative stars
+    for oversized buckets), so rounds ~ cluster diameter, typically 2-3;
+    ``max_iter`` caps pathological chains and logs a warning.
+
+    Per round the edge set is re-joined (E rows) and the label table
+    (V rows, 16 B each) is re-materialized — the standard MapReduce CC
+    cost model; both stay distributed at any scale.
+    """
+    from .shuffle import partitioned_attach
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[a_col], pa.int64())
+        bb = pc.cast(b[b_col], pa.int64())
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        bb = bb.combine_chunks() if isinstance(bb, pa.ChunkedArray) else bb
+        return pa.table({"u": pa.concat_arrays([a, bb]),
+                         "v": pa.concat_arrays([bb, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    n_edges = edges.count()
+    if n_parts is None and n_edges <= 5_000_000:
+        # every distributed round is several fixed-cost Ray jobs; an edge
+        # set this size solves in ONE vectorized task (the hybrid every
+        # stage in this family uses — distributed plan only when the data
+        # needs it). Rounds here are numpy passes, not shuffles.
+        return edges.repartition(1).map_batches(
+            _cc_local, batch_format="pyarrow", batch_size=None)
+    if n_parts is None:
+        from .shuffle import adaptive_n_parts
+        n_parts = min(adaptive_n_parts(edges.size_bytes()),
+                      max(1, n_edges // 100_000))
+
+    def init_label(b: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(b["u"], b["min(v)"])
+        return pa.table({"node": b["u"], "label": lab})
+
+    labels = edges.groupby("u").min("v").map_batches(
+        init_label, batch_format="pyarrow", batch_size=None).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iter):
+        msgs = partitioned_attach(
+            edges, {"u": pa.int64(), "v": pa.int64()}, labels,
+            key_col="u", right_key="node", right_val="label",
+            out_name="lab", n_parts=n_parts)
+
+        def as_cand(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b["v"], "label": b["lab"]})
+
+        cand = msgs.map_batches(as_cand, batch_format="pyarrow",
+                                batch_size=None).union(labels)
+        labels = cand.groupby("node").min("label").rename_columns(
+            ["node", "label"])
+        # pointer doubling: label(v) <- min(label(v), label(label(v))).
+        # Every label IS a node id, so the self-join always resolves;
+        # this turns O(diameter) rounds into O(log diameter) on chains
+        jumped = partitioned_attach(
+            labels, {"node": pa.int64(), "label": pa.int64()}, labels,
+            key_col="label", right_key="node", right_val="label",
+            out_name="ll", n_parts=n_parts)
+
+        def jump(b: pa.Table) -> pa.Table:
+            # min_element_wise skips nulls, so an (impossible) unresolved
+            # lookup degrades to the unjumped label
+            lab = pc.min_element_wise(b["label"], b["ll"])
+            return pa.table({"node": b["node"], "label": lab})
+
+        labels = jumped.map_batches(jump, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        _log.warning("connected_components: label propagation hit "
+                     "max_iter=%d before converging (very long chain?)",
+                     max_iter)
+
+    return labels.rename_columns(["node", "component"])

@@ -452,3 +452,27 @@ def test_langid_capitalized_markers(ray_session):
         "text": ["The dog and The cat", "El gato es grande"]})
     out = LanguageID()(t)
     assert out["lang_pred"].to_pylist() == ["en", "es"]
+
+
+def test_connected_components_chain_and_clusters():
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        connected_components)
+    pairs = ray.data.from_arrow(pa.table({
+        "a": [1, 2, 10, 20, 21], "b": [2, 3, 11, 21, 22]}))
+    out = connected_components(pairs).to_pandas() \
+        .sort_values("node", ignore_index=True)
+    assert list(out.node) == [1, 2, 3, 10, 11, 20, 21, 22]
+    assert list(out.component) == [1, 1, 1, 10, 10, 20, 20, 20]
+
+
+def test_connected_components_long_chain_converges():
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        connected_components)
+    # a 16-node path: worst case for plain propagation; pointer doubling
+    # converges in O(log n) rounds within the default cap
+    n = 16
+    pairs = ray.data.from_arrow(pa.table({
+        "a": list(range(n - 1)), "b": list(range(1, n))}))
+    out = connected_components(pairs, n_parts=4).to_pandas()
+    assert set(out.component) == {0}
+    assert len(out) == n
