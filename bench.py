@@ -474,10 +474,18 @@ def run_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     # from the previous leg's session teardown / spill cleanup only ever
     # ADDS wall time, so the minimum is the faithful reading for each leg
     # (all samples are reported for transparency)
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    # 5 repeats spread over ~10 min: host-tenant contention on this VM
+    # swings in waves of minutes (measured 17-53 s for the IDENTICAL
+    # 16-CPU leg across half an hour), so more widely-spaced repeats
+    # raise the chance each leg catches a quiet window; the settle pause
+    # also separates one leg's session teardown from the next leg's read
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
+    settle = float(os.environ.get("GRAFT_SCALING_SETTLE_S", "15"))
     samples: dict[int, list[dict]] = {cpus_lo: [], cpus_hi: []}
-    for _ in range(repeats):
+    for i in range(repeats):
         for n in (cpus_lo, cpus_hi):
+            if samples[n]:
+                time.sleep(settle)
             samples[n].append(leg(n))
     shutil.rmtree(out_base, ignore_errors=True)
     lo = min(samples[cpus_lo], key=lambda r: r["value"])

@@ -1056,6 +1056,10 @@ def q_uri_query(sf_dir: str):
         m = b["uri_query_map"]
         if isinstance(m, pa.ChunkedArray):
             m = m.combine_chunks()
+        if m.offset != 0:
+            # a sliced MapArray's .offsets/.keys/.items views disagree on
+            # their base; rebuild compact before offset arithmetic
+            m = pa.concat_arrays([m])
         n = len(m)
         ent_off = m.offsets.to_numpy(zero_copy_only=False)
         ent_counts = np.diff(ent_off)

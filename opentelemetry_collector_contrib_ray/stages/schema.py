@@ -223,7 +223,7 @@ def semconv_metric_transform(versions: dict, from_version: str,
                     oldc = oldc.combine_chunks()
                 cond = pc.is_in(name_arr, value_set=pa.array(
                     apply_to, pa.string())) if apply_to else \
-                    pa.array([True] * batch.num_rows)
+                    pa.array([True] * batch.num_rows, pa.bool_())
                 cond = pc.fill_null(cond, False)
                 newc = batch[new] if new in batch.column_names else \
                     pa.nulls(len(oldc), oldc.type)
