@@ -1170,6 +1170,60 @@ FROM routed
 """
 
 
+def q_metrics_transform(sf_dir: str):
+    """metricstransformprocessor over events-as-datapoints: rename+scale
+    the 'click' metric and aggregate its shard label by sum; other
+    metrics pass through. Sums rounded to 6 decimals (order-dependent
+    last-ulp, same rule as sum_events)."""
+    from ..stages.metrics import metrics_transform
+    from ..stages.shuffle import round_half_away
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id", "value"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        uid = b["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        return pa.table({
+            "metric_name": b["event_type"],
+            "shard": pc.cast(
+                pc.bit_wise_and(uid, 3), pa.int64()),
+            "value": b["value"]})
+
+    ds = ds.map_batches(shape, batch_format="pyarrow", batch_size=None)
+    out = metrics_transform(ds, [{
+        "include": "click", "action": "update", "new_name": "clicks.total",
+        "operations": [
+            {"action": "experimental_scale_value", "experimental_scale": 100},
+            {"action": "aggregate_labels", "label_set": ["shard"],
+             "aggregation_type": "sum"},
+        ]}])
+
+    def round6(b: pa.Table) -> pa.Table:
+        v = b["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        i = b.column_names.index("value")
+        return b.set_column(i, "value", pa.array(round_half_away(
+            v.to_numpy(zero_copy_only=False), 6), pa.float64()))
+
+    return out.map_batches(round6, batch_format="pyarrow", batch_size=None)
+
+
+_METRICS_TRANSFORM_SQL = """
+WITH base AS (SELECT event_type AS metric_name,
+                     CAST(user_id & 3 AS BIGINT) AS shard, value
+              FROM events)
+SELECT 'clicks.total' AS metric_name, shard,
+       ROUND(SUM(value * 100), 6) AS value
+FROM base WHERE metric_name = 'click' GROUP BY shard
+UNION ALL
+SELECT metric_name, shard, ROUND(value, 6) AS value
+FROM base WHERE metric_name <> 'click'
+"""
+
+
 def q_latency_exp_histogram(sf_dir: str):
     """spanmetricsconnector `histogram: exponential` — base-2 exponential
     latency buckets by (service, severity_bucket) at fixed scale 3 (the
@@ -1426,6 +1480,7 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
         "text_source": parsed_view_sql() + (
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_exp_histogram": _latency_exp_sql(),
+        "metrics_transform": _METRICS_TRANSFORM_SQL,
         "schema_translate": _schema_translate_sql(),
         "latency_histogram": parsed_view_sql() + """
 SELECT service, severity_bucket,
@@ -1635,6 +1690,7 @@ def ray_queries() -> dict:
         "text_source": q_text_source,
         "latency_histogram": q_latency_histogram,
         "latency_exp_histogram": q_latency_exp_histogram,
+        "metrics_transform": q_metrics_transform,
         "schema_translate": q_schema_translate,
         "service_graph": q_service_graph,
         "delta_to_cumulative": q_delta_to_cumulative,

@@ -472,3 +472,257 @@ def metric_start_time(ds: Dataset, *, key_col: str, order_col: str,
         return out.filter(pa.array(~starts))
 
     return _per_key_scan(ds, key_col, order_col, seg, n_parts, size_bytes)
+
+
+# --- metricstransformprocessor ---------------------------------------------
+
+def metrics_transform(ds: Dataset, transforms: list[dict], *,
+                      name_col: str = "metric_name",
+                      value_col: str = "value") -> Dataset:
+    """metricstransformprocessor (processor/metricstransformprocessor) on
+    the flat metric model (one row = one datapoint: name column + label
+    columns + value column).
+
+    Each transform: ``{include, match_type: strict|regexp, action:
+    update|insert, new_name?, operations: [...]}`` with the operation set
+    add_label, update_label (+value_actions), delete_label_value,
+    toggle_scalar_data_type, experimental_scale_value, aggregate_labels,
+    aggregate_label_values (operation_*.go). ``insert`` appends the
+    transformed COPY of matched datapoints; ``update`` edits them in
+    place. The OTLP-structural actions combine/group (merge metric
+    objects / regroup ResourceMetrics) are out of flat-table scope
+    (DIVERGENCES.md).
+
+    Scale notes: row ops are one vectorized map_batches; aggregate ops
+    run the partial/merge plan (per-block group_by then a keyed merge),
+    and transforms containing an aggregate (or action=insert) split the
+    stream, so the input is materialized once to avoid re-executing
+    upstream lineage per branch. toggle_scalar_data_type promotes the
+    shared value COLUMN to float64 when any unmatched rows remain
+    (a flat column has one type; int truncation still applies to the
+    matched rows' values)."""
+    for t in transforms:
+        ds = _apply_metric_transform(ds, t, name_col, value_col)
+    return ds
+
+
+def _metric_match(name: pa.Array, t: dict):
+    inc = t["include"]
+    if t.get("match_type", "strict") == "regexp":
+        return pc.fill_null(pc.match_substring_regex(name, inc), False)
+    return pc.fill_null(pc.equal(name, inc), False)
+
+
+def _metric_rowfn(t: dict, name_col: str, value_col: str):
+    ops = t.get("operations") or []
+    new_name = t.get("new_name")
+    regexp = t.get("match_type", "strict") == "regexp"
+    inc = t["include"]
+
+    def fn(batch: pa.Table, only_matched: bool = False) -> pa.Table:
+        name = batch[name_col]
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        m = _metric_match(name, t)
+        if only_matched:
+            batch = batch.filter(m)
+            name = batch[name_col]
+            if isinstance(name, pa.ChunkedArray):
+                name = name.combine_chunks()
+            m = pa.array([True] * batch.num_rows, pa.bool_())
+        if new_name is not None:
+            renamed = pc.replace_substring_regex(name, inc, new_name) \
+                if regexp else pa.nulls(len(name), pa.string()) \
+                .fill_null(new_name)
+            batch = batch.set_column(
+                batch.column_names.index(name_col), name_col,
+                pc.if_else(m, renamed, name))
+        for op in ops:
+            batch, m = _apply_row_op(batch, m, op, name_col, value_col)
+        return batch
+    return fn
+
+
+def _col(batch: pa.Table, name: str) -> pa.Array:
+    c = batch[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _apply_row_op(batch: pa.Table, m, op: dict, name_col: str,
+                  value_col: str):
+    act = op["action"]
+    n = batch.num_rows
+    if act == "add_label":
+        newc = pa.nulls(n, pa.string()) if op["new_label"] \
+            not in batch.column_names else _col(batch, op["new_label"])
+        val = pc.if_else(m, pa.scalar(str(op["new_value"]), pa.string()),
+                         pc.cast(newc, pa.string()))
+        if op["new_label"] in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index(op["new_label"]),
+                op["new_label"], val)
+        else:
+            batch = batch.append_column(op["new_label"], val)
+        return batch, m
+    if act == "update_label":
+        old = op["label"]
+        if old not in batch.column_names:
+            return batch, m
+        cur = _col(batch, old)
+        for va in op.get("value_actions") or []:
+            cur = pc.if_else(
+                pc.and_(m, pc.equal(pc.cast(cur, pa.string()),
+                                    str(va["value"]))),
+                pa.scalar(str(va["new_value"]), pa.string()),
+                pc.cast(cur, pa.string()))
+        new = op.get("new_label")
+        if new and new != old:
+            dest = _col(batch, new) if new in batch.column_names \
+                else pa.nulls(n, cur.type)
+            moved = pc.if_else(m, cur, dest)
+            left = pc.if_else(m, pa.nulls(n, cur.type), cur)
+            if new in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(new),
+                                         new, moved)
+            else:
+                batch = batch.append_column(new, moved)
+            batch = batch.set_column(batch.column_names.index(old), old,
+                                     left)
+        else:
+            batch = batch.set_column(batch.column_names.index(old), old,
+                                     cur)
+        return batch, m
+    if act == "delete_label_value":
+        lab = op["label"]
+        if lab not in batch.column_names:
+            return batch, m
+        kill = pc.and_(m, pc.equal(pc.cast(_col(batch, lab), pa.string()),
+                                   str(op["label_value"])))
+        keep = pc.invert(pc.fill_null(kill, False))
+        return batch.filter(keep), pc.fill_null(m, False).filter(keep)
+    if act == "toggle_scalar_data_type":
+        v = pc.cast(_col(batch, value_col), pa.float64())
+        if pa.types.is_integer(batch[value_col].type):
+            out = v  # int -> double
+        else:
+            out = pc.if_else(m, pc.trunc(v), v)  # double -> int (flat col
+            # stays float64 when unmatched rows share it)
+        return batch.set_column(batch.column_names.index(value_col),
+                                value_col, out), m
+    if act == "experimental_scale_value":
+        v = pc.cast(_col(batch, value_col), pa.float64())
+        out = pc.if_else(m, pc.multiply(v, float(op["experimental_scale"])),
+                         v)
+        return batch.set_column(batch.column_names.index(value_col),
+                                value_col, out), m
+    if act in ("aggregate_labels", "aggregate_label_values"):
+        raise ValueError("aggregate ops are planned at dataset level")
+    raise ValueError(f"unknown metricstransform operation {act!r}")
+
+
+def _apply_metric_transform(ds: Dataset, t: dict, name_col: str,
+                            value_col: str) -> Dataset:
+    action = t.get("action", "update")
+    if action not in ("update", "insert"):
+        raise ValueError(
+            f"action {action!r}: combine/group are OTLP-structural and "
+            "out of flat-table scope (DIVERGENCES.md)")
+    ops = t.get("operations") or []
+    agg_ops = [o for o in ops if o["action"] in
+               ("aggregate_labels", "aggregate_label_values")]
+    row_t = {**t, "operations": [o for o in ops if o["action"] not in
+                                 ("aggregate_labels",
+                                  "aggregate_label_values")]}
+    rowfn = _metric_rowfn(row_t, name_col, value_col)
+
+    if not agg_ops and action == "update":
+        return ds.map_batches(lambda b: rowfn(b), batch_format="pyarrow",
+                              batch_size=None)
+
+    # stream splits below: materialize once so upstream lineage is not
+    # re-executed per branch
+    ds = ds.materialize()
+
+    def unmatched_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(_metric_match(_col(b, name_col), t)))
+
+    matched = ds.map_batches(lambda b: rowfn(b, only_matched=True),
+                             batch_format="pyarrow", batch_size=None)
+    for op in agg_ops:
+        matched = _agg_metric_op(matched, op, name_col, value_col)
+    if action == "insert":
+        return ds.union(matched)
+    passthrough = ds.map_batches(unmatched_only, batch_format="pyarrow",
+                                 batch_size=None)
+    return passthrough.union(matched)
+
+
+_AGG_FINALIZE = {"sum", "mean", "min", "max", "count"}
+
+
+def _agg_metric_op(ds: Dataset, op: dict, name_col: str,
+                   value_col: str) -> Dataset:
+    """aggregate_labels / aggregate_label_values via the partial/merge
+    plan (sum+count partials cover mean; min/max compose)."""
+    aggr = op.get("aggregation_type", "sum")
+    if aggr not in _AGG_FINALIZE:
+        raise ValueError(f"aggregation_type {aggr!r} unsupported "
+                         "(sum/mean/min/max/count)")
+    label_set = op.get("label_set")
+    remap_label = op.get("label")
+    remap_vals = set(map(str, op.get("aggregated_values") or []))
+    remap_new = op.get("new_value")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = [c for c in batch.column_names
+                  if c not in (name_col, value_col)]
+        if op["action"] == "aggregate_label_values" and remap_label and \
+                remap_label in batch.column_names:
+            cur = pc.cast(_col(batch, remap_label), pa.string())
+            hit = pc.is_in(cur, value_set=pa.array(sorted(remap_vals),
+                                                   pa.string()))
+            batch = batch.set_column(
+                batch.column_names.index(remap_label), remap_label,
+                pc.if_else(hit, pa.scalar(str(remap_new), pa.string()),
+                           cur))
+            keys = [name_col] + labels
+        else:
+            keep = label_set if label_set is not None else []
+            keys = [name_col] + [c for c in labels if c in keep]
+        v = pc.cast(_col(batch, value_col), pa.float64())
+        t2 = batch.select(keys).append_column("_v", v)
+        out = t2.group_by(keys).aggregate(
+            [("_v", "sum"), ("_v", "count"), ("_v", "min"), ("_v", "max")])
+        out = out.rename_columns(keys + ["_s", "_c", "_mn", "_mx"])
+        # carry dropped label columns as typed nulls so the union with
+        # pass-through rows keeps ONE schema
+        for c in labels:
+            if c not in keys:
+                out = out.append_column(c, pa.nulls(out.num_rows,
+                                                    batch[c].type))
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        keys = [c for c in batch.column_names
+                if c not in ("_s", "_c", "_mn", "_mx")]
+        out = batch.group_by(keys).aggregate(
+            [("_s", "sum"), ("_c", "sum"), ("_mn", "min"), ("_mx", "max")])
+        out = out.rename_columns(keys + ["_s", "_c", "_mn", "_mx"])
+        if aggr == "sum":
+            v = out["_s"]
+        elif aggr == "count":
+            v = pc.cast(out["_c"], pa.float64())
+        elif aggr == "mean":
+            v = pc.divide(out["_s"], pc.cast(out["_c"], pa.float64()))
+        elif aggr == "min":
+            v = out["_mn"]
+        else:
+            v = out["_mx"]
+        return out.drop_columns(["_s", "_c", "_mn", "_mx"]) \
+            .append_column(value_col, v)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)

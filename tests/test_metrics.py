@@ -278,3 +278,100 @@ def test_exp_histogram_by_signs_zero_and_autoscale(ray_session):
     assert set(out2[out2.k == "a"]["scale"]) == {0}
     assert list(out2[out2.k == "b"].sort_values("bucket_idx")
                 ["bucket_idx"]) == [13, 15]
+
+
+def _mt_table():
+    return pa.table({
+        "metric_name": ["cpu", "cpu", "mem", "cpu"],
+        "host": ["a", "b", "a", "a"],
+        "core": ["0", "1", None, "1"],
+        "value": pa.array([1.0, 2.0, 5.0, 3.0], pa.float64()),
+    })
+
+
+def test_metrics_transform_update_rename_scale_addlabel(ray_session):
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    out = metrics_transform(rd.from_arrow(_mt_table()), [{
+        "include": "cpu", "action": "update", "new_name": "cpu.total",
+        "operations": [
+            {"action": "experimental_scale_value",
+             "experimental_scale": 10},
+            {"action": "add_label", "new_label": "unit",
+             "new_value": "ms"},
+        ]}]).to_pandas().sort_values(["metric_name", "host", "core"],
+                                     ignore_index=True)
+    assert list(out.metric_name) == ["cpu.total"] * 3 + ["mem"]
+    assert list(out.value) == [10.0, 30.0, 20.0, 5.0]
+    assert list(out.unit) == ["ms"] * 3 + [None]  # unmatched untouched
+
+
+def test_metrics_transform_aggregate_labels_sum_and_mean(ray_session):
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    out = metrics_transform(rd.from_arrow(_mt_table()), [{
+        "include": "cpu", "action": "update",
+        "operations": [{"action": "aggregate_labels",
+                        "label_set": ["host"],
+                        "aggregation_type": "sum"}]}]) \
+        .to_pandas().sort_values(["metric_name", "host"],
+                                 ignore_index=True)
+    # core aggregated away (typed null), values summed per host
+    assert list(out.value) == [4.0, 2.0, 5.0]
+    assert out.core.isna().all()  # mem row carries a null core in the fixture
+    mean = metrics_transform(rd.from_arrow(_mt_table()), [{
+        "include": "cpu", "action": "update",
+        "operations": [{"action": "aggregate_labels", "label_set": [],
+                        "aggregation_type": "mean"}]}]).to_pandas()
+    assert sorted(mean.value) == [2.0, 5.0]
+
+
+def test_metrics_transform_insert_update_label_delete_value(ray_session):
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    out = metrics_transform(rd.from_arrow(_mt_table()), [{
+        "include": "^cpu$", "match_type": "regexp", "action": "insert",
+        "new_name": "cpu_copy", "operations": []}]).to_pandas()
+    assert sorted(out.metric_name) == \
+        ["cpu"] * 3 + ["cpu_copy"] * 3 + ["mem"]
+    # update_label: rename host->node with a value remap, matched only
+    out2 = metrics_transform(rd.from_arrow(_mt_table()), [{
+        "include": "cpu", "action": "update",
+        "operations": [{"action": "update_label", "label": "host",
+                        "new_label": "node",
+                        "value_actions": [{"value": "a",
+                                           "new_value": "alpha"}]}]}]) \
+        .to_pandas().sort_values(["metric_name", "core"],
+                                 ignore_index=True)
+    cpu = out2[out2.metric_name == "cpu"]
+    assert sorted(cpu.node) == ["alpha", "alpha", "b"]
+    assert cpu.host.isna().all()
+    assert out2[out2.metric_name == "mem"].host.tolist() == ["a"]
+    # delete_label_value drops matched datapoints carrying the value
+    out3 = metrics_transform(rd.from_arrow(_mt_table()), [{
+        "include": "cpu", "action": "update",
+        "operations": [{"action": "delete_label_value", "label": "host",
+                        "label_value": "a"}]}]).to_pandas()
+    assert len(out3) == 2  # cpu/b + mem/a survive
+    assert sorted(out3.metric_name) == ["cpu", "mem"]
+
+
+def test_metrics_transform_aggregate_label_values(ray_session):
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({"metric_name": ["m"] * 3, "env": ["dev", "test", "prod"],
+                  "value": pa.array([1.0, 2.0, 4.0], pa.float64())})
+    out = metrics_transform(rd.from_arrow(t), [{
+        "include": "m", "action": "update",
+        "operations": [{"action": "aggregate_label_values",
+                        "label": "env",
+                        "aggregated_values": ["dev", "test"],
+                        "new_value": "nonprod",
+                        "aggregation_type": "sum"}]}]) \
+        .to_pandas().sort_values("env", ignore_index=True)
+    assert list(out.env) == ["nonprod", "prod"]
+    assert list(out.value) == [3.0, 4.0]
