@@ -6,7 +6,7 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "rows": R, "rows_per_sec": ...}
 
---scaling: run the headline pipeline at num_cpus=4 and num_cpus=16 (N vs 4N),
+--scaling: run the headline pipeline at num_cpus=2 and num_cpus=8 (N vs 4N),
 3 alternating flagship-only repeats per leg in fresh taskset-pinned
 subprocesses with per-leg cache pre-warm, and report best-of-3 throughputs
 plus scaling efficiency (the sandbox proxy for N- vs 4N-node clusters,
@@ -423,14 +423,22 @@ def run_dedup_blowup(num_cpus: int = NUM_CPUS,
     }
 
 
-def run_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
+def run_scaling(cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     """Same job, same input, two fresh ray.init sessions at N and 4N CPUs
-    (the sandbox proxy for N- vs 4N-node clusters; default N=4). The input
+    (the sandbox proxy for N- vs 4N-node clusters; default N=2). The input
     is the 100x transcript table (~60M turns) so per-stage compute, not
     session fixed cost, is measured; the input is pre-warmed into the page
     cache and sinks go to tmpfs so neither run is bound by the single VM
     disk — a resource that scales per-node on a real cluster (BASELINE.md
-    records the rationale and the supplementary disk-sink numbers)."""
+    records the rationale and the supplementary disk-sink numbers).
+
+    N=2 (2 vs 8 CPUs) rather than the earlier 4 vs 16: round-4 measured
+    sustained host-tenant contention that taxes high-parallelism legs
+    disproportionately (the identical 16-CPU leg swung 17-53 s while the
+    4-CPU leg held within 10%), which corrupts the RATIO even under
+    best-of-N. Both 2 and 8 CPUs sit far below the VM's contention knee,
+    so the pair measures the engine's scaling rather than the
+    neighbours' load; BASELINE.md round 4 records the evidence."""
     scale_name = f"sf{_sf() * 100:g}"
     # pre-generate once so both subprocesses read the same cached input;
     # read it once so BOTH runs see a warm page cache (equal footing)
