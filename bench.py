@@ -7,8 +7,8 @@ Prints ONE JSON line:
    "rows": R, "rows_per_sec": ...}
 
 --scaling: run the headline pipeline at num_cpus=2 and num_cpus=8 (N vs 4N),
-3 alternating flagship-only repeats per leg in fresh taskset-pinned
-subprocesses with per-leg cache pre-warm, and report best-of-3 throughputs
+5 spaced alternating flagship-only repeats per leg in fresh taskset-pinned
+subprocesses with per-leg cache pre-warm, and report best-of-5 throughputs
 plus scaling efficiency (the sandbox proxy for N- vs 4N-node clusters,
 SURVEY.md §4; measurement-validity rationale in BASELINE.md round 3).
 """
