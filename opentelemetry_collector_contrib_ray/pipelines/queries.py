@@ -787,6 +787,45 @@ SELECT u AS node, least(u, mv) AS component FROM m
 """
 
 
+def q_dedup_keep(sf_dir: str):
+    """End-to-end corpus dedup: documents -> near-dup pairs -> connected
+    components -> keep one representative per cluster (the min doc_id)
+    plus every unpaired document. The keep decision attaches the
+    component reduce-side (partitioned_attach) — no driver-held set."""
+    from ..stages.dedup import connected_components, ngram_jaccard_pairs
+    from ..stages.shuffle import partitioned_attach
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
+    comp = connected_components(pairs)
+    docs = ds.select_columns(["doc_id"])
+    attached = partitioned_attach(
+        docs, {"doc_id": pa.int64()}, comp, key_col="doc_id",
+        right_key="node", right_val="component", out_name="component")
+
+    def keep(b: pa.Table) -> pa.Table:
+        c = b["component"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        # equal(null, x) -> null; unpaired docs (no component) keep
+        ok = pc.fill_null(pc.equal(c, b["doc_id"]), True)
+        return b.filter(ok).select(["doc_id"])
+
+    return attached.map_batches(keep, batch_format="pyarrow",
+                                batch_size=None)
+
+
+_DEDUP_KEEP_SQL = _DEDUP_COMPONENTS_SQL.replace(
+    "SELECT u AS node, least(u, mv) AS component FROM m",
+    """c AS (SELECT u AS node, least(u, mv) AS component FROM m)
+SELECT d.doc_id FROM documents d
+LEFT JOIN c ON d.doc_id = c.node
+WHERE c.node IS NULL OR c.component = d.doc_id""").replace(
+    "m AS (SELECT u, min(v) mv FROM reach GROUP BY u)",
+    "m AS (SELECT u, min(v) mv FROM reach GROUP BY u),")
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shingle-join).
     max_df=256 (the scale guard) is explicit here and mirrored in the SQL
@@ -1558,6 +1597,7 @@ FROM m WHERE s IS NOT NULL
             "SELECT md5(text) AS dedup_key, min(doc_id) AS doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY text"),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "dedup_keep": _DEDUP_KEEP_SQL,
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') arr FROM documents),
 sh AS (SELECT DISTINCT doc_id, arr[i]||' '||arr[i+1]||' '||arr[i+2] AS sh
@@ -1707,6 +1747,7 @@ def ray_queries() -> dict:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         # multimodal sits with the other rows-only training-data ops, NOT
