@@ -1209,6 +1209,49 @@ FROM routed
 """
 
 
+def q_transform_datapoint(sf_dir: str):
+    """transformprocessor datapoint context (ottldatapoint): statements
+    address datapoint attributes, value_double, and the owning metric's
+    fields via metric.* paths."""
+    from ..pipelines.statements import transform_processor
+    from ..functions import maps as M
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        empty = pa.array([[]] * n, pa.map_(pa.string(), pa.string()))
+        return pa.table({"metric_name": b["event_type"],
+                         "value": b["value"], "attributes": empty})
+
+    fn = transform_processor([{
+        "context": "datapoint",
+        "statements": [
+            'set(attributes["band"], "hot") where value_double >= 0.5',
+            'set(metric.name, Concat([metric.name, "_dp"], ""))',
+        ]}])
+
+    def out_cols(b: pa.Table) -> pa.Table:
+        a = b["attributes"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return pa.table({"metric_name": b["metric_name"],
+                         "band": M.map_get(a, "band"),
+                         "value": b["value"]})
+
+    return ds.map_batches(shape, batch_format="pyarrow", batch_size=None) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=None) \
+        .map_batches(out_cols, batch_format="pyarrow", batch_size=None)
+
+
+_TRANSFORM_DATAPOINT_SQL = """
+SELECT event_type || '_dp' AS metric_name,
+       CASE WHEN value >= 0.5 THEN 'hot' END AS band, value
+FROM events
+"""
+
+
 def q_metrics_transform(sf_dir: str):
     """metricstransformprocessor over events-as-datapoints: rename+scale
     the 'click' metric and aggregate its shard label by sum; other
@@ -1520,6 +1563,7 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_exp_histogram": _latency_exp_sql(),
         "metrics_transform": _METRICS_TRANSFORM_SQL,
+        "transform_datapoint": _TRANSFORM_DATAPOINT_SQL,
         "schema_translate": _schema_translate_sql(),
         "latency_histogram": parsed_view_sql() + """
 SELECT service, severity_bucket,
@@ -1731,6 +1775,7 @@ def ray_queries() -> dict:
         "latency_histogram": q_latency_histogram,
         "latency_exp_histogram": q_latency_exp_histogram,
         "metrics_transform": q_metrics_transform,
+        "transform_datapoint": q_transform_datapoint,
         "schema_translate": q_schema_translate,
         "service_graph": q_service_graph,
         "delta_to_cumulative": q_delta_to_cumulative,

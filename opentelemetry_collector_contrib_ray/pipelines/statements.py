@@ -812,6 +812,12 @@ def _resolve_target(segs, ctx: _Ctx, allow_dyn: bool = False):
         colname = ctx.colmap.get("resource.attributes", "resource")
         idxs = segs[1][1]
         extra = segs[2:]
+    elif len(segs) > 1 and not idxs and \
+            f"{name}.{segs[1][0]}" in ctx.colmap:
+        # dotted colmap target (metric.name, instrumentation_scope.name)
+        colname = ctx.colmap[f"{name}.{segs[1][0]}"]
+        idxs = segs[1][1]
+        extra = segs[2:]
     else:
         colname = ctx.colmap.get(name, name)
         extra = segs[1:]
@@ -1311,7 +1317,8 @@ class StatementGroupExecutor:
             if mode not in ("ignore", "silent", "propagate"):
                 raise ValueError(f"bad error_mode {mode!r}")
             context = g.get("context", "log")
-            if context not in ("log", "resource", "scope"):
+            if context not in ("log", "resource", "scope", "datapoint",
+                               "metric"):
                 raise ValueError(f"bad context {context!r}")
             self.compiled.append((context, conds, stmts, mode))
 
@@ -1332,6 +1339,26 @@ class StatementGroupExecutor:
                         name=self.colmap.get("instrumentation_scope.name",
                                              "scope_name"),
                         attributes="__scope_attributes_unmapped__")
+        if context == "datapoint":
+            # ottldatapoint (pkg/ottl/contexts/ottldatapoint): datapoint
+            # fields + the owning metric's via `metric.*` dotted paths.
+            # The metric-STRUCTURAL editors (copy_metric, scale_metric,
+            # extract_sum_metric, ...) create new metric objects — use
+            # stages/metrics.py metrics_transform for those shapes.
+            return dict(self.colmap, **{
+                "metric.name": "metric_name",
+                "metric.unit": "metric_unit",
+                "metric.description": "metric_description",
+                "metric.type": "metric_type",
+                "value_double": "value", "value_int": "value",
+                "count": "count", "time": "ts",
+                "start_time": "start_ts"})
+        if context == "metric":
+            # ottlmetric: bare name/unit/description address the metric
+            return dict(self.colmap,
+                        name="metric_name", unit="metric_unit",
+                        description="metric_description",
+                        type="metric_type")
         return self.colmap
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -1084,3 +1084,67 @@ def test_replace_all_patterns_key_collision_collapses(ray_session):
                      pa.map_(pa.string(), pa.string()))
     out = transform_processor(groups)(pa.table({"attributes": attrs}))
     assert out["attributes"].to_pylist()[0] == [("host", "h2")]
+
+
+# --- datapoint/metric contexts (ottldatapoint / ottlmetric) -------------
+# processor/transformprocessor/internal/metrics/processor_test.go
+# statements replayed over the flat datapoint model
+
+def _dp_table():
+    attrs = pa.array([[("attr1", "test1"), ("attr2", "test2")],
+                      [("attr1", "other")]],
+                     pa.map_(pa.string(), pa.string()))
+    return pa.table({
+        "metric_name": pa.array(["operationA", "operationB"]),
+        "metric_unit": pa.array(["ms", "ms"]),
+        "metric_description": pa.array(["opA", "opB"]),
+        "value": pa.array([2.5, 7.0], pa.float64()),
+        "attributes": attrs,
+    })
+
+
+def _run_dp(statements, table=None):
+    fn = transform_processor([{
+        "context": "datapoint", "statements": statements,
+    }])
+    return fn(table if table is not None else _dp_table())
+
+
+def test_datapoint_set_attr_gated_on_metric_name():
+    out = _run_dp(['set(attributes["test"], "pass") '
+                   'where metric.name == "operationA"'])
+    got = [dict(m) for m in out["attributes"].to_pylist()]
+    assert got[0].get("test") == "pass"
+    assert "test" not in got[1]
+
+
+def test_datapoint_int_of_value_double():
+    out = _run_dp(['set(attributes["int_value"], Int(value_double)) '
+                   'where metric.name == "operationA"'])
+    got = [dict(m) for m in out["attributes"].to_pylist()]
+    assert got[0].get("int_value") == "2"
+    assert "int_value" not in got[1]
+
+
+def test_datapoint_keep_keys_gated():
+    out = _run_dp(['keep_keys(attributes, ["attr2"]) '
+                   'where metric.name == "operationA"'])
+    got = [dict(m) for m in out["attributes"].to_pylist()]
+    assert got == [{"attr2": "test2"}, {"attr1": "other"}]
+
+
+def test_datapoint_set_metric_description_gated_on_attr():
+    out = _run_dp(['set(metric.description, "test") '
+                   'where attributes["attr1"] == "test1"'])
+    assert out["metric_description"].to_pylist() == ["test", "opB"]
+
+
+def test_metric_context_set_unit_and_rename():
+    fn = transform_processor([{
+        "context": "metric",
+        "statements": ['set(unit, "new unit")',
+                       'set(name, "new_name") where name == "operationB"'],
+    }])
+    out = fn(_dp_table())
+    assert out["metric_unit"].to_pylist() == ["new unit", "new unit"]
+    assert out["metric_name"].to_pylist() == ["operationA", "new_name"]
