@@ -13,30 +13,15 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
-import logging
-import os
 from collections.abc import Callable
 from typing import Any
 
-# The driver captures this process's output; Ray Data logs 4 INFO lines
-# (plus a full execution plan) per dataset, which across a 54-query sweep
-# is ~60 KiB of noise — enough to fill an undrained 64 KiB pipe and wedge
-# the run. `import ray.data` FIRST: its import-time configure_logging()
-# dictConfig would clobber a level set before it. Nothing reconfigures
-# driver-side afterwards, so this sticks.
-if not os.environ.get("OTELRAY_VERBOSE"):
-    import ray.data  # noqa: F401  (triggers configure_logging)
+# The driver captures this process's output; rationale and repro live in
+# the shared helper (opentelemetry_collector_contrib_ray/logquiet.py).
+from opentelemetry_collector_contrib_ray.logquiet import (  # noqa: E402
+    quiet_ray_data_logging)
 
-    for _name in ("ray.data", "ray.air"):
-        logging.getLogger(_name).setLevel(logging.WARNING)
-    # groupby().map_groups() emits zero-column RefBundles from its Sort
-    # stage whenever input blocks outnumber distinct key ranges (repro:
-    # from_arrow(3 keys).repartition(16).groupby.map_groups) — a cosmetic
-    # Ray-internal schema-mismatch warning per empty bundle. Silence just
-    # that logger; real warnings elsewhere in ray.data stay visible.
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(logging.ERROR)
+quiet_ray_data_logging()
 
 
 def entry() -> Any:

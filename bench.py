@@ -16,24 +16,18 @@ SURVEY.md §4; measurement-validity rationale in BASELINE.md round 3).
 from __future__ import annotations
 
 import json
-import logging
 import os
 import shutil
 import subprocess
 import sys
 import time
 
-# Same log quieting as __ray_entry__: ray.data INFO is ~1 KiB/dataset, and
-# the streaming executor warns per zero-column bundle its own Sort stage
-# emits on empty key ranges. Keep bench output to the one JSON line.
-if not os.environ.get("OTELRAY_VERBOSE"):
-    import ray.data  # noqa: F401  (triggers configure_logging first)
+# Keep bench output to the one JSON line; rationale and repro live in the
+# shared helper (opentelemetry_collector_contrib_ray/logquiet.py).
+from opentelemetry_collector_contrib_ray.logquiet import (  # noqa: E402
+    quiet_ray_data_logging)
 
-    for _name in ("ray.data", "ray.air"):
-        logging.getLogger(_name).setLevel(logging.WARNING)
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(logging.ERROR)
+quiet_ray_data_logging()
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -271,6 +271,8 @@ def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
         filled = pc.fill_null(a, "")
         has_bs = pc.match_substring(filled, "\\").to_numpy(
             zero_copy_only=False)
+        has_sq = pc.match_substring(filled, "'").to_numpy(
+            zero_copy_only=False)
         dq_odd = (pc.count_substring(filled, '"').to_numpy(
             zero_copy_only=False) % 2).astype(bool)
         # a single quote OUTSIDE double-quoted regions opens a
@@ -278,8 +280,11 @@ def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
         stripped_dq = pc.replace_substring_regex(filled, '"[^"]*"', "")
         sq_outside = pc.match_substring(stripped_dq, "'").to_numpy(
             zero_copy_only=False)
-        null_rows |= (~has_bs) & dq_odd  # unterminated quote
-        special = has_bs | ((~dq_odd) & sq_outside)
+        # odd " count means an unterminated quote ONLY when no ' or \\
+        # could be protecting a literal " (k='it"s ok' is valid); with
+        # either present the exact scan decides
+        null_rows |= (~has_bs) & (~has_sq) & dq_odd
+        special = has_bs | sq_outside | (dq_odd & has_sq)
 
     triplets_i: list[np.ndarray] = []
     triplets_k: list = []
@@ -313,10 +318,15 @@ def _kv_to_map(a, delim: str, pair: str) -> pa.MapArray:
             triplets_v.append(g["_v"].to_numpy())
 
     if special.any():
+        sp_idx = np.flatnonzero(special)
         if texts is None:
-            texts = a.to_pylist()
-        for ridx in np.flatnonzero(special):
-            t = texts[ridx]
+            # materialize ONLY the scan rows — one quoted row in a 100k
+            # batch must not convert the whole column to Python objects
+            texts = a.take(pa.array(sp_idx)).to_pylist()
+            pairs_iter = zip(sp_idx, texts)
+        else:
+            pairs_iter = ((i, texts[i]) for i in sp_idx)
+        for ridx, t in pairs_iter:
             if t is None:
                 continue
             try:

@@ -178,7 +178,7 @@ def uri_parser(parse_from: str, prefix: str = "uri_",
         shape_ok = pc.or_(pc.or_(pc.not_equal(f["scheme"], ""),
                                  pc.starts_with(f["path"], "/")), bare)
         bad = pc.match_substring_regex(f["userinfo"], _BAD_PCT_RE)
-        for comp in ("path",):
+        for comp in ("host", "path"):
             bad = pc.or_(bad, pc.match_substring_regex(f[comp], _BAD_PCT_RE))
         bad = pc.or_(bad, pc.match_substring_regex(qsrc, _BAD_PCT_RE))
         bad = pc.or_(bad, pc.match_substring(qsrc, ";"))

@@ -648,8 +648,10 @@ def _apply_metric_transform(ds: Dataset, t: dict, name_col: str,
 
     matched = ds.map_batches(lambda b: rowfn(b, only_matched=True),
                              batch_format="pyarrow", batch_size=None)
+    col_order = matched.schema().names
     for op in agg_ops:
-        matched = _agg_metric_op(matched, op, name_col, value_col)
+        matched = _agg_metric_op(matched, op, name_col, value_col,
+                                 col_order)
     if action == "insert":
         return ds.union(matched)
     passthrough = ds.map_batches(unmatched_only, batch_format="pyarrow",
@@ -661,9 +663,12 @@ _AGG_FINALIZE = {"sum", "mean", "min", "max", "count"}
 
 
 def _agg_metric_op(ds: Dataset, op: dict, name_col: str,
-                   value_col: str) -> Dataset:
+                   value_col: str, col_order: list[str]) -> Dataset:
     """aggregate_labels / aggregate_label_values via the partial/merge
-    plan (sum+count partials cover mean; min/max compose)."""
+    plan (sum+count partials cover mean; min/max compose). ``col_order``
+    is the pre-aggregation column order: the merge re-emits it so the
+    aggregated branch's blocks share one schema with the pass-through
+    branch at the union."""
     aggr = op.get("aggregation_type", "sum")
     if aggr not in _AGG_FINALIZE:
         raise ValueError(f"aggregation_type {aggr!r} unsupported "
@@ -721,8 +726,9 @@ def _agg_metric_op(ds: Dataset, op: dict, name_col: str,
             v = out["_mn"]
         else:
             v = out["_mx"]
-        return out.drop_columns(["_s", "_c", "_mn", "_mx"]) \
+        res = out.drop_columns(["_s", "_c", "_mn", "_mx"]) \
             .append_column(value_col, v)
+        return res.select([c for c in col_order if c in res.column_names])
 
     return partials.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None)

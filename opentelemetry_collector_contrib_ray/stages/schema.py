@@ -150,6 +150,7 @@ def semconv_log_transform(versions: dict, from_version: str,
 
     def fn(batch: pa.Table) -> pa.Table:
         names = list(batch.column_names)
+        renamed = [False] * len(names)
         for scope, m in plan:
             for i, n in enumerate(names):
                 if n not in m:
@@ -160,8 +161,18 @@ def semconv_log_transform(versions: dict, from_version: str,
                     if scope == "log" and n in resource_cols:
                         continue
                 names[i] = m[n]
+                renamed[i] = True
         if names == list(batch.column_names):
             return batch
+        # collision: renaming onto an existing column must not leave a
+        # duplicate field (pcommon.Map rename overwrites) — the renamed
+        # column WINS, the stale pre-existing one is dropped
+        drop = {i for i, (n, r) in enumerate(zip(names, renamed))
+                if not r and names.count(n) > 1}
+        if drop:
+            keep = [i for i in range(len(names)) if i not in drop]
+            batch = batch.select(keep)
+            names = [names[i] for i in keep]
         return batch.rename_columns(names)
 
     return fn
@@ -239,8 +250,11 @@ def semconv_metric_transform(versions: dict, from_version: str,
                     batch = batch.append_column(new, moved)
                 batch = batch.set_column(
                     batch.column_names.index(old), old, left)
-                # drop the source column when fully vacated
-                if pc.all(pc.is_null(batch[old])).as_py():
+                # drop the source column only for UNCONDITIONAL renames —
+                # a plan-time decision, so every block of the dataset
+                # ends with the SAME schema (deciding per batch on
+                # "fully vacated" made schemas depend on row content)
+                if not apply_to:
                     batch = batch.drop_columns([old])
         return batch
 

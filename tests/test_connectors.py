@@ -215,3 +215,15 @@ def test_query_values_map_decoding_and_nulls():
         None,
         [("", ["v"]), ("a", [""])],
     ]
+
+
+def test_uri_parser_bad_host_escape_errors_row():
+    """Review fix: a malformed %-escape in the HOST errors the row to
+    all-null like every other component (url.Parse rejects it)."""
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.connectors import (
+        uri_parser)
+    out = uri_parser("u")(pa.table({"u": ["http://ho%zzst/path"]}))
+    assert out["uri_host"].to_pylist() == [None]
+    assert out["uri_path"].to_pylist() == [None]
+    assert out["uri_query_map"].to_pylist() == [None]

@@ -1148,3 +1148,16 @@ def test_metric_context_set_unit_and_rename():
     out = fn(_dp_table())
     assert out["metric_unit"].to_pylist() == ["new unit", "new unit"]
     assert out["metric_name"].to_pylist() == ["operationA", "new_name"]
+
+
+def test_kv_to_map_double_quote_inside_single_quotes():
+    """Review fix: a literal '\"' inside a single-quoted value makes the
+    double-quote count odd but is VALID parseutils input — it must parse
+    via the exact scan, not null as an unterminated quote."""
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        _kv_to_map)
+    m = _kv_to_map(pa.array(["k='it\"s ok' a=b"], pa.string()), "=", " ")
+    assert dict(m.to_pylist()[0]) == {"k": 'it"s ok', "a": "b"}
+    # odd quotes with NO protecting quote syntax still error
+    m2 = _kv_to_map(pa.array(['k="broken'], pa.string()), "=", " ")
+    assert m2.to_pylist() == [None]

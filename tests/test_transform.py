@@ -637,21 +637,44 @@ def _metric_table_at(version):
                      attr: pa.array([124], pa.int64())})
 
 
+def _drop_all_null(t):
+    # conditional renames keep the vacated source column as typed nulls
+    # (a PLAN-time schema decision — per-batch content-dependent drops
+    # made blocks of one dataset disagree on schema)
+    keep = [c for c in t.column_names
+            if t[c].null_count < len(t[c]) or len(t[c]) == 0]
+    return t.select(keep)
+
+
 def test_semconv_metric_translation_replays_reference_scenarios():
     from opentelemetry_collector_contrib_ray.stages.schema import (
         parse_schema_file, semconv_metric_transform)
     versions = parse_schema_file(_COMPLEX_CHANGESET)
     for target, want in [("1.2.0", "1.2.0"), ("1.7.0", "1.7.0")]:
-        got = semconv_metric_transform(versions, "1.0.0", target)(
-            _metric_table_at("1.0.0"))
+        got = _drop_all_null(semconv_metric_transform(
+            versions, "1.0.0", target)(_metric_table_at("1.0.0")))
         w = _metric_table_at(want)
         assert got.select(sorted(got.column_names)).equals(
             w.select(sorted(w.column_names))), target
-    down = semconv_metric_transform(versions, "1.7.0", "1.0.0")(
-        _metric_table_at("1.7.0"))
+    down = _drop_all_null(semconv_metric_transform(
+        versions, "1.7.0", "1.0.0")(_metric_table_at("1.7.0")))
     w = _metric_table_at("1.0.0")
     assert down.select(sorted(down.column_names)).equals(
         w.select(sorted(w.column_names)))
+
+
+def test_semconv_metric_conditional_rename_schema_is_content_independent():
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        parse_schema_file, semconv_metric_transform)
+    versions = parse_schema_file(_COMPLEX_CHANGESET)
+    fn = semconv_metric_transform(versions, "1.0.0", "1.2.0")
+    all_match = _metric_table_at("1.0.0")
+    with_other = pa.table({
+        "metric_name": pa.array(["container.respawn", "other"]),
+        "container-exit-code": pa.array([124, 9], pa.int64())})
+    # blocks with different row content agree on the output schema
+    assert fn(all_match).schema.names == fn(with_other).schema.names
+    pa.concat_tables([fn(all_match), fn(with_other)])  # must not raise
 
 
 def test_semconv_conditional_metric_rename_gates_on_name():
@@ -691,3 +714,27 @@ def test_unquote_strconv_reference_cases():
     t = pa.table({"v": pa.array([c[0] for c in cases], pa.string())})
     out = unquote("v")(t)
     assert out["v"].to_pylist() == [c[1] for c in cases]
+
+
+def test_unquote_hex_escapes_are_bytes():
+    """Review fix: Go \\xNN escapes append RAW BYTES — a UTF-8 pair like
+    \\xc3\\xa9 decodes to one 'é', not two Latin-1 mojibake chars."""
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        _go_unquote, unquote)
+    assert _go_unquote('"\\xc3\\xa9"') == "é"
+    t = pa.table({"v": pa.array(['"caf\\xc3\\xa9"'], pa.string())})
+    assert unquote("v")(t)["v"].to_pylist() == ["café"]
+
+
+def test_semconv_log_rename_onto_existing_column_no_duplicates():
+    """Review fix: renaming onto an existing column name must drop the
+    stale pre-existing column (pcommon rename overwrites), never emit a
+    duplicate field."""
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        semconv_log_transform)
+    versions = {"1.1.0": {"all": {"changes": [{"rename_attributes": {
+        "attribute_map": {"old": "name"}}}]}}}
+    t = pa.table({"old": ["a"], "name": ["stale"], "x": [1]})
+    out = semconv_log_transform(versions, "1.0.0", "1.1.0")(t)
+    assert out.column_names == ["name", "x"]
+    assert out["name"].to_pylist() == ["a"]
