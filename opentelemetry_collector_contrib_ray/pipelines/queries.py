@@ -385,7 +385,7 @@ def q_window_counts(sf_dir: str):
     """intervalprocessor / tumbling window: per-hour counts by event_type
     over the events stream table."""
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type"])
+                    columns=["ts", "event_type"])
 
     def add_window(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -431,7 +431,7 @@ def q_jsonarray(sf_dir: str):
     from ..stages.parse import jsonarray_parser
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "event_type"])
+                    columns=["event_id", "event_type"])
 
     def mk(b: pa.Table) -> pa.Table:
         et = b["event_type"]
@@ -492,7 +492,7 @@ def q_cumulative_to_delta(sf_dir: str):
     from ..stages.shuffle import dir_size_bytes
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "user_id", "ts", "value"])
+                    columns=["event_id", "user_id", "ts", "value"])
     out = cumulative_to_delta(
         ds, key_col="user_id", order_col="ts", value_col="value",
         initial="keep", size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
@@ -514,7 +514,7 @@ def q_delta_to_rate(sf_dir: str):
     from ..stages.shuffle import dir_size_bytes
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "user_id", "ts", "value"])
+                    columns=["event_id", "user_id", "ts", "value"])
     out = delta_to_rate(
         ds, key_col="user_id", order_col="ts", value_col="value",
         size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
@@ -539,7 +539,7 @@ def q_metric_start_time(sf_dir: str):
     from ..stages.shuffle import dir_size_bytes
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "user_id", "ts", "value"])
+                    columns=["event_id", "user_id", "ts", "value"])
     out = metric_start_time(
         ds, key_col="user_id", order_col="ts", value_col="value",
         strategy="true_reset_point",
@@ -611,7 +611,7 @@ def q_time_parse(sf_dir: str):
     from ..stages.parse import time_parser
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts"])
+                    columns=["event_id", "ts"])
 
     def fmt(b: pa.Table) -> pa.Table:
         ts = b["ts"].combine_chunks() if isinstance(
@@ -703,7 +703,7 @@ def q_signaltometrics(sf_dir: str):
     from ..stages.connectors import signal_to_metrics
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"])
+                    columns=["event_type", "value"])
     out = signal_to_metrics(ds, SIGNAL_METRIC_DEFS)["events.value.sum"]
 
     def round6(b: pa.Table) -> pa.Table:
@@ -746,7 +746,7 @@ def q_exact_dedup(sf_dir: str):
     from ..stages.dedup import exact_dedup
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     return exact_dedup(ds)
 
 
@@ -833,7 +833,7 @@ def q_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
 
 
@@ -843,7 +843,7 @@ def q_minhash_lsh(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -852,7 +852,7 @@ def q_simhash(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
 
@@ -874,7 +874,7 @@ def q_ann_topk(sf_dir: str):
 
     qm, qids = _query_vectors(sf_dir)
     ds = read_table(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                    columns=["vec_id", "embedding"])
     return ann_topk(ds, qm, qids, k=5, round_digits=4)
 
 
@@ -886,7 +886,7 @@ def q_ann_lsh(sf_dir: str):
 
     qm, qids = _query_vectors(sf_dir)
     ds = read_table(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                    columns=["vec_id", "embedding"])
     return ann_lsh_topk(ds, qm, qids, k=5, n_bits=6, n_tables=12)
 
 
@@ -898,7 +898,7 @@ def q_ann_ivf(sf_dir: str):
 
     qm, qids = _query_vectors(sf_dir)
     ds = read_table(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                    columns=["vec_id", "embedding"])
     return ann_ivf_topk(ds, qm, qids, k=5, nlist=8, nprobe=3)
 
 
@@ -908,7 +908,7 @@ def q_cosine_pairs(sf_dir: str):
     from ..stages.similarity import cosine_pairs_within
 
     ds = read_table(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding", "label"])
+                    columns=["vec_id", "embedding", "label"])
     return cosine_pairs_within(ds, threshold=0.3, round_digits=4)
 
 
@@ -933,7 +933,7 @@ def q_token_stats(sf_dir: str):
     from ..stages.textstats import token_stats
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     return ds.map_batches(token_stats(), batch_format="pyarrow",
                           batch_size=None)
 
@@ -943,7 +943,7 @@ def q_fingerprint(sf_dir: str):
     from ..stages.textstats import fingerprint
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     return ds.map_batches(fingerprint(), batch_format="pyarrow",
                           batch_size=None)
 
@@ -953,7 +953,7 @@ def q_langid(sf_dir: str):
     from ..stages.textstats import LanguageID
 
     ds = read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                    columns=["doc_id", "text"])
     # plain callable instance: tiny state -> fuse with the read (no pool)
     return ds.map_batches(LanguageID(), batch_format="pyarrow",
                           batch_size=None)
@@ -1035,7 +1035,7 @@ def q_otlpjson(sf_dir: str):
     from ..stages.connectors import otlpjson_parser
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "props"])
+                    columns=["event_id", "props"])
     fn = otlpjson_parser("props", {"k": ("$.k", "int")})
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
         .select_columns(["event_id", "k"])
@@ -1351,7 +1351,7 @@ def q_delta_to_cumulative(sf_dir: str):
     from ..stages.metrics import cumulative_per_key
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "user_id", "ts", "value"])
+                    columns=["event_id", "user_id", "ts", "value"])
     out = cumulative_per_key(ds, key_col="user_id", order_col="ts",
                              value_col="value")
 
@@ -1377,7 +1377,7 @@ def q_sessionize(sf_dir: str):
     from ..stages.shuffle import dir_size_bytes
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+                    columns=["user_id", "ts"])
     return sessionize(ds, key_col="user_id", gap="30m",
                       size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
 
@@ -1387,7 +1387,7 @@ def q_sum_events(sf_dir: str):
     decimals — float sums are order-dependent in the last ulp, so exact-bit
     equality vs a serial SQL oracle is not meaningful."""
     ds = read_table(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"])
+                    columns=["event_type", "value"])
     out = sum_by(ds, ["event_type"], "value", sum_col="total_value")
 
     def round6(b: pa.Table) -> pa.Table:
