@@ -47,6 +47,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     failures = 0
     for name in names:
+        if name not in qs:
+            print(f"{name}: UNKNOWN (not a queries() entry)")
+            continue
         got = canon(to_pandas(qs[name](sf_dir)))
         if name not in oqs:
             print(f"{name}: rows={len(got)} (no oracle — rows-only)")
