@@ -49,6 +49,7 @@ def main() -> int:
     for name in names:
         if name not in qs:
             print(f"{name}: UNKNOWN (not a queries() entry)")
+            failures += 1  # a typo'd name must still fail the gate
             continue
         got = canon(to_pandas(qs[name](sf_dir)))
         if name not in oqs:
