@@ -962,7 +962,9 @@ def connected_components(pairs: Dataset, *, a_col: str = "a",
         init_label, batch_format="pyarrow", batch_size=None).materialize()
     prev_sum = labels.sum("label")
 
-    for _ in range(max_iter):
+    import time as _time
+    for _round in range(max_iter):
+        _t0 = _time.time()
         msgs = partitioned_attach(
             edges, {"u": pa.int64(), "v": pa.int64()}, labels,
             key_col="u", right_key="node", right_val="label",
@@ -973,8 +975,11 @@ def connected_components(pairs: Dataset, *, a_col: str = "a",
 
         cand = msgs.map_batches(as_cand, batch_format="pyarrow",
                                 batch_size=None).union(labels)
+        # materialize BEFORE the self-join below: the jump consumes this
+        # table as BOTH sides, and unmaterialized lineage would run the
+        # expensive message groupby twice per round
         labels = cand.groupby("node").min("label").rename_columns(
-            ["node", "label"])
+            ["node", "label"]).materialize()
         # pointer doubling: label(v) <- min(label(v), label(label(v))).
         # Every label IS a node id, so the self-join always resolves;
         # this turns O(diameter) rounds into O(log diameter) on chains
@@ -992,6 +997,8 @@ def connected_components(pairs: Dataset, *, a_col: str = "a",
         labels = jumped.map_batches(jump, batch_format="pyarrow",
                                     batch_size=None).materialize()
         cur = labels.sum("label")
+        _log.debug("connected_components round %d: %.1fs (label sum %d)",
+                   _round, _time.time() - _t0, cur)
         if cur == prev_sum:
             break
         prev_sum = cur
