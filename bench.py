@@ -154,8 +154,9 @@ def run_once(num_cpus: int) -> dict:
             'set(kv_rt, ToKeyValueString(cache["kv"], "=", " ", true))',
         ],
     }]
-    rd.read_parquet(transcripts_path(SF_DIR),
-                    columns=["conv_id", "turn_idx", "text"]) \
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    read_table(transcripts_path(SF_DIR),
+               columns=["conv_id", "turn_idx", "text"]) \
         .map_batches(transform_processor(kv_groups, {"text": "text"}),
                      batch_format="pyarrow", batch_size=None).count()
     queries["transform_kv"] = time.time() - t0
@@ -214,14 +215,15 @@ def run_once(num_cpus: int) -> dict:
     # CPU-heavy per-row shingling wants Ray's finer default blocks for
     # load balance (measured: sized 64-block read = 3.2s vs 1.8s here);
     # prune to the only column the stage reads
-    docs = rd.read_parquet(transcripts_path(SF_DIR), columns=["text"]) \
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    docs = read_table(transcripts_path(SF_DIR), columns=["text"]) \
         .map_batches(add_id, batch_format="pyarrow", batch_size=None)
     t0 = time.time()
     docs.map_batches(minhash_map_fn(), batch_format="pyarrow",
                      batch_size=None).count()
     queries["minhash_sign"] = time.time() - t0
 
-    docs2 = rd.read_parquet(transcripts_path(SF_DIR), columns=["text"]) \
+    docs2 = read_table(transcripts_path(SF_DIR), columns=["text"]) \
         .map_batches(add_id, batch_format="pyarrow", batch_size=None)
     t0 = time.time()
     exact_dedup(docs2).to_pandas()
@@ -232,7 +234,7 @@ def run_once(num_cpus: int) -> dict:
         t0 = time.time()
         from opentelemetry_collector_contrib_ray.stages.sessionize import (
             sessionize)
-        sessionize(rd.read_parquet(events, columns=["user_id", "ts"]),
+        sessionize(read_table(events, columns=["user_id", "ts"]),
                    key_col="user_id", gap="30m").count()
         queries["sessionize"] = time.time() - t0
 
@@ -293,7 +295,8 @@ def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
         max_rows = int(r.group(1)) if r else None
         return tasks, max_rows
 
-    ds = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"]) \
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    ds = read_table(tpath, columns=["conv_id", "turn_idx", "text"]) \
         .map_batches(uniquify, batch_format="pyarrow", batch_size=None)
     t0 = time.time()
     out = exact_dedup(ds).materialize()
@@ -301,7 +304,7 @@ def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
     n_distinct = out.count()
     merge_tasks, merge_max_rows = stage_stats(out.stats(), "merge_group")
 
-    ds2 = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"]) \
+    ds2 = read_table(tpath, columns=["conv_id", "turn_idx", "text"]) \
         .map_batches(uniquify, batch_format="pyarrow", batch_size=None)
     t0 = time.time()
     out2 = exact_dedup(ds2, digest="fast128").materialize()
@@ -309,8 +312,8 @@ def run_dedup_scale(num_cpus: int = NUM_CPUS) -> dict:
     n_fast = out2.count()
 
     t1 = time.time()
-    rds = rd.read_parquet(tpath,
-                          columns=["conv_id", "turn_idx", "text", "ts"])
+    rds = read_table(tpath,
+                     columns=["conv_id", "turn_idx", "text", "ts"])
     rec = recombine_grouped(rds, size_bytes=dir_size_bytes(tpath)) \
         .materialize()
     rec_sec = time.time() - t1

@@ -38,7 +38,7 @@ for _i, _name in enumerate(["TRACE", "DEBUG", "INFO", "WARN", "ERROR",
 _TOKEN = re.compile(r"""
     \s*(?:
       (?P<hex>0x[0-9a-fA-F]+) |
-      (?P<num>-?\d+\.\d+|-?\d+) |
+      (?P<num>[-+]?\d*\.\d+(?:[eE][-+]?\d+)?|[-+]?\d+) |
       (?P<str>"(?:[^"\\]|\\.)*") |
       (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/) |
       (?P<lparen>\() | (?P<rparen>\)) |
@@ -49,6 +49,10 @@ _TOKEN = re.compile(r"""
     )""", re.VERBOSE)
 
 _KEYWORDS = {"where", "and", "or", "not", "nil", "true", "false"}
+
+# grammar.go buildLexer: Uppercase = [A-Z][A-Z0-9_]* — a whole name in this
+# shape (not continued by lowercase) is an enum symbol, not a path
+_UPPER_RE = re.compile(r"[A-Z][A-Z0-9_]*\Z")
 
 
 def _unescape(s: str) -> str:
@@ -69,12 +73,12 @@ def tokenize(s: str) -> list[tuple[str, str]]:
                 raise ValueError(f"OTTL tokenize error near: {s[pos:]!r}")
             break
         kind, text = m.lastgroup, m.group(m.lastgroup)
-        # the num rule greedily lexes '-1' — after a value (Len(x)-1) that
-        # '-' is a BINARY operator, not a sign; split it
-        if kind == "num" and text.startswith("-") and out:
+        # the num rule greedily lexes '-1'/'+1' — after a value (Len(x)-1)
+        # that sign is a BINARY operator, not a sign; split it
+        if kind == "num" and text[0] in "+-" and out:
             pk, pv = out[-1]
             if pk in _VALUE_END or (pk == "name" and pv not in _KEYWORDS):
-                out.append(("op", "-"))
+                out.append(("op", text[0]))
                 text = text[1:]
         out.append((kind, text))
         pos = m.end()
@@ -102,7 +106,15 @@ class Parser:
     def parse_statement(self):
         """editor(args) [where cond] -> ("editor", name, args, kwargs, where)."""
         name = self.eat("name")
+        if not name[0].islower():
+            # grammar.go checkForCustomError: a statement must start with
+            # an editor (Lowercase-led function name)
+            raise ValueError("editor names must start with a lowercase "
+                             f"letter but got '{name}'")
         args, kwargs = self._arglist()
+        if self.peek()[0] == "lbrack":
+            raise ValueError("only paths and converters may be indexed, "
+                             f"not editors, but got {name}")
         where = None
         if self.peek() == ("name", "where"):
             self.eat()
@@ -174,7 +186,8 @@ class Parser:
             return ("lit", _unescape(v[1:-1]))
         if k == "num":
             self.eat()
-            return ("lit", float(v) if "." in v else int(v))
+            return ("lit", float(v) if ("." in v or "e" in v or "E" in v)
+                    else int(v))
         if k == "hex":
             self.eat()
             h = v[2:]
@@ -196,10 +209,26 @@ class Parser:
                 self.eat()
                 return ("lit", ENUMS[v])
             if self.peek(1)[0] == "lparen":  # converter call
+                if not v[0].isupper():
+                    # grammar.go custom error: a function in expression
+                    # position must be a converter (Uppercase-led)
+                    raise ValueError(
+                        "converter names must start with an uppercase "
+                        f"letter but got '{v}'")
                 self.eat()
                 args, kwargs = self._arglist()
                 node = ("call", v, args, kwargs)
                 return self._indexes_on(node)
+            if _UPPER_RE.match(v):
+                # grammar.go: a bare Uppercase token is either an enum
+                # symbol (value position, resolved via the context's
+                # parseEnum) or a converter reference (argument.FunctionName
+                # — e.g. the `function` param of replace_pattern). The
+                # parser is type-blind like participle's: emit ("fname", v)
+                # and let compilation decide; evaluating one as a value
+                # raises 'enum symbol not found' (eval_expr).
+                self.eat()
+                return ("fname", v)
             return self._path()
         raise ValueError(f"OTTL parse: unexpected {k}:{v!r}")
 

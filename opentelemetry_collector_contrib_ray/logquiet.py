@@ -26,6 +26,11 @@ def quiet_ray_data_logging() -> None:
 
     for name in ("ray.data", "ray.air"):
         logging.getLogger(name).setLevel(logging.WARNING)
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(logging.ERROR)
+    # one-off advisory warnings that would otherwise be the only stderr a
+    # captured sweep emits: operator-name truncation (cosmetic), the
+    # object-store-fraction advisory (we don't control the driver's
+    # ray.init), and the zero-column-bundle executor warning
+    for name in ("ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.progress_bar",
+                 "ray.data._internal.execution.resource_manager"):
+        logging.getLogger(name).setLevel(logging.ERROR)

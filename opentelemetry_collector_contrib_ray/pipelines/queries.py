@@ -35,6 +35,55 @@ PARSED_COLS = [
     "tool_attr",
 ]
 
+# ---------------------------------------------------------------------------
+# Gate-sweep memo: the driver's correctness sweep calls every queries() entry
+# in ONE process at sf=0.01; without sharing, the parse chain re-executes
+# ~20x and the near-dup pair join 3x, which alone pushed the official sweep
+# past its budget (CORRECTNESS_r03/r04 recorded {}). Inputs small enough for
+# the gate (< _MEMO_MAX_BYTES on disk) are materialized once per process and
+# reused; anything larger (bench at sf>=0.1, production) keeps the streaming
+# plan untouched. A MaterializedDataset is safely consumable many times.
+# ---------------------------------------------------------------------------
+_MEMO: dict = {}
+_MEMO_MAX_BYTES = 8 << 20
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path))
+    return os.path.getsize(path)
+
+
+def _memo_ds(key: tuple, path: str, build):
+    """Materialize-and-share ``build()`` when ``path`` is gate-scale."""
+    if _input_bytes(path) > _MEMO_MAX_BYTES:
+        return build()
+    if key not in _MEMO:
+        _MEMO[key] = build().materialize()
+    return _MEMO[key]
+
+
+def _parsed(sf_dir: str):
+    """Shared parse->enrich->route dataset (build_parsed, memoized)."""
+    return _memo_ds(("parsed", sf_dir), ensure_transcripts(sf_dir),
+                    lambda: build_parsed(sf_dir))
+
+
+def _docs(sf_dir: str):
+    """Shared documents (doc_id, text) read (memoized)."""
+    path = f"{sf_dir}/documents.parquet"
+    return _memo_ds(("docs", sf_dir), path,
+                    lambda: read_table(path, columns=["doc_id", "text"]))
+
+
+def _emb(sf_dir: str, with_label: bool = False):
+    """Shared embeddings read (memoized)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    return _memo_ds(("emb", sf_dir, with_label), path,
+                    lambda: read_table(path, columns=cols))
+
 # The oracle re-derives the parse in SQL. DuckDB's regexp_extract uses RE2 —
 # the same engine family as pyarrow's extract_regex — so the patterns are
 # shared verbatim (parse.py APACHE_RE etc. minus the named groups).
@@ -73,7 +122,13 @@ def _transcripts_glob(sf_dir: str = "/root/testdata/sf0.01") -> str:
 def parsed_view_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """A SQL CTE body reproducing parse_transcript_batch + severity_bucket +
     enrichment + routing over the transcript parquet. The single source of
-    oracle truth for all flagship queries."""
+    oracle truth for all flagship queries.
+
+    ``m``/``parsed`` are MATERIALIZED: DuckDB inlines CTEs by default, and
+    a downstream filter (filter_errors, exceptions) then re-evaluates the
+    four regex extracts per reference — 4-6 s per oracle vs ~0.4 s
+    materialized (measured at sf0.01); the driver runs ~20 oracles over
+    this view in one sweep."""
     glob = _transcripts_glob(sf_dir)
     sevmap_kv = _sql_severity_map_case("m_kv[1]")
     sevmap_js = _sql_severity_map_case("m_js[1]")
@@ -87,7 +142,7 @@ WITH raw AS (
          regexp_matches(text, '^Traceback ') AS tb_head,
          regexp_matches(text, '^\\s') AS tb_cont
   FROM read_parquet('{glob}')
-), m AS (
+), m AS MATERIALIZED (
   SELECT *,
     CASE WHEN len(g_ap)>0 THEN regexp_extract(text, '{_AP}',
       ['ip','m_user','ats','method','path','status','bytes']) END AS m_ap_s,
@@ -123,7 +178,7 @@ WITH raw AS (
     END AS sev_sy,
     CASE WHEN tb_head THEN 17 END AS sev_tb
   FROM f
-), parsed AS (
+), parsed AS MATERIALIZED (
   SELECT conv_id, turn_idx, role, tool, ts, text,
     CASE WHEN ap_ok THEN 'apache' WHEN kv_ok THEN 'kv' WHEN js_ok THEN 'json'
          WHEN sy_ok THEN 'syslog' WHEN tb_head THEN 'traceback'
@@ -182,47 +237,47 @@ WITH raw AS (
 
 def q_parse(sf_dir: str):
     """Stanza parser chain output (regex/kv/json/syslog/severity parsers)."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return ds.select_columns(PARSED_COLS)
 
 
 def q_route(sf_dir: str):
     """routingconnector: first-match sink assignment per turn."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return ds.select_columns(["conv_id", "turn_idx", "role", "tool",
                               "severity_number", "sink"])
 
 
 def q_enrich(sf_dir: str):
     """k8sattributes-style broadcast enrichment columns."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return ds.select_columns(["conv_id", "turn_idx", "role", "service",
                               "tool", "resource"])
 
 
 def q_sink_counts(sf_dir: str):
     """Per-sink routed record counts (grouping fileexporter totals)."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return count_by(ds, ["sink"], count_col="n")
 
 
 def q_count_connector(sf_dir: str):
     """countconnector: count by (sink, tool, severity_bucket) with
     default_value '' for missing attrs (counter.go:42-73)."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return count_by(ds, ["sink", "tool", "severity_bucket"], count_col="n")
 
 
 def q_sum_connector(sf_dir: str):
     """sumconnector: total latency_ms by (sink, tool_attr) over kv rows."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return sum_by(ds, ["sink", "tool_attr"], "latency_ms",
                   condition=col("template") == "kv", sum_col="latency_total")
 
 
 def q_filter_errors(sf_dir: str):
     """filterprocessor: keep only error-or-worse parsed turns."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     ds = ds.map_batches(
         lambda b: b.filter((col("severity_number") >= 17).mask(b)),
         batch_format="pyarrow")
@@ -245,7 +300,7 @@ def q_filter_matchers(sf_dir: str):
     exclude = MatchProperties(
         match_type="strict",
         attributes=[AttributeMatch("tool", "bash")])
-    ds = filter_logs(build_parsed(sf_dir), include, exclude)
+    ds = filter_logs(_parsed(sf_dir), include, exclude)
     return ds.select_columns(["conv_id", "turn_idx", "severity_number",
                               "tool", "template"])
 
@@ -267,7 +322,7 @@ def q_tail_sample(sf_dir: str):
         {"type": "numeric_attribute", "key": "latency_ms",
          "min_value": 4900, "max_value": 5000},
     ]
-    out = tail_sample(build_parsed(sf_dir), policies,
+    out = tail_sample(_parsed(sf_dir), policies,
                       key_col="conv_id", ts_col="ts")
     return out.select_columns(["conv_id", "turn_idx", "severity_number",
                                "tool"])
@@ -280,7 +335,7 @@ def q_tail_sample_rate(sf_dir: str):
     budget -> exact reduce-side semi-join)."""
     from ..stages.tailsample import tail_sample
 
-    out = tail_sample(build_parsed(sf_dir),
+    out = tail_sample(_parsed(sf_dir),
                       [{"type": "rate_limiting", "spans_per_second": 40}],
                       key_col="conv_id", ts_col="ts")
     return out.select_columns(["conv_id", "turn_idx"])
@@ -289,7 +344,7 @@ def q_tail_sample_rate(sf_dir: str):
 def q_dedup(sf_dir: str):
     """logdedupprocessor: one row per (template, severity_number, error_code)
     identity with count + first/last observed ts."""
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     # identity = template x severity x code: known low cardinality -> the
     # single-task merge (wide=False) skips the fixed shuffle cost
     return dedup_counts(ds, ["template", "severity_number", "error_code"],
@@ -300,7 +355,9 @@ def _raw_transcripts(sf_dir: str):
     from ..sources.grouped import read_sized_parquet
     # data-derived block count: the default 2x-CPU heuristic makes plans
     # (and timings) a function of cluster size (sources/grouped.py)
-    return read_sized_parquet(ensure_transcripts(sf_dir))
+    path = ensure_transcripts(sf_dir)
+    return _memo_ds(("raw", sf_dir), path,
+                    lambda: read_sized_parquet(path))
 
 
 def q_recombine(sf_dir: str):
@@ -681,7 +738,7 @@ def q_exceptions(sf_dir: str):
     the error_code as the type dimension."""
     from ..stages.connectors import exceptions_connector
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return exceptions_connector(
         ds, condition=col("severity_number") >= 17,
         dims=["service", "error_code"])
@@ -718,7 +775,7 @@ def q_severity_range(sf_dir: str):
     (helper/severity_builder.go:94-104 expandRange) over apache statuses."""
     from ..stages.parse import severity_parser
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     ds = ds.map_batches(_template_filter("apache"), batch_format="pyarrow",
                         batch_size=None)
 
@@ -740,13 +797,22 @@ def q_severity_range(sf_dir: str):
 # training-data operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+def _ngram_pairs(sf_dir: str):
+    """Shared word-3-gram Jaccard near-dup pairs (memoized): computed once
+    for q_ngram_jaccard / q_dedup_components / q_dedup_keep."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return _memo_ds(("ngram_pairs", sf_dir), f"{sf_dir}/documents.parquet",
+                    lambda: ngram_jaccard_pairs(_docs(sf_dir), k=3,
+                                                threshold=0.5, max_df=256))
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup over documents: surviving doc_id (min) + copy count per
     distinct text."""
     from ..stages.dedup import exact_dedup
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return exact_dedup(ds)
 
 
@@ -756,12 +822,9 @@ def q_dedup_components(sf_dir: str):
     step of a dedup pipeline (keep node == component). Distributed
     min-label propagation; the oracle is a recursive transitive
     closure over the identical pair SQL."""
-    from ..stages.dedup import connected_components, ngram_jaccard_pairs
+    from ..stages.dedup import connected_components
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
-    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
-    return connected_components(pairs)
+    return connected_components(_ngram_pairs(sf_dir))
 
 
 _DEDUP_COMPONENTS_SQL = """
@@ -792,13 +855,11 @@ def q_dedup_keep(sf_dir: str):
     components -> keep one representative per cluster (the min doc_id)
     plus every unpaired document. The keep decision attaches the
     component reduce-side (partitioned_attach) — no driver-held set."""
-    from ..stages.dedup import connected_components, ngram_jaccard_pairs
+    from ..stages.dedup import connected_components
     from ..stages.shuffle import partitioned_attach
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
-    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
-    comp = connected_components(pairs)
+    ds = _docs(sf_dir)
+    comp = connected_components(_ngram_pairs(sf_dir))
     docs = ds.select_columns(["doc_id"])
     attached = partitioned_attach(
         docs, {"doc_id": pa.int64()}, comp, key_col="doc_id",
@@ -830,11 +891,7 @@ def q_ngram_jaccard(sf_dir: str):
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shingle-join).
     max_df=256 (the scale guard) is explicit here and mirrored in the SQL
     oracle's df CTE, so Ray and DuckDB agree at any sf."""
-    from ..stages.dedup import ngram_jaccard_pairs
-
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=256)
+    return _ngram_pairs(sf_dir)
 
 
 def q_minhash_lsh(sf_dir: str):
@@ -842,8 +899,7 @@ def q_minhash_lsh(sf_dir: str):
     no SQL oracle; recall vs exact Jaccard is pinned by unit test."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -851,8 +907,7 @@ def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3). Sketch-based — rows-only."""
     from ..stages.dedup import simhash_pairs
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return simhash_pairs(ds, max_hamming=3)
 
 
@@ -873,8 +928,7 @@ def q_ann_topk(sf_dir: str):
     from ..stages.similarity import ann_topk
 
     qm, qids = _query_vectors(sf_dir)
-    ds = read_table(f"{sf_dir}/embeddings.parquet",
-                    columns=["vec_id", "embedding"])
+    ds = _emb(sf_dir)
     return ann_topk(ds, qm, qids, k=5, round_digits=4)
 
 
@@ -885,9 +939,20 @@ def q_ann_lsh(sf_dir: str):
     from ..stages.similarity import ann_lsh_topk
 
     qm, qids = _query_vectors(sf_dir)
-    ds = read_table(f"{sf_dir}/embeddings.parquet",
-                    columns=["vec_id", "embedding"])
+    ds = _emb(sf_dir)
     return ann_lsh_topk(ds, qm, qids, k=5, n_bits=6, n_tables=12)
+
+
+def _kmeans_fit8(sf_dir: str) -> dict:
+    """Shared spherical-kmeans model (k=8, 5 iters) over embeddings —
+    trained once per process for q_ann_ivf (coarse quantizer) and
+    q_kmeans (the model query itself)."""
+    from ..stages.cluster import kmeans_fit
+
+    key = ("kmeans8", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = kmeans_fit(_emb(sf_dir), 8, max_iters=5)
+    return _MEMO[key]
 
 
 def q_ann_ivf(sf_dir: str):
@@ -897,9 +962,9 @@ def q_ann_ivf(sf_dir: str):
     from ..stages.similarity import ann_ivf_topk
 
     qm, qids = _query_vectors(sf_dir)
-    ds = read_table(f"{sf_dir}/embeddings.parquet",
-                    columns=["vec_id", "embedding"])
-    return ann_ivf_topk(ds, qm, qids, k=5, nlist=8, nprobe=3)
+    ds = _emb(sf_dir)
+    return ann_ivf_topk(ds, qm, qids, k=5, nlist=8, nprobe=3,
+                        fit=_kmeans_fit8(sf_dir))
 
 
 def q_cosine_pairs(sf_dir: str):
@@ -907,8 +972,7 @@ def q_cosine_pairs(sf_dir: str):
     (the IVF-bucket candidate scope)."""
     from ..stages.similarity import cosine_pairs_within
 
-    ds = read_table(f"{sf_dir}/embeddings.parquet",
-                    columns=["vec_id", "embedding", "label"])
+    ds = _emb(sf_dir, with_label=True)
     return cosine_pairs_within(ds, threshold=0.3, round_digits=4)
 
 
@@ -916,15 +980,10 @@ def q_kmeans(sf_dir: str):
     """Spherical k-means over embeddings (iterative combiner pattern) +
     cluster assignment — the trained IVF coarse quantizer. Iterative and
     model-like -> rows-only (determinism + separation pinned by tests)."""
-    from ..stages.cluster import kmeans_assign, kmeans_fit
+    from ..stages.cluster import kmeans_assign
 
-    cols = ["vec_id", "embedding"]
-    fit = kmeans_fit(
-        read_table(f"{sf_dir}/embeddings.parquet", columns=cols),
-        k=8, max_iters=5)
-    out = kmeans_assign(
-        read_table(f"{sf_dir}/embeddings.parquet", columns=cols),
-        fit["centroids"])
+    fit = _kmeans_fit8(sf_dir)
+    out = kmeans_assign(_emb(sf_dir), fit["centroids"])
     return out.select_columns(["vec_id", "cluster"])
 
 
@@ -932,8 +991,7 @@ def q_token_stats(sf_dir: str):
     """Token counting + quality scoring over documents."""
     from ..stages.textstats import token_stats
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return ds.map_batches(token_stats(), batch_format="pyarrow",
                           batch_size=None)
 
@@ -942,8 +1000,7 @@ def q_fingerprint(sf_dir: str):
     """md5 document fingerprint over normalized text."""
     from ..stages.textstats import fingerprint
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     return ds.map_batches(fingerprint(), batch_format="pyarrow",
                           batch_size=None)
 
@@ -952,8 +1009,7 @@ def q_langid(sf_dir: str):
     """Language-ID heuristic (marker-word scoring). Model-like — rows-only."""
     from ..stages.textstats import LanguageID
 
-    ds = read_table(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
+    ds = _docs(sf_dir)
     # plain callable instance: tiny state -> fuse with the read (no pool)
     return ds.map_batches(LanguageID(), batch_format="pyarrow",
                           batch_size=None)
@@ -965,9 +1021,11 @@ def q_multimodal(sf_dir: str):
     from ..stages.multimodal import ImageDecoder, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(256))
+    # pool sized to the fixed 256-row demo input (8 batches) — a real
+    # corpus passes media_batch_size()/actor_pool_size() per its volume
     return ds.map_batches(ImageDecoder, fn_constructor_args=(True,),
                           batch_format="pyarrow", batch_size=32,
-                          concurrency=actor_pool_size())
+                          concurrency=(1, 4))
 
 
 # 203.0.113.x split into two synthetic "networks" for the geoip analogue
@@ -993,18 +1051,17 @@ def _template_filter(name: str):
 def q_geoip(sf_dir: str):
     """geoipprocessor analogue: range-lookup enrichment of apache client IPs
     (sorted-interval binary search held by an actor pool)."""
-    from ..stages.enrich import RangeLookupEnricher
+    from ..stages.enrich import range_enrich_stage
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     # only apache rows carry client_ip: filter FIRST so the range probe
     # runs on ~1/7 of the rows instead of enriching everything
     ds = ds.map_batches(_template_filter("apache"), batch_format="pyarrow",
                         batch_size=None)
-    ds = ds.map_batches(
-        RangeLookupEnricher,
-        fn_constructor_args=(GEO_RANGES, "client_ip", "net", True, "other"),
-        batch_format="pyarrow", batch_size=None,
-        concurrency=actor_pool_size())
+    # small/big state split lives in range_enrich_stage: the 2-entry demo
+    # table ships in the task closure; a real geo DB broadcasts to a pool
+    ds = range_enrich_stage(ds, GEO_RANGES, "client_ip", "net",
+                            key_is_ip=True, default="other")
     return count_by(ds, ["net"], count_col="n")
 
 
@@ -1045,7 +1102,7 @@ def q_uri_parse(sf_dir: str):
     """stanza uri parser over URLs reconstructed from apache-parsed paths."""
     from ..stages.connectors import uri_parser
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
 
     def mk_url(b: pa.Table) -> pa.Table:
         path = b["http_path"]
@@ -1076,7 +1133,7 @@ def q_uri_query(sf_dir: str):
     map column is exploded to (param, pos, value) rows for the oracle."""
     from ..stages.connectors import uri_parser
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
 
     def mk_url(b: pa.Table) -> pa.Table:
         path = b["http_path"]
@@ -1168,7 +1225,7 @@ def q_latency_histogram(sf_dir: str):
     severity_bucket) over kv-parsed turns."""
     from ..stages.metrics import histogram_by
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return histogram_by(ds, ["service", "severity_bucket"], "latency_ms",
                         LATENCY_BOUNDS)
 
@@ -1194,7 +1251,7 @@ def q_schema_translate(sf_dir: str):
     over parsed columns (chained all+logs renames across two revisions)."""
     from ..stages.schema import semconv_log_transform
 
-    ds = build_parsed(sf_dir).select_columns(
+    ds = _parsed(sf_dir).select_columns(
         ["conv_id", "turn_idx", "http_status", "log_level", "error_code"])
     return ds.map_batches(
         semconv_log_transform(SCHEMA_VERSIONS, "1.0.0", "1.2.0"),
@@ -1313,7 +1370,7 @@ def q_latency_exp_histogram(sf_dir: str):
     tests in test_metrics.py)."""
     from ..stages.metrics import exp_histogram_by
 
-    ds = build_parsed(sf_dir)
+    ds = _parsed(sf_dir)
     return exp_histogram_by(ds, ["service", "severity_bucket"],
                             "latency_ms", scale=3)
 
@@ -1341,7 +1398,7 @@ def q_service_graph(sf_dir: str):
     per conversation."""
     from ..stages.metrics import transition_edges
 
-    ds = build_parsed(sf_dir).select_columns(
+    ds = _parsed(sf_dir).select_columns(
         ["conv_id", "turn_idx", "service"])
     return transition_edges(ds)
 

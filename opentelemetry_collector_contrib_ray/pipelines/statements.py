@@ -57,7 +57,66 @@ DEFAULT_COLMAP = {
     "trace_id": "trace_id", "span_id": "span_id", "flags": "flags",
     "attributes": "attributes", "resource.attributes": "resource",
     "instrumentation_scope.name": "scope_name",
+    "instrumentation_scope.version": "scope_version",
+    "instrumentation_scope.attributes": "scope_attributes",
+    "instrumentation_scope.schema_url": "scope_schema_url",
+    "resource.schema_url": "resource_schema_url",
+    "scope.name": "scope_name", "scope.version": "scope_version",
+    "scope.attributes": "scope_attributes",
+    "scope.schema_url": "scope_schema_url",
 }
+
+
+def _rewrite_paths(node, fn):
+    """Recursively rewrite every ("path", segs) node of a parsed AST."""
+    if not isinstance(node, tuple):
+        return node
+    k = node[0]
+    if k == "path":
+        return fn(node)
+    if k in ("lit", "fname"):
+        return node
+    if k == "list":
+        return ("list", [_rewrite_paths(e, fn) for e in node[1]])
+    if k == "map":
+        return ("map", [(key, _rewrite_paths(e, fn)) for key, e in node[1]])
+    if k == "call":
+        return ("call", node[1], [_rewrite_paths(a, fn) for a in node[2]],
+                {kk: _rewrite_paths(v, fn) for kk, v in node[3].items()})
+    if k == "index":
+        return ("index", _rewrite_paths(node[1], fn),
+                _rewrite_paths(node[2], fn))
+    if k == "binop":
+        return ("binop", node[1], _rewrite_paths(node[2], fn),
+                _rewrite_paths(node[3], fn))
+    if k == "bool":
+        return ("bool", node[1], [_rewrite_paths(e, fn) for e in node[2]])
+    if k == "not":
+        return ("not", _rewrite_paths(node[1], fn))
+    if k == "editor":
+        return ("editor", node[1],
+                [_rewrite_paths(a, fn) for a in node[2]],
+                {kk: _rewrite_paths(v, fn) for kk, v in node[3].items()},
+                _rewrite_paths(node[4], fn) if node[4] is not None else None)
+    return node
+
+
+def _strip_context_prefix(node, context: str):
+    """grammar.go path: ``(Context '.')? Fields`` — inside a group of
+    context C, a leading ``C.`` on any path is the explicit context name
+    and resolves to the same object as the bare path (``log.body`` ==
+    ``body`` in a log group; processor_test.go runs every case in both
+    spellings). Lower-context prefixes (``resource.`` inside a log group)
+    are NOT stripped — they address the other object via the dotted
+    colmap."""
+    def strip(pnode):
+        segs = pnode[1]
+        if len(segs) > 1 and segs[0][0] == context and not segs[0][1]:
+            segs = segs[1:]
+        return ("path", [(nm, [_strip_context_prefix(i, context)
+                               for i in (idxs or [])])
+                         for nm, idxs in segs])
+    return _rewrite_paths(node, strip)
 
 _SCALAR_TYPES = (str, int, float, bool, bytes, type(None))
 
@@ -609,7 +668,24 @@ def eval_expr(node, ctx: _Ctx):
         base = eval_expr(node[1], ctx)
         idx = eval_expr(node[2], ctx)
         if isinstance(base, (pa.Array, pa.ChunkedArray)):
-            return pc.list_element(_arr(base), int(idx))
+            a = _arr(base)
+            if isinstance(idx, str):
+                # string key on a converter result (grammar.go converter
+                # Keys): map / struct columns index directly, anything
+                # stringy is treated as a JSON document
+                if pa.types.is_map(a.type):
+                    return M.map_get(a, idx)
+                if pa.types.is_struct(a.type):
+                    return pc.struct_field(a, idx) \
+                        if idx in a.type.names else pa.nulls(len(a),
+                                                             pa.string())
+                return J.json_get(a, [idx])
+            return pc.list_element(a, int(idx))
+        if isinstance(base, (list, dict)):
+            try:
+                return base[idx if isinstance(idx, str) else int(idx)]
+            except (KeyError, IndexError):
+                return None
         return base[int(idx)]
     if kind == "call":
         return _eval_call(node, ctx)
@@ -629,6 +705,11 @@ def eval_expr(node, ctx: _Ctx):
         v = eval_expr(node[1], ctx)
         return (not v) if isinstance(v, bool) else pc.invert(
             _to_mask(v, ctx.n))
+    if kind == "fname":
+        # a bare Uppercase name evaluated as a VALUE: Go resolves it as an
+        # enum symbol here and errors (converter refs are only legal where
+        # a FunctionGetter parameter consumes them)
+        raise ValueError(f"enum symbol not found: {node[1]}")
     raise ValueError(f"unknown AST node {kind}")
 
 
@@ -1125,10 +1206,12 @@ def _apply_replace_pattern(ctx: _Ctx, args, mask, glob: bool = False):
         # optional `function` arg hashes each expanded replacement
         # (func_replace_pattern.go: replacementFn applied per substitution)
         fnode = args[3]
-        if not (fnode[0] == "path" and len(fnode[1]) == 1
-                and not fnode[1][0][1] and fnode[1][0][0] in F.REGISTRY):
+        fname = fnode[1] if fnode[0] == "fname" else (
+            fnode[1][0][0] if fnode[0] == "path" and len(fnode[1]) == 1
+            and not fnode[1][0][1] else None)
+        if fname not in F.REGISTRY:
             raise ValueError("replace_pattern: 4th arg must be a converter")
-        hash_fn = F.REGISTRY[fnode[1][0][0]]
+        hash_fn = F.REGISTRY[fname]
     tgt = _resolve_target(target_node[1], ctx)
     if hash_fn is not None:
         def fn(col, pattern_, repl_):
@@ -1348,16 +1431,19 @@ class StatementGroupExecutor:
         self.colmap = dict(DEFAULT_COLMAP, **(colmap or {}))
         self.compiled = []
         for g in groups:
-            conds = [parse_ottl_condition(c) for c in g.get("conditions", [])]
-            stmts = [parse_statement(s) for s in g.get("statements", [])]
+            context = g.get("context", "log")
+            conds = [_strip_context_prefix(parse_ottl_condition(c), context)
+                     for c in g.get("conditions", [])]
+            stmts = [_strip_context_prefix(parse_statement(s), context)
+                     for s in g.get("statements", [])]
             mode = g.get("error_mode", "propagate")
             if mode not in ("ignore", "silent", "propagate"):
                 raise ValueError(f"bad error_mode {mode!r}")
-            context = g.get("context", "log")
             if context not in ("log", "resource", "scope", "datapoint",
                                "metric"):
                 raise ValueError(f"bad context {context!r}")
-            self.compiled.append((context, conds, stmts, mode))
+            self.compiled.append((context, conds, stmts, mode,
+                                  bool(g.get("shared_cache"))))
 
     def _group_colmap(self, context: str) -> dict[str, str]:
         """Context selects the object bare paths address
@@ -1366,16 +1452,26 @@ class StatementGroupExecutor:
         if context == "resource":
             return dict(self.colmap,
                         attributes=self.colmap.get("resource.attributes",
-                                                   "resource"))
+                                                   "resource"),
+                        schema_url=self.colmap.get("resource.schema_url",
+                                                   "resource_schema_url"))
         if context == "scope":
-            # scope attributes are not part of the flat envelope
-            # (SURVEY.md §1.3) — only the scope name is addressable;
-            # attributes paths in a scope group would silently hit LOG
-            # attributes, so unmap them to a clearly-named missing column
+            # bare paths address the scope object (ottlscope): name,
+            # version, attributes, schema_url map to the scope_* columns
+            # (absent columns read as null — the flat envelope only
+            # guarantees scope_name, SURVEY.md §1.3)
             return dict(self.colmap,
                         name=self.colmap.get("instrumentation_scope.name",
                                              "scope_name"),
-                        attributes="__scope_attributes_unmapped__")
+                        version=self.colmap.get(
+                            "instrumentation_scope.version",
+                            "scope_version"),
+                        attributes=self.colmap.get(
+                            "instrumentation_scope.attributes",
+                            "scope_attributes"),
+                        schema_url=self.colmap.get(
+                            "instrumentation_scope.schema_url",
+                            "scope_schema_url"))
         if context == "datapoint":
             # ottldatapoint (pkg/ottl/contexts/ottldatapoint): datapoint
             # fields + the owning metric's via `metric.*` dotted paths.
@@ -1399,12 +1495,19 @@ class StatementGroupExecutor:
         return self.colmap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        for context, conds, stmts, mode in self.compiled:
-            batch = self._run_group(batch, context, conds, stmts, mode)
+        # shared_cache groups read/write ONE cache per batch invocation
+        # (transformprocessor common.ContextStatements.SharedCache);
+        # unflagged groups keep their own transient cache
+        shared: dict = {}
+        for context, conds, stmts, mode, shares in self.compiled:
+            batch = self._run_group(batch, context, conds, stmts, mode,
+                                    shared if shares else None)
         return batch
 
-    def _run_group(self, batch, context, conds, stmts, mode):
+    def _run_group(self, batch, context, conds, stmts, mode, shared=None):
         ctx = _Ctx(batch, self._group_colmap(context))
+        if shared is not None:
+            ctx.cache = shared
         if conds:  # OR-ed group gate (config.go conditions)
             gate = None
             for c in conds:
@@ -1427,6 +1530,11 @@ class StatementGroupExecutor:
                 # this statement
                 ctx.batch, ctx.cache = self._apply_rowsafe(
                     ctx.batch, ctx.cache, ctx.colmap, st, gate)
+        if shared is not None and ctx.cache is not shared:
+            # rowsafe retry rebuilt the cache dict — fold it back into the
+            # shared store so later shared groups observe the writes
+            shared.clear()
+            shared.update(ctx.cache)
         return ctx.batch
 
     def _apply_rowsafe(self, batch, cache, colmap, st, gate):

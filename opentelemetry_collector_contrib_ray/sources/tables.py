@@ -21,11 +21,15 @@ def read_table(path: str, *, columns: list[str] | None = None,
                **kwargs) -> ray.data.Dataset:
     """``ray.data.read_parquet`` with a metadata-free explicit schema.
 
-    ``path`` must be a single parquet file (the testdata tables are).
-    ``columns`` prunes the read as usual; the schema passed to Ray is
-    projected to match.
+    ``path`` is a parquet file or a directory of same-schema part files
+    (the schema comes from the first part's footer). ``columns`` prunes
+    the read as usual; the schema passed to Ray is projected to match.
     """
-    schema = pq.read_schema(path).remove_metadata()
+    import os
+    probe = path
+    if os.path.isdir(path):
+        probe = os.path.join(path, sorted(os.listdir(path))[0])
+    schema = pq.read_schema(probe).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     return ray.data.read_parquet(path, columns=columns, schema=schema,

@@ -57,7 +57,7 @@ def otlpjson_parser(parse_from: str, fields: dict[str, tuple[str, str]],
 # divergence: '#fragment' is split off here, while ParseRequestURI leaves
 # '#' in the path (request URIs never carry fragments in practice).
 _URI_RE = (r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*):)?"
-           r"(?://(?:(?P<userinfo>[^@/?#]*)@)?"
+           r"(?:(?P<slashes>//)(?:(?P<userinfo>[^@/?#]*)@)?"
            r"(?P<host>[^:/?#]*)(?::(?P<port>[0-9]*))?)?"
            r"(?P<path>[^?#]*)"
            r"(?:\?(?P<query>[^#]*))?"
@@ -171,12 +171,22 @@ def uri_parser(parse_from: str, prefix: str = "uri_",
         matched = pc.is_valid(st)
         f = {name: pc.fill_null(pc.struct_field(st, name), "")
              for name in ("scheme", "userinfo", "host", "port", "path",
-                          "query")}
+                          "query", "slashes")}
         bare = pc.fill_null(pc.starts_with(col, "?"), False)
         qsrc = pc.if_else(bare, pc.utf8_slice_codeunits(
             pc.fill_null(col, ""), 1, big), f["query"])
         shape_ok = pc.or_(pc.or_(pc.not_equal(f["scheme"], ""),
                                  pc.starts_with(f["path"], "/")), bare)
+        # invalid port: with an authority present the path must be empty
+        # or '/'-rooted. 'http://host:abc/x' leaves the port group empty
+        # (':' consumed, no digits) and the remainder lands in path —
+        # url.ParseRequestURI errors ('invalid port'), the stanza parser
+        # nulls the entry (parseutils/uri.go ParseURI error path).
+        bad_authority_path = pc.and_(
+            pc.equal(f["slashes"], "//"),
+            pc.and_(pc.not_equal(f["path"], ""),
+                    pc.invert(pc.starts_with(f["path"], "/"))))
+        shape_ok = pc.and_(shape_ok, pc.invert(bad_authority_path))
         bad = pc.match_substring_regex(f["userinfo"], _BAD_PCT_RE)
         for comp in ("host", "path"):
             bad = pc.or_(bad, pc.match_substring_regex(f[comp], _BAD_PCT_RE))

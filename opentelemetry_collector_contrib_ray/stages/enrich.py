@@ -121,6 +121,30 @@ def enrich_stage(ds, spec, *, concurrency=None,
         concurrency=concurrency or actor_pool_size())
 
 
+def range_enrich_stage(ds, ranges, key_col: str, out_col: str, *,
+                       key_is_ip: bool = False, default=None,
+                       concurrency=None,
+                       task_threshold_bytes: int = 1 << 20):
+    """Plan an interval-lookup stage with the same small/big state split as
+    ``enrich_stage``: a few-entry range table ships compiled in the task
+    closure (fuses with neighbors, no pool spin-up); a real geo DB
+    (MBs of intervals) is broadcast once and fetched per actor."""
+    from .shuffle import actor_pool_size
+
+    approx = sum(16 + len(str(v)) for _, _, v in ranges)
+    if approx <= task_threshold_bytes:
+        enricher = RangeLookupEnricher(ranges, key_col, out_col,
+                                       key_is_ip, default)
+        return ds.map_batches(enricher, batch_format="pyarrow",
+                              batch_size=None)
+    ref = ray.put(ranges) if ray.is_initialized() else ranges
+    return ds.map_batches(
+        RangeLookupEnricher,
+        fn_constructor_args=(ref, key_col, out_col, key_is_ip, default),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency or actor_pool_size())
+
+
 class RangeLookupEnricher:
     """Actor-pool stage for interval lookups — the geoipprocessor pattern
     (maxmind db opened once per actor; per-record range query, SURVEY.md

@@ -506,6 +506,131 @@ def metrics_transform(ds: Dataset, transforms: list[dict], *,
     return ds
 
 
+def _name_capture_groups(pattern: str) -> tuple[str, dict]:
+    """Give every unnamed capture group in ``pattern`` a name (RE2 keeps
+    semantics; pc.extract_regex only exposes NAMED groups) and return the
+    rewritten pattern plus {reference -> field name} for both numeric
+    ($1) and named ($foo) template references. Group 0 (the whole match)
+    is exposed by wrapping the pattern."""
+    out: list[str] = []
+    names: dict[str, str] = {"0": "_g0"}
+    i, gi, in_class = 0, 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            in_class = c != "]"
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            if pattern.startswith("(?P<", i):
+                j = pattern.index(">", i)
+                nm = pattern[i + 4:j]
+                gi += 1
+                names[str(gi)] = nm
+                names[nm] = nm
+                out.append(pattern[i:j + 1])
+                i = j + 1
+                continue
+            if pattern.startswith("(?", i):  # non-capturing / flags
+                out.append(c)
+                i += 1
+                continue
+            gi += 1
+            fn = f"_g{gi}"
+            names[str(gi)] = fn
+            out.append(f"(?P<{fn}>")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "(?P<_g0>" + "".join(out) + ")", names
+
+
+def _expand_template_parts(template: str) -> list[tuple[str, str]]:
+    """Split a Go Regexp.Expand template into ('lit', text) / ('ref', name)
+    parts: $name / ${name} with name = longest \\w+ run, $$ -> literal $
+    (regexp/regexp.go Expand)."""
+    import re as _re
+
+    parts: list[tuple[str, str]] = []
+    lit = ""
+    i = 0
+    while i < len(template):
+        c = template[i]
+        if c == "$" and i + 1 < len(template):
+            nxt = template[i + 1]
+            if nxt == "$":
+                lit += "$"
+                i += 2
+                continue
+            if nxt == "{":
+                j = template.find("}", i + 2)
+                body = template[i + 2:j] if j > 0 else ""
+                if j > 0 and _re.fullmatch(r"\w+", body):
+                    ref, i = body, j + 1
+                else:  # malformed ${ -> literal, as Go does
+                    lit += c
+                    i += 1
+                    continue
+            else:
+                m = _re.match(r"\w+", template[i + 1:])
+                if m:
+                    ref = m.group(0)
+                    i += 1 + len(ref)
+                else:
+                    lit += c
+                    i += 1
+                    continue
+            if lit:
+                parts.append(("lit", lit))
+                lit = ""
+            parts.append(("ref", ref))
+            continue
+        lit += c
+        i += 1
+    if lit:
+        parts.append(("lit", lit))
+    return parts
+
+
+def _expand_regexp_rename(name: pa.Array, pattern: str,
+                          template: str) -> pa.Array:
+    """Go ``re.ExpandString(nil, newName, name, firstMatch)`` as a column
+    op: the WHOLE metric name becomes ``template`` with $N/${N}/$name
+    submatch references filled from the first (unanchored) match of
+    ``pattern`` (metrics_transform_processor_otlp.go:540-545); references
+    to groups that did not participate (or do not exist) expand to ''.
+    Non-matching rows keep their original name."""
+    named, names = _name_capture_groups(pattern)
+    st = pc.extract_regex(name, named)
+    matched = pc.is_valid(st)
+    args = []
+    for kind, val in _expand_template_parts(template):
+        if kind == "lit":
+            args.append(pa.scalar(val, pa.string()))
+        elif val in names:
+            args.append(pc.fill_null(pc.struct_field(st, names[val]), ""))
+        # unknown reference -> appends nothing (Go Expand skips it)
+    if not args:
+        args.append(pa.scalar("", pa.string()))
+    joined = pc.binary_join_element_wise(*args, "") if len(args) > 1 \
+        else (pc.binary_join_element_wise(args[0], "", "")
+              if isinstance(args[0], pa.Scalar) else args[0])
+    if isinstance(joined, pa.Scalar):
+        joined = pa.nulls(len(name), pa.string()).fill_null(joined.as_py())
+    return pc.if_else(matched, joined, name)
+
+
 def _metric_match(name: pa.Array, t: dict):
     inc = t["include"]
     if t.get("match_type", "strict") == "regexp":
@@ -531,7 +656,9 @@ def _metric_rowfn(t: dict, name_col: str, value_col: str):
                 name = name.combine_chunks()
             m = pa.array([True] * batch.num_rows, pa.bool_())
         if new_name is not None:
-            renamed = pc.replace_substring_regex(name, inc, new_name) \
+            # regexp rename = full-name Expand of $N submatch templates
+            # (NOT substring replacement — see _expand_regexp_rename)
+            renamed = _expand_regexp_rename(name, inc, new_name) \
                 if regexp else pa.nulls(len(name), pa.string()) \
                 .fill_null(new_name)
             batch = batch.set_column(
@@ -569,12 +696,19 @@ def _apply_row_op(batch: pa.Table, m, op: dict, name_col: str,
         if old not in batch.column_names:
             return batch, m
         cur = _col(batch, old)
-        for va in op.get("value_actions") or []:
-            cur = pc.if_else(
-                pc.and_(m, pc.equal(pc.cast(cur, pa.string()),
-                                    str(va["value"]))),
-                pa.scalar(str(va["new_value"]), pa.string()),
-                pc.cast(cur, pa.string()))
+        vas = op.get("value_actions") or []
+        if vas:
+            # ONE lookup against the original values (Go builds a
+            # valueActionsMapping then maps each datapoint once,
+            # operation_update_label.go) — chained rewrites would let
+            # [{a->b},{b->c}] turn an original 'a' into 'c'
+            mapping = {str(va["value"]): str(va["new_value"]) for va in vas}
+            keys = pa.array(list(mapping.keys()), pa.string())
+            vals = pa.array(list(mapping.values()), pa.string())
+            cur_s = pc.cast(cur, pa.string())
+            idx = pc.index_in(cur_s, value_set=keys)
+            cur = pc.if_else(pc.and_(m, pc.is_valid(idx)),
+                             pc.take(vals, idx), cur_s)
         new = op.get("new_label")
         if new and new != old:
             dest = _col(batch, new) if new in batch.column_names \

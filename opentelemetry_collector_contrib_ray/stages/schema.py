@@ -219,10 +219,15 @@ def semconv_metric_transform(versions: dict, from_version: str,
                 name_arr = name_arr.combine_chunks()
             if item[0] == "names":
                 m = item[1]
-                out = name_arr
-                for old, new in m.items():
-                    out = pc.if_else(pc.equal(pc.fill_null(out, ""), old),
-                                     pa.scalar(new, pa.string()), out)
+                # one lookup against the ORIGINAL names (Go reads each map
+                # once per metric) — chained if_else would let
+                # {'a':'b','b':'c'} rewrite an original 'a' to 'c'
+                keys = pa.array(list(m.keys()), pa.string())
+                vals = pa.array(list(m.values()), pa.string())
+                idx = pc.index_in(pc.fill_null(name_arr, ""),
+                                  value_set=keys)
+                out = pc.if_else(pc.is_valid(idx), pc.take(vals, idx),
+                                 name_arr)
                 batch = batch.set_column(
                     batch.column_names.index(name_col), name_col, out)
             else:

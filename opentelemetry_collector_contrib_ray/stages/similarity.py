@@ -276,15 +276,17 @@ class IVFSearcher:
 def ann_ivf_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
                  nlist: int = 8, nprobe: int = 3, max_iters: int = 5,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 round_digits: int = 6) -> Dataset:
+                 round_digits: int = 6, fit: dict | None = None) -> Dataset:
     """IVF-Flat ANN: train the spherical k-means coarse quantizer (nlist
     cells, stages/cluster.py), pick each query's nprobe nearest cells, and
     exact-search only those cells — the scale path where brute force is
     O(N·nq) and LSH recall is pattern-dependent. Approximate by design
-    (recall vs ann_topk pinned in tests)."""
+    (recall vs ann_topk pinned in tests). Pass ``fit`` (a kmeans_fit
+    result) to reuse an already-trained quantizer."""
     from .cluster import kmeans_fit
 
-    fit = kmeans_fit(ds, nlist, vec_col=vec_col, max_iters=max_iters)
+    if fit is None:
+        fit = kmeans_fit(ds, nlist, vec_col=vec_col, max_iters=max_iters)
     cents = _normalize(np.asarray(fit["centroids"], np.float64))
     q = _normalize(np.asarray(query_vectors, np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]

@@ -116,8 +116,11 @@ class LanguageID:
         total = scores.sum(axis=0)
         conf = np.where(total > 0, scores.max(axis=0) / np.maximum(total, 1e-9),
                         0.0)
-        pred = pa.array([langs[b] if total[j] > 0 else "unknown"
-                         for j, b in enumerate(best)], pa.string())
+        # dictionary take keeps the stage loop-free: names indexed by
+        # argmax, rows with zero marker hits routed to the 'unknown' slot
+        names = pa.array(langs + ["unknown"], pa.string())
+        pred = pc.take(names, pa.array(
+            np.where(total > 0, best, len(langs)), pa.int64()))
         return pa.table({
             self.id_col: batch[self.id_col],
             "lang_pred": pred,

@@ -227,3 +227,14 @@ def test_uri_parser_bad_host_escape_errors_row():
     assert out["uri_host"].to_pylist() == [None]
     assert out["uri_path"].to_pylist() == [None]
     assert out["uri_query_map"].to_pylist() == [None]
+
+
+def test_uri_parser_invalid_port_nulls_row():
+    # url.ParseRequestURI('http://host:abc/x') errors (invalid port) and
+    # the stanza parser nulls the entry — no host='host'/path='abc/x'.
+    b = pa.table({"u": ["http://host:abc/x", "http://host:8080/x",
+                        "http://host:/x"]})
+    out = uri_parser("u")(b)
+    assert out["uri_host"].to_pylist() == [None, "host", "host"]
+    assert out["uri_path"].to_pylist() == [None, "/x", "/x"]
+    assert out["uri_port"].to_pylist() == [None, "8080", None]

@@ -375,3 +375,49 @@ def test_metrics_transform_aggregate_label_values(ray_session):
         .to_pandas().sort_values("env", ignore_index=True)
     assert list(out.env) == ["nonprod", "prod"]
     assert list(out.value) == [3.0, 4.0]
+
+
+def test_metrics_transform_regexp_rename_submatch_expansion(ray_session):
+    # metrics_transform_processor_otlp.go:540-545: the WHOLE name becomes
+    # ExpandString(new_name) with Go $-submatch templates; unmatched
+    # prefix/suffix must NOT survive, and ${1}/$1 must expand.
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({
+        "metric_name": ["system.cpu.usage", "system.mem.usage", "other"],
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = metrics_transform(rd.from_arrow(t), [{
+        "include": r"^system\.(\w+)\.usage$", "match_type": "regexp",
+        "action": "update", "new_name": "${1}_total",
+    }]).to_pandas().sort_values("value", ignore_index=True)
+    assert list(out.metric_name) == ["cpu_total", "mem_total", "other"]
+    # named-group + $0 references and $$ literal
+    out2 = metrics_transform(rd.from_arrow(t), [{
+        "include": r"^system\.(?P<part>\w+)\.usage$", "match_type": "regexp",
+        "action": "update", "new_name": "$part/$0$$",
+    }]).to_pandas().sort_values("value", ignore_index=True)
+    assert list(out2.metric_name) == [
+        "cpu/system.cpu.usage$", "mem/system.mem.usage$", "other"]
+
+
+def test_metrics_transform_value_actions_single_lookup(ray_session):
+    # operation_update_label.go builds one valueActionsMapping: original
+    # 'a' maps to 'b' and stops — NOT chained a->b->c.
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({
+        "metric_name": ["m", "m", "m"],
+        "env": ["a", "b", "x"],
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = metrics_transform(rd.from_arrow(t), [{
+        "include": "m", "action": "update", "operations": [
+            {"action": "update_label", "label": "env", "value_actions": [
+                {"value": "a", "new_value": "b"},
+                {"value": "b", "new_value": "c"},
+            ]},
+        ]}]).to_pandas().sort_values("value", ignore_index=True)
+    assert list(out.env) == ["b", "c", "x"]

@@ -499,6 +499,9 @@ E2E_CASES = [
     ('set(attributes["test"], "pass") where IsString(UUID())',
      _merged(test="pass")),
     ('set(attributes["test"], "\\\\")', _merged(test="\\")),
+    ('set(attributes["test"], "\\\\\\\\\\\\")', _merged(test="\\\\\\")),
+    ('set(attributes["test"], "\\\\\\\\\\\\\\\\")',
+     _merged(test="\\\\\\\\")),
     ('set(attributes["test"], "\\"")', _merged(test='"')),
     ('set(attributes["test"], UserAgent("curl/7.81.0"))',
      lambda t: json.loads(attrs_of(t)["test"])["name"] == "curl" and

@@ -738,3 +738,26 @@ def test_semconv_log_rename_onto_existing_column_no_duplicates():
     out = semconv_log_transform(versions, "1.0.0", "1.1.0")(t)
     assert out.column_names == ["name", "x"]
     assert out["name"].to_pylist() == ["a"]
+
+
+def test_semconv_rename_metrics_single_map_lookup():
+    # a rename map {'a':'b','b':'c'} in ONE changeset is a single lookup
+    # per metric (Go map), not chained passes: 'a' -> 'b', 'b' -> 'c'.
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        parse_schema_file, semconv_metric_transform)
+    versions = parse_schema_file("""
+file_format: 1.0.0
+schema_url: https://example.com/1.1.0
+versions:
+  1.1.0:
+    metrics:
+      changes:
+      - rename_metrics:
+          a: b
+          b: c
+  1.0.0: {}
+""")
+    t = pa.table({"metric_name": pa.array(["a", "b"]),
+                  "value": pa.array([1.0, 2.0])})
+    out = semconv_metric_transform(versions, "1.0.0", "1.1.0")(t)
+    assert out["metric_name"].to_pylist() == ["b", "c"]
