@@ -84,6 +84,14 @@ def _emb(sf_dir: str, with_label: bool = False):
     return _memo_ds(("emb", sf_dir, with_label), path,
                     lambda: read_table(path, columns=cols))
 
+
+def _tbl(sf_dir: str, name: str, cols: tuple[str, ...]):
+    """Shared testdata-table read (memoized per column set so output
+    schemas stay exactly as pruned)."""
+    path = f"{sf_dir}/{name}.parquet"
+    return _memo_ds((name, sf_dir, cols), path,
+                    lambda: read_table(path, columns=list(cols)))
+
 # The oracle re-derives the parse in SQL. DuckDB's regexp_extract uses RE2 —
 # the same engine family as pyarrow's extract_regex — so the patterns are
 # shared verbatim (parse.py APACHE_RE etc. minus the named groups).
@@ -322,8 +330,10 @@ def q_tail_sample(sf_dir: str):
         {"type": "numeric_attribute", "key": "latency_ms",
          "min_value": 4900, "max_value": 5000},
     ]
+    from ..stages.shuffle import dir_size_bytes
     out = tail_sample(_parsed(sf_dir), policies,
-                      key_col="conv_id", ts_col="ts")
+                      key_col="conv_id", ts_col="ts",
+                      size_bytes=dir_size_bytes(ensure_transcripts(sf_dir)))
     return out.select_columns(["conv_id", "turn_idx", "severity_number",
                                "tool"])
 
@@ -335,9 +345,11 @@ def q_tail_sample_rate(sf_dir: str):
     budget -> exact reduce-side semi-join)."""
     from ..stages.tailsample import tail_sample
 
+    from ..stages.shuffle import dir_size_bytes
     out = tail_sample(_parsed(sf_dir),
                       [{"type": "rate_limiting", "spans_per_second": 40}],
-                      key_col="conv_id", ts_col="ts")
+                      key_col="conv_id", ts_col="ts",
+                      size_bytes=dir_size_bytes(ensure_transcripts(sf_dir)))
     return out.select_columns(["conv_id", "turn_idx"])
 
 
@@ -441,8 +453,7 @@ def q_transform_statements(sf_dir: str):
 def q_window_counts(sf_dir: str):
     """intervalprocessor / tumbling window: per-hour counts by event_type
     over the events stream table."""
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["ts", "event_type"])
+    ds = _tbl(sf_dir, "events", ("ts", "event_type"))
 
     def add_window(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -487,8 +498,7 @@ def q_jsonarray(sf_dir: str):
     parsed back, and compared field-for-field."""
     from ..stages.parse import jsonarray_parser
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "event_type"])
+    ds = _tbl(sf_dir, "events", ("event_id", "event_type"))
 
     def mk(b: pa.Table) -> pa.Table:
         et = b["event_type"]
@@ -548,8 +558,7 @@ def q_cumulative_to_delta(sf_dir: str):
     from ..stages.metrics import cumulative_to_delta
     from ..stages.shuffle import dir_size_bytes
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "user_id", "ts", "value"])
+    ds = _tbl(sf_dir, "events", ("event_id", "user_id", "ts", "value"))
     out = cumulative_to_delta(
         ds, key_col="user_id", order_col="ts", value_col="value",
         initial="keep", size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
@@ -570,8 +579,7 @@ def q_delta_to_rate(sf_dir: str):
     from ..stages.metrics import delta_to_rate
     from ..stages.shuffle import dir_size_bytes
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "user_id", "ts", "value"])
+    ds = _tbl(sf_dir, "events", ("event_id", "user_id", "ts", "value"))
     out = delta_to_rate(
         ds, key_col="user_id", order_col="ts", value_col="value",
         size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
@@ -595,8 +603,7 @@ def q_metric_start_time(sf_dir: str):
     from ..stages.metrics import metric_start_time
     from ..stages.shuffle import dir_size_bytes
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "user_id", "ts", "value"])
+    ds = _tbl(sf_dir, "events", ("event_id", "user_id", "ts", "value"))
     out = metric_start_time(
         ds, key_col="user_id", order_col="ts", value_col="value",
         strategy="true_reset_point",
@@ -609,9 +616,7 @@ def q_csv_parse(sf_dir: str):
     a delimiter-joined line built from customer fields."""
     from ..stages.parse import csv_parser
 
-    ds = read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+    ds = _tbl(sf_dir, "customer", ("c_custkey", "c_mktsegment", "c_nationkey"))
 
     def mk(b: pa.Table) -> pa.Table:
         line = pc.binary_join_element_wise(
@@ -667,8 +672,7 @@ def q_time_parse(sf_dir: str):
     round-trip of the event timestamp."""
     from ..stages.parse import time_parser
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "ts"])
+    ds = _tbl(sf_dir, "events", ("event_id", "ts"))
 
     def fmt(b: pa.Table) -> pa.Table:
         ts = b["ts"].combine_chunks() if isinstance(
@@ -759,8 +763,7 @@ def q_signaltometrics(sf_dir: str):
     the sum metric of SIGNAL_METRIC_DEFS."""
     from ..stages.connectors import signal_to_metrics
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_type", "value"])
+    ds = _tbl(sf_dir, "events", ("event_type", "value"))
     out = signal_to_metrics(ds, SIGNAL_METRIC_DEFS)["events.value.sum"]
 
     def round6(b: pa.Table) -> pa.Table:
@@ -1023,9 +1026,12 @@ def q_multimodal(sf_dir: str):
     ds = ray.data.from_arrow(synth_media_table(256))
     # pool sized to the fixed 256-row demo input (8 batches) — a real
     # corpus passes media_batch_size()/actor_pool_size() per its volume
+    # max_restarts=0: ctor args live in the object store, and Ray warns
+    # (issue #53727) that restartable actors may fail to restart then —
+    # the demo input is tiny, so forgo restarts and keep stderr silent
     return ds.map_batches(ImageDecoder, fn_constructor_args=(True,),
                           batch_format="pyarrow", batch_size=32,
-                          concurrency=(1, 4))
+                          concurrency=(1, 4), max_restarts=0)
 
 
 # 203.0.113.x split into two synthetic "networks" for the geoip analogue
@@ -1091,8 +1097,7 @@ def q_otlpjson(sf_dir: str):
     (events.props carries a JSON object)."""
     from ..stages.connectors import otlpjson_parser
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "props"])
+    ds = _tbl(sf_dir, "events", ("event_id", "props"))
     fn = otlpjson_parser("props", {"k": ("$.k", "int")})
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
         .select_columns(["event_id", "k"])
@@ -1273,8 +1278,7 @@ def q_transform_datapoint(sf_dir: str):
     from ..pipelines.statements import transform_processor
     from ..functions import maps as M
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_type", "value"])
+    ds = _tbl(sf_dir, "events", ("event_type", "value"))
 
     def shape(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -1317,8 +1321,7 @@ def q_metrics_transform(sf_dir: str):
     from ..stages.metrics import metrics_transform
     from ..stages.shuffle import round_half_away
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_type", "user_id", "value"])
+    ds = _tbl(sf_dir, "events", ("event_type", "user_id", "value"))
 
     def shape(b: pa.Table) -> pa.Table:
         uid = b["user_id"]
@@ -1360,6 +1363,59 @@ FROM base WHERE metric_name = 'click' GROUP BY shard
 UNION ALL
 SELECT metric_name, shard, ROUND(value, 6) AS value
 FROM base WHERE metric_name <> 'click'
+"""
+
+
+def q_metrics_combine(sf_dir: str):
+    """metricstransformprocessor action=combine: 'click'/'view' metrics
+    merge into one 'engagement' metric; the named capture group becomes a
+    `kind` label carrying each source metric's name, datapoints aggregate
+    by the full label set (metrics_transform_processor_otlp.go:397-440).
+    Passthrough metrics keep a null `kind`. Sums rounded to 6 decimals."""
+    from ..stages.metrics import metrics_transform
+    from ..stages.shuffle import round_half_away
+
+    ds = _tbl(sf_dir, "events", ("event_type", "user_id", "value"))
+
+    def shape(b: pa.Table) -> pa.Table:
+        uid = b["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        return pa.table({
+            "metric_name": b["event_type"],
+            "shard": pc.cast(pc.bit_wise_and(uid, 3), pa.int64()),
+            "value": b["value"]})
+
+    ds = ds.map_batches(shape, batch_format="pyarrow", batch_size=None)
+    out = metrics_transform(ds, [{
+        "include": "^(?P<kind>click|view)$", "match_type": "regexp",
+        "action": "combine", "new_name": "engagement",
+        "aggregation_type": "sum",
+    }])
+
+    def round6(b: pa.Table) -> pa.Table:
+        v = b["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        i = b.column_names.index("value")
+        return b.set_column(i, "value", pa.array(round_half_away(
+            v.to_numpy(zero_copy_only=False), 6), pa.float64()))
+
+    return out.map_batches(round6, batch_format="pyarrow", batch_size=None)
+
+
+_METRICS_COMBINE_SQL = """
+WITH base AS (SELECT event_type AS metric_name,
+                     CAST(user_id & 3 AS BIGINT) AS shard, value
+              FROM events)
+SELECT 'engagement' AS metric_name, b.shard, b.metric_name AS kind,
+       ROUND(SUM(b.value), 6) AS value
+FROM base b WHERE b.metric_name IN ('click', 'view')
+GROUP BY b.metric_name, b.shard
+UNION ALL
+SELECT metric_name, shard, CAST(NULL AS VARCHAR) AS kind,
+       ROUND(value, 6) AS value
+FROM base WHERE metric_name NOT IN ('click', 'view')
 """
 
 
@@ -1407,8 +1463,7 @@ def q_delta_to_cumulative(sf_dir: str):
     """deltatocumulativeprocessor: running per-user sum of event values."""
     from ..stages.metrics import cumulative_per_key
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_id", "user_id", "ts", "value"])
+    ds = _tbl(sf_dir, "events", ("event_id", "user_id", "ts", "value"))
     out = cumulative_per_key(ds, key_col="user_id", order_col="ts",
                              value_col="value")
 
@@ -1433,8 +1488,7 @@ def q_sessionize(sf_dir: str):
     from ..stages.sessionize import sessionize
     from ..stages.shuffle import dir_size_bytes
 
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["user_id", "ts"])
+    ds = _tbl(sf_dir, "events", ("user_id", "ts"))
     return sessionize(ds, key_col="user_id", gap="30m",
                       size_bytes=dir_size_bytes(f"{sf_dir}/events.parquet"))
 
@@ -1443,8 +1497,7 @@ def q_sum_events(sf_dir: str):
     """sumconnector over events: total value by event_type. Rounded to 6
     decimals — float sums are order-dependent in the last ulp, so exact-bit
     equality vs a serial SQL oracle is not meaningful."""
-    ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["event_type", "value"])
+    ds = _tbl(sf_dir, "events", ("event_type", "value"))
     out = sum_by(ds, ["event_type"], "value", sum_col="total_value")
 
     def round6(b: pa.Table) -> pa.Table:
@@ -1620,6 +1673,7 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
         "latency_exp_histogram": _latency_exp_sql(),
         "metrics_transform": _METRICS_TRANSFORM_SQL,
+        "metrics_combine": _METRICS_COMBINE_SQL,
         "transform_datapoint": _TRANSFORM_DATAPOINT_SQL,
         "schema_translate": _schema_translate_sql(),
         "latency_histogram": parsed_view_sql() + """
@@ -1832,6 +1886,7 @@ def ray_queries() -> dict:
         "latency_histogram": q_latency_histogram,
         "latency_exp_histogram": q_latency_exp_histogram,
         "metrics_transform": q_metrics_transform,
+        "metrics_combine": q_metrics_combine,
         "transform_datapoint": q_transform_datapoint,
         "schema_translate": q_schema_translate,
         "service_graph": q_service_graph,

@@ -757,10 +757,12 @@ def _apply_row_op(batch: pa.Table, m, op: dict, name_col: str,
 def _apply_metric_transform(ds: Dataset, t: dict, name_col: str,
                             value_col: str) -> Dataset:
     action = t.get("action", "update")
+    if action == "group":
+        return _group_metric_transform(ds, t, name_col)
+    if action == "combine":
+        return _combine_metric_transform(ds, t, name_col, value_col)
     if action not in ("update", "insert"):
-        raise ValueError(
-            f"action {action!r}: combine/group are OTLP-structural and "
-            "out of flat-table scope (DIVERGENCES.md)")
+        raise ValueError(f"unknown metricstransform action {action!r}")
     ops = t.get("operations") or []
     agg_ops = [o for o in ops if o["action"] in
                ("aggregate_labels", "aggregate_label_values")]
@@ -791,6 +793,151 @@ def _apply_metric_transform(ds: Dataset, t: dict, name_col: str,
     passthrough = ds.map_batches(unmatched_only, batch_format="pyarrow",
                                  batch_size=None)
     return passthrough.union(matched)
+
+
+def _group_metric_transform(ds: Dataset, t: dict, name_col: str) -> Dataset:
+    """action=group: move matched metrics into a new resource group —
+    flat analogue stamps ``group_resource_labels`` as resource columns on
+    the matched rows (the new ResourceMetrics copies the original resource
+    then appends the labels, metrics_transform_processor_otlp.go:240-243);
+    unmatched rows keep those columns' prior values (or null). One
+    vectorized pass, no shuffle."""
+    labels = {str(k): str(v)
+              for k, v in (t.get("group_resource_labels") or {}).items()}
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = _metric_match(_col(b, name_col), t)
+        for k, v in labels.items():
+            cur = pc.cast(_col(b, k), pa.string()) \
+                if k in b.column_names else pa.nulls(b.num_rows, pa.string())
+            val = pc.if_else(m, pa.scalar(v, pa.string()), cur)
+            if k in b.column_names:
+                b = b.set_column(b.column_names.index(k), k, val)
+            else:
+                b = b.append_column(k, val)
+        return b
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _combine_metric_transform(ds: Dataset, t: dict, name_col: str,
+                              value_col: str) -> Dataset:
+    """action=combine: matched metrics are removed, their datapoints merge
+    into ONE metric named ``new_name`` (metrics_transform_processor_otlp.go:
+    397-440). Regexp capture groups become new label columns (key = group
+    name, or ``$i`` for unnamed groups) whose values are the submatches of
+    each source metric's NAME, case-folded per ``submatch_case``; empty
+    submatches stay unset (null). Datapoints then aggregate by the full
+    label set with ``aggregation_type``, and the transform's operations
+    apply to the combined metric. Plan: one pass to split + stamp, then
+    the partial/merge aggregate — scale-safe (the merge sees one row per
+    distinct label tuple)."""
+    if not t.get("new_name"):
+        raise ValueError("combine requires new_name")
+    regexp = t.get("match_type", "strict") == "regexp"
+    sub_case = t.get("submatch_case", "")
+    named, names = _name_capture_groups(t["include"]) if regexp \
+        else (None, {})
+    # capture-group attr keys in group order: name if named, else $i
+    gkeys: list[tuple[str, str]] = []
+    for ref, field in names.items():
+        if ref == "0" or field == names.get("0"):
+            continue
+        if ref.isdigit():
+            nm = field if not field.startswith("_g") else f"${ref}"
+            gkeys.append((nm, field))
+
+    ds = ds.materialize()
+
+    def unmatched_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(_metric_match(_col(b, name_col), t)))
+
+    def matched_stamp(b: pa.Table) -> pa.Table:
+        name = _col(b, name_col)
+        b = b.filter(_metric_match(name, t))
+        name = _col(b, name_col)
+        if regexp and gkeys:
+            st = pc.extract_regex(name, named)
+            for attr, field in gkeys:
+                v = pc.struct_field(st, field)
+                if sub_case == "lower":
+                    v = pc.utf8_lower(v)
+                elif sub_case == "upper":
+                    v = pc.utf8_upper(v)
+                # empty submatch -> attribute not set (":428-431")
+                v = pc.if_else(pc.equal(v, ""), pa.nulls(len(v), v.type), v)
+                if attr in b.column_names:
+                    b = b.set_column(b.column_names.index(attr), attr, v)
+                else:
+                    b = b.append_column(attr, v)
+        new = pa.nulls(b.num_rows, pa.string()).fill_null(t["new_name"])
+        return b.set_column(b.column_names.index(name_col), name_col, new)
+
+    matched = ds.map_batches(matched_stamp, batch_format="pyarrow",
+                             batch_size=None)
+    col_order = matched.schema().names
+    all_labels = [c for c in col_order if c not in (name_col, value_col)]
+    matched = _agg_metric_op(
+        matched, {"action": "aggregate_labels", "label_set": all_labels,
+                  "aggregation_type": t.get("aggregation_type", "sum")},
+        name_col, value_col, col_order)
+    ops = t.get("operations") or []
+    if ops:
+        rowfn = _metric_rowfn({**t, "match_type": "strict",
+                               "include": t["new_name"], "new_name": None,
+                               "operations": [o for o in ops if o["action"]
+                                              not in ("aggregate_labels",
+                                                      "aggregate_label_values")]},
+                              name_col, value_col)
+        matched = matched.map_batches(lambda b: rowfn(b),
+                                      batch_format="pyarrow",
+                                      batch_size=None)
+        agg_ops = [o for o in ops if o["action"] in
+                   ("aggregate_labels", "aggregate_label_values")]
+        if agg_ops:
+            # refresh the column order: row ops above may have added
+            # labels (add_label) the aggregate must carry through
+            col_order = matched.schema().names
+            for op in agg_ops:
+                matched = _agg_metric_op(matched, op, name_col, value_col,
+                                         col_order)
+    passthrough = ds.map_batches(unmatched_only, batch_format="pyarrow",
+                                 batch_size=None)
+    return _union_aligned(passthrough, matched)
+
+
+def _union_aligned(left: Dataset, right: Dataset) -> Dataset:
+    """Union two branches whose label column SETS may differ (per-metric
+    label sets are legal in OTLP; the flat model represents an absent
+    label as a typed-null column) — pad each side with the other's
+    missing columns and emit one column order."""
+    ls, rs = left.schema(), right.schema()
+    # an empty branch (e.g. combine matched nothing) has no schema —
+    # union contributes no rows, so the other branch IS the result
+    if rs is None:
+        return left
+    if ls is None:
+        return right
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    order = list(ls.names) + [n for n in rs.names if n not in ltypes]
+
+    def pad(missing: list[tuple[str, pa.DataType]]):
+        def fn(b: pa.Table) -> pa.Table:
+            for n, typ in missing:
+                b = b.append_column(n, pa.nulls(b.num_rows, typ))
+            return b.select(order)
+        return fn
+
+    add_l = [(n, rtypes[n]) for n in rs.names if n not in ltypes]
+    add_r = [(n, ltypes[n]) for n in ls.names if n not in rtypes]
+    if add_l or list(ls.names) != order:
+        left = left.map_batches(pad(add_l), batch_format="pyarrow",
+                                batch_size=None)
+    if add_r or list(rs.names) != order:
+        right = right.map_batches(pad(add_r), batch_format="pyarrow",
+                                  batch_size=None)
+    return left.union(right)
 
 
 _AGG_FINALIZE = {"sum", "mean", "min", "max", "count"}

@@ -272,6 +272,14 @@ def tail_sample(ds: Dataset, policies: list[dict], *,
     dropping one full-data exchange (the data still shuffles once, in the
     decision semi-join)."""
     n_parts = n_parts or adaptive_n_parts(size_bytes)
+    # tiny-input hybrid (same pattern as dedup's connected-components):
+    # below ~32 MB on disk the three-shuffle plan is pure fixed cost —
+    # collapse to one block and decide in a single task. The distributed
+    # plan is untouched for real inputs (size unknown -> distributed).
+    if (size_bytes is not None and size_bytes <= _SINGLE_TASK_BYTES
+            and not pre_grouped):
+        return _tail_sample_single(ds, policies, key_col=key_col,
+                                   ts_col=ts_col)
     if any(p["type"] in _RATE_TYPES for p in policies):
         return _tail_sample_rated(ds, policies, key_col=key_col,
                                   ts_col=ts_col, n_parts=n_parts,
@@ -316,28 +324,7 @@ def _tail_sample_rated(ds: Dataset, policies: list[dict], *, key_col: str,
 
     def votes(group: pa.Table, drop: list[str] = ("_part",)) -> pa.Table:
         group = _sorted_partition(group, key_col, ts_col, list(drop))
-        cols: dict = {}
-        ctx = _GroupCtx(group, key_col, ts_col)
-        cols["_tkey"] = pc.cast(ctx.group_keys(), pa.string())
-        cols["_t0"] = pa.array(ctx.t0, pa.int64())
-        cols["_n"] = pa.array(ctx.counts.astype(np.int64))
-        pre = np.zeros(ctx.n_groups, bool)
-        for p in plain:
-            pre |= _eval_policy(p, ctx)
-        cols["_pre"] = pa.array(pre)
-        for j, p in enumerate(rated):
-            if p["type"] == "composite":
-                # assignment = first sub-policy that votes (factory.go's
-                # ordered evaluation); -1 = no sub-policy matched
-                assign = np.full(ctx.n_groups, -1, np.int64)
-                for i, sp in enumerate(p["composite_sub_policy"]):
-                    sub = _eval_policy(
-                        {k: v for k, v in sp.items() if k != "name"}, ctx)
-                    assign = np.where((assign < 0) & sub, i, assign)
-                cols[f"_r{j}"] = pa.array(assign)
-            else:
-                cols[f"_r{j}"] = pa.array(np.zeros(ctx.n_groups, np.int64))
-        return pa.table(cols)
+        return _trace_votes(group, key_col, ts_col, plain, rated)
 
     if pre_grouped:
         # groups are block-contained: one skinny vote row per trace comes
@@ -361,34 +348,7 @@ def _tail_sample_rated(ds: Dataset, policies: list[dict], *, key_col: str,
         return wb.append_column("_wpart", pa.array(part))
 
     def allocate(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("_win", "ascending"), ("_t0", "ascending"),
-                       ("_tkey", "ascending")])
-        win = g["_win"].to_numpy(zero_copy_only=False)
-        n = g["_n"].to_numpy(zero_copy_only=False)
-        change = np.concatenate([[True], win[1:] != win[:-1]])
-        starts = np.nonzero(change)[0]
-        sampled = pc.fill_null(g["_pre"], False) \
-            .to_numpy(zero_copy_only=False).copy()
-        for j, p in enumerate(rated):
-            rcol = g[f"_r{j}"].to_numpy(zero_copy_only=False)
-            if p["type"] == "rate_limiting":
-                budget = int(p["spans_per_second"])
-                cum = _windowed_cumsum(n, starts)
-                sampled |= cum <= budget
-            else:  # composite
-                total = int(p["max_total_spans_per_second"])
-                alloc = {a["policy"]: a["percent"]
-                         for a in p.get("rate_allocation", [])}
-                subs = p["composite_sub_policy"]
-                for i, sp in enumerate(subs):
-                    pct = alloc.get(sp.get("name"),
-                                    100.0 / max(1, len(subs)))
-                    budget = int(total * pct / 100.0)
-                    mine = rcol == i
-                    cum = _windowed_cumsum(np.where(mine, n, 0), starts)
-                    sampled |= mine & (cum <= budget)
-        keep = g.filter(pa.array(sampled))
-        return pa.table({"_tkey": keep["_tkey"]})
+        return _allocate(g, rated)
 
     sampled_keys = (trace_tbl.map_batches(add_win, batch_format="pyarrow",
                                           batch_size=None)
@@ -396,6 +356,101 @@ def _tail_sample_rated(ds: Dataset, policies: list[dict], *, key_col: str,
                                                   batch_format="pyarrow"))
     return semi_join_keys(ds, sampled_keys, key_col=key_col,
                           keys_col="_tkey", n_parts=n_parts)
+
+
+def _trace_votes(group: pa.Table, key_col: str, ts_col: str,
+                 plain: list[dict], rated: list[dict]) -> pa.Table:
+    """One skinny row per trace: key, start ts, span count, plain-policy
+    pre-vote, and per-rated-policy sub-policy assignment."""
+    cols: dict = {}
+    ctx = _GroupCtx(group, key_col, ts_col)
+    cols["_tkey"] = pc.cast(ctx.group_keys(), pa.string())
+    cols["_t0"] = pa.array(ctx.t0, pa.int64())
+    cols["_n"] = pa.array(ctx.counts.astype(np.int64))
+    pre = np.zeros(ctx.n_groups, bool)
+    for p in plain:
+        pre |= _eval_policy(p, ctx)
+    cols["_pre"] = pa.array(pre)
+    for j, p in enumerate(rated):
+        if p["type"] == "composite":
+            # assignment = first sub-policy that votes (factory.go's
+            # ordered evaluation); -1 = no sub-policy matched
+            assign = np.full(ctx.n_groups, -1, np.int64)
+            for i, sp in enumerate(p["composite_sub_policy"]):
+                sub = _eval_policy(
+                    {k: v for k, v in sp.items() if k != "name"}, ctx)
+                assign = np.where((assign < 0) & sub, i, assign)
+            cols[f"_r{j}"] = pa.array(assign)
+        else:
+            cols[f"_r{j}"] = pa.array(np.zeros(ctx.n_groups, np.int64))
+    return pa.table(cols)
+
+
+def _allocate(g: pa.Table, rated: list[dict]) -> pa.Table:
+    """Per-second-window budget allocation over trace vote rows (needs a
+    ``_win`` column); returns the sampled ``_tkey`` rows."""
+    g = g.sort_by([("_win", "ascending"), ("_t0", "ascending"),
+                   ("_tkey", "ascending")])
+    win = g["_win"].to_numpy(zero_copy_only=False)
+    n = g["_n"].to_numpy(zero_copy_only=False)
+    change = np.concatenate([[True], win[1:] != win[:-1]])
+    starts = np.nonzero(change)[0]
+    sampled = pc.fill_null(g["_pre"], False) \
+        .to_numpy(zero_copy_only=False).copy()
+    for j, p in enumerate(rated):
+        rcol = g[f"_r{j}"].to_numpy(zero_copy_only=False)
+        if p["type"] == "rate_limiting":
+            budget = int(p["spans_per_second"])
+            cum = _windowed_cumsum(n, starts)
+            sampled |= cum <= budget
+        else:  # composite
+            total = int(p["max_total_spans_per_second"])
+            alloc = {a["policy"]: a["percent"]
+                     for a in p.get("rate_allocation", [])}
+            subs = p["composite_sub_policy"]
+            for i, sp in enumerate(subs):
+                pct = alloc.get(sp.get("name"),
+                                100.0 / max(1, len(subs)))
+                budget = int(total * pct / 100.0)
+                mine = rcol == i
+                cum = _windowed_cumsum(np.where(mine, n, 0), starts)
+                sampled |= mine & (cum <= budget)
+    keep = g.filter(pa.array(sampled))
+    return pa.table({"_tkey": keep["_tkey"]})
+
+
+_SINGLE_TASK_BYTES = 32 << 20
+
+
+def _tail_sample_single(ds: Dataset, policies: list[dict], *,
+                        key_col: str, ts_col: str) -> Dataset:
+    """Tiny-input plan: all rows in one block, one task runs the whole
+    vote -> budget -> filter chain exactly (the distributed plans'
+    semantics over a single partition)."""
+    plain = [p for p in policies if p["type"] not in _RATE_TYPES]
+    rated = [p for p in policies if p["type"] in _RATE_TYPES]
+
+    def one_task(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        b = _sorted_partition(b, key_col, ts_col, [])
+        if not rated:
+            ctx = _GroupCtx(b, key_col, ts_col)
+            m = np.zeros(ctx.n_groups, bool)
+            for p in policies:
+                m |= _eval_policy(p, ctx)
+            return b.filter(pa.array(np.repeat(m, ctx.counts)))
+        v = _trace_votes(b, key_col, ts_col, plain, rated)
+        v = v.append_column("_win", pc.cast(
+            pc.divide(v["_t0"], 1_000_000), pa.int64()))
+        keys = _allocate(v, rated)["_tkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return b.filter(pc.is_in(pc.cast(b[key_col], pa.string()),
+                                 value_set=keys))
+
+    return ds.repartition(1).map_batches(one_task, batch_format="pyarrow",
+                                         batch_size=None)
 
 
 def _windowed_cumsum(n: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -421,3 +421,105 @@ def test_metrics_transform_value_actions_single_lookup(ray_session):
             ]},
         ]}]).to_pandas().sort_values("value", ignore_index=True)
     assert list(out.env) == ["b", "c", "x"]
+
+
+def test_metrics_transform_combine_submatch_labels(ray_session):
+    # testcases 'combine' + 'combine_single_match'
+    # (metrics_transform_processor_testcases_test.go:1218-1280): matched
+    # metrics collapse into new_name; capture groups become labels named
+    # by the group (or $i), values = case-folded submatches of the NAME.
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({
+        "metric_name": ["Metric1", "metric2", "metric3"],
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = metrics_transform(rd.from_arrow(t), [{
+        "include": "^([mM]etric)(?P<namedsubmatch>[12])$",
+        "match_type": "regexp", "action": "combine", "new_name": "new",
+        "submatch_case": "lower",
+    }]).to_pandas().sort_values("value", ignore_index=True)
+    assert list(out.metric_name) == ["new", "new", "metric3"]
+    assert list(out["$1"].fillna("-")) == ["metric", "metric", "-"]
+    assert list(out["namedsubmatch"].fillna("-")) == ["1", "2", "-"]
+    # single match, upper
+    out2 = metrics_transform(rd.from_arrow(t), [{
+        "include": "^([mM]etric)(?P<namedsubmatch>[1])$",
+        "match_type": "regexp", "action": "combine", "new_name": "new",
+        "submatch_case": "upper",
+    }]).to_pandas().sort_values("value", ignore_index=True)
+    assert list(out2.metric_name) == ["new", "metric2", "metric3"]
+    assert list(out2["$1"].fillna("-")) == ["METRIC", "-", "-"]
+
+
+def test_metrics_transform_combine_aggregate_and_no_match(ray_session):
+    # testcases 'combine_aggregate' (same label tuple -> one summed dp)
+    # and 'combine_no_matches' (nothing changes).
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({
+        "metric_name": ["metric1", "metric2", "metric3"],
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = metrics_transform(rd.from_arrow(t), [{
+        "include": "^metric[12]$", "match_type": "regexp",
+        "action": "combine", "new_name": "new", "aggregation_type": "sum",
+    }]).to_pandas().sort_values("metric_name", ignore_index=True)
+    assert list(out.metric_name) == ["metric3", "new"]
+    assert list(out.value) == [3.0, 3.0]
+    out2 = metrics_transform(rd.from_arrow(t), [{
+        "include": "^Xmetric[12]$", "match_type": "regexp",
+        "action": "combine", "new_name": "new",
+    }]).to_pandas().sort_values("metric_name", ignore_index=True)
+    assert list(out2.metric_name) == ["metric1", "metric2", "metric3"]
+
+
+def test_metrics_transform_combine_with_operations(ray_session):
+    # testcase 'combine_with_operations': combine, then add_label, then
+    # aggregate_labels over {$1, new_label} sums away namedsubmatch.
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({
+        "metric_name": ["metric1", "metric2", "metric3"],
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = metrics_transform(rd.from_arrow(t), [{
+        "include": "^(metric)(?P<namedsubmatch>[12])$",
+        "match_type": "regexp", "action": "combine", "new_name": "new",
+        "operations": [
+            {"action": "add_label", "new_label": "new_label",
+             "new_value": "new_label_value"},
+            {"action": "aggregate_labels", "aggregation_type": "sum",
+             "label_set": ["$1", "new_label"]},
+        ]}]).to_pandas().sort_values("metric_name", ignore_index=True)
+    new = out[out.metric_name == "new"]
+    assert len(new) == 1
+    assert list(new["$1"]) == ["metric"]
+    assert list(new["new_label"]) == ["new_label_value"]
+    assert list(new["value"]) == [3.0]
+
+
+def test_metrics_transform_group_resource_labels(ray_session):
+    # metrics_transform_processor_group_test.go: matched metrics move to a
+    # new resource group carrying group_resource_labels; flat analogue
+    # stamps the labels on matched rows only.
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metrics import (
+        metrics_transform)
+    t = pa.table({
+        "metric_name": ["container.cpu", "k8s.pod.mem", "other"],
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = metrics_transform(rd.from_arrow(t), [
+        {"include": "^container\\.(.*)$", "match_type": "regexp",
+         "action": "group",
+         "group_resource_labels": {"resource.type": "container"}},
+        {"include": "^k8s\\.pod\\.(.*)$", "match_type": "regexp",
+         "action": "group",
+         "group_resource_labels": {"resource.type": "k8s.pod"}},
+    ]).to_pandas().sort_values("value", ignore_index=True)
+    assert list(out["resource.type"].fillna("-")) == \
+        ["container", "k8s.pod", "-"]

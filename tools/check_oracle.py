@@ -45,17 +45,26 @@ def main() -> int:
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    timing = os.environ.get("GATE_TIMING") == "1"
     failures = 0
     for name in names:
         if name not in qs:
             print(f"{name}: UNKNOWN (not a queries() entry)")
             failures += 1  # a typo'd name must still fail the gate
             continue
+        import time as _time
+        t0 = _time.time()
         got = canon(to_pandas(qs[name](sf_dir)))
+        t_ray = _time.time() - t0
         if name not in oqs:
+            if timing:
+                print(f"[t] {name}: ray={t_ray:.2f}s")
             print(f"{name}: rows={len(got)} (no oracle — rows-only)")
             continue
+        t0 = _time.time()
         want = canon(con.execute(oqs[name]).fetch_df())
+        if timing:
+            print(f"[t] {name}: ray={t_ray:.2f}s sql={_time.time()-t0:.2f}s")
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
         ok_vals = False
