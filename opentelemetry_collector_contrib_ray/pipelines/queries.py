@@ -804,10 +804,13 @@ def _ngram_pairs(sf_dir: str):
     """Shared word-3-gram Jaccard near-dup pairs (memoized): computed once
     for q_ngram_jaccard / q_dedup_components / q_dedup_keep."""
     from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.shuffle import dir_size_bytes
 
-    return _memo_ds(("ngram_pairs", sf_dir), f"{sf_dir}/documents.parquet",
-                    lambda: ngram_jaccard_pairs(_docs(sf_dir), k=3,
-                                                threshold=0.5, max_df=256))
+    path = f"{sf_dir}/documents.parquet"
+    return _memo_ds(("ngram_pairs", sf_dir), path,
+                    lambda: ngram_jaccard_pairs(
+                        _docs(sf_dir), k=3, threshold=0.5, max_df=256,
+                        size_bytes=dir_size_bytes(path)))
 
 
 def q_exact_dedup(sf_dir: str):
@@ -952,9 +955,13 @@ def _kmeans_fit8(sf_dir: str) -> dict:
     q_kmeans (the model query itself)."""
     from ..stages.cluster import kmeans_fit
 
+    from ..stages.shuffle import dir_size_bytes
+
     key = ("kmeans8", sf_dir)
     if key not in _MEMO:
-        _MEMO[key] = kmeans_fit(_emb(sf_dir), 8, max_iters=5)
+        _MEMO[key] = kmeans_fit(
+            _emb(sf_dir), 8, max_iters=5,
+            size_bytes=dir_size_bytes(f"{sf_dir}/embeddings.parquet"))
     return _MEMO[key]
 
 

@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .shuffle import SINGLE_TASK_BYTES as _SINGLE_TASK_BYTES
 from .similarity import _mat, _normalize
 
 
@@ -84,7 +85,8 @@ def _one_pass(ds: Dataset, centroids: np.ndarray, vec_col: str):
 
 
 def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
-               max_iters: int = 10, tol: float = 1e-4) -> dict:
+               max_iters: int = 10, tol: float = 1e-4,
+               size_bytes: int | None = None) -> dict:
     """Spherical k-means (cosine). Returns {centroids, inertia, iters},
     where ``inertia`` is measured AGAINST the returned centroids (one
     final assignment pass) — an in-loop reading would describe the
@@ -92,7 +94,16 @@ def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
 
     Each iteration re-reads the (lazy) dataset; for many iterations over
     remote storage, materialize the projected column first.
+
+    ``size_bytes`` (input on-disk size, when the caller knows it): below
+    ~32 MB the per-iteration Ray job is pure fixed cost — the matrix is
+    pulled to the driver ONCE and the identical update loop runs locally
+    (same hybrid rule as dedup's connected-components; the driver holds
+    n x dim floats, bounded by the gate's tiny inputs). Unknown or large
+    sizes keep the distributed per-block-partials plan.
     """
+    if size_bytes is not None and size_bytes <= _SINGLE_TASK_BYTES:
+        return _kmeans_fit_local(ds, k, vec_col, max_iters, tol)
     centroids = _init_centroids(ds, k, vec_col)
     inertia = np.inf
     iters = 0
@@ -112,6 +123,49 @@ def kmeans_fit(ds: Dataset, k: int, *, vec_col: str = "embedding",
         if converged:
             break
     _, _, final_inertia = _one_pass(ds, centroids, vec_col)
+    return {"centroids": centroids, "inertia": final_inertia,
+            "iters": iters}
+
+
+def _kmeans_fit_local(ds: Dataset, k: int, vec_col: str,
+                      max_iters: int, tol: float) -> dict:
+    """Driver-local fit over a tiny input: one streamed read, then the
+    same init / assignment / update / convergence rules as the
+    distributed loop (single np.add.at instead of per-block partials —
+    float addition order differs in the last ulp only)."""
+    parts = [_mat(b, vec_col) for b in ds.iter_batches(
+        batch_format="pyarrow", batch_size=None) if b.num_rows]
+    if not parts or sum(len(p) for p in parts) < k:
+        raise ValueError(f"need >= {k} rows to init {k} centroids")
+    m = _normalize(np.concatenate(parts))
+    centroids = _normalize(m[:k].copy())
+
+    def one_pass(c: np.ndarray):
+        sims = m @ c.T
+        assign = sims.argmax(axis=1)
+        sums = np.zeros_like(c)
+        counts = np.zeros(k, np.int64)
+        np.add.at(sums, assign, m)
+        np.add.at(counts, assign, 1)
+        return sums, counts, float((1.0 - sims.max(axis=1)).sum())
+
+    inertia = np.inf
+    iters = 0
+    for it in range(max_iters):
+        sums, counts, new_inertia = one_pass(centroids)
+        nonzero = counts > 0
+        new_c = centroids.copy()
+        new_c[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+        shift = float(np.abs(new_c - centroids).max())
+        centroids = new_c
+        iters = it + 1
+        converged = (np.isfinite(inertia) and
+                     abs(inertia - new_inertia) <= tol * max(1.0, inertia)) \
+            or shift <= tol
+        inertia = new_inertia
+        if converged:
+            break
+    _, _, final_inertia = one_pass(centroids)
     return {"centroids": centroids, "inertia": final_inertia,
             "iters": iters}
 

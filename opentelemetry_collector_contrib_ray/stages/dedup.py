@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .aggregate import _merge_partials
-from .shuffle import adaptive_n_parts, int_partition_ids, mix64_rows, \
+from .shuffle import SINGLE_TASK_BYTES as _SINGLE_TASK_BYTES, \
+    adaptive_n_parts, int_partition_ids, mix64_rows, \
     partitioned_attach, round_half_away
 
 _log = logging.getLogger(__name__)
@@ -182,7 +183,8 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
                         max_df: int | None = DEFAULT_MAX_DF,
-                        n_parts: int | None = None) -> Dataset:
+                        n_parts: int | None = None,
+                        size_bytes: int | None = None) -> Dataset:
     """All pairs (a<b) whose distinct word-k-gram sets have Jaccard >=
     threshold. Exact (not sketched): |A∩B| via shingle join; per-doc set
     sizes ride as a small (id, n) Dataset attached to the pair set with two
@@ -195,6 +197,12 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
     are a LOWER BOUND on true Jaccard — pairs held together only by
     ultra-common shingles are dropped, which is the standard guard.
     ``max_df=None`` disables (exact semantics, unsafe on skewed corpora).
+
+    ``size_bytes`` (input on-disk size, when known): below ~32 MB the
+    seven-stage shuffle plan is pure fixed cost — one task runs the
+    identical shingle/pair/jaccard kernels over a single block (the
+    tiny-input hybrid rule shared with connected_components and
+    tail_sample). Unknown or large sizes keep the distributed plan.
     """
     n_parts = n_parts or adaptive_n_parts()
 
@@ -215,6 +223,52 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
         hs, dcs = hs[keep], dcs[keep]
         sizes = np.bincount(dcs, minlength=len(counts)).astype(np.int64)
         return hs, dcs, sizes
+
+    if size_bytes is not None and size_bytes <= _SINGLE_TASK_BYTES:
+        def single(b: pa.Table) -> pa.Table:
+            empty = pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64()),
+                              "jaccard": pa.array([], pa.float64())})
+            if b.num_rows == 0:
+                return empty
+            hs, dcs, sizes = _distinct_doc_shingles(b[text_col])
+            if len(hs) == 0:
+                return empty
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            did = ids[dcs]
+            order = np.lexsort((did, hs))
+            sh, d = hs[order], did[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [len(sh)]])
+            a_out, b_out = [], []
+            for s, e in zip(starts[:-1], starts[1:]):
+                m = e - s
+                if m < 2 or (max_df is not None and m > max_df):
+                    continue
+                bids = d[s:e]
+                iu = np.triu_indices(m, 1)
+                a_out.append(bids[iu[0]])
+                b_out.append(bids[iu[1]])
+            if not a_out:
+                return empty
+            pairs = np.stack([np.concatenate(a_out),
+                              np.concatenate(b_out)], axis=1)
+            uniq, i_cnt = np.unique(pairs, axis=0, return_counts=True)
+            sidx = np.argsort(ids)
+            ssizes = sizes[sidx]
+            na = ssizes[np.searchsorted(ids[sidx], uniq[:, 0])]
+            nb = ssizes[np.searchsorted(ids[sidx], uniq[:, 1])]
+            i = i_cnt.astype(np.float64)
+            j = i / (na.astype(np.float64) + nb.astype(np.float64) - i)
+            keep = j >= threshold
+            return pa.table({
+                "a": pa.array(uniq[keep, 0], pa.int64()),
+                "b": pa.array(uniq[keep, 1], pa.int64()),
+                "jaccard": pa.array(round_half_away(j[keep], 6),
+                                    pa.float64())})
+
+        return ds.repartition(1).map_batches(
+            single, batch_format="pyarrow", batch_size=None)
 
     def explode(batch: pa.Table) -> pa.Table:
         hs, dcs, _ = _distinct_doc_shingles(batch[text_col])

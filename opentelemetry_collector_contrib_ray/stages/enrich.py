@@ -118,7 +118,11 @@ def enrich_stage(ds, spec, *, concurrency=None,
     return ds.map_batches(
         BroadcastLookupEnricher, fn_constructor_args=(spec,),
         batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency or actor_pool_size())
+        concurrency=concurrency or actor_pool_size(),
+        # ctor args hold driver-owned object refs: an in-place restart
+        # cannot outlive them (ray#53727), so let the pool replace dead
+        # actors instead (and keep the known-noise warning out of stderr)
+        max_restarts=0)
 
 
 def range_enrich_stage(ds, ranges, key_col: str, out_col: str, *,
@@ -142,7 +146,7 @@ def range_enrich_stage(ds, ranges, key_col: str, out_col: str, *,
         RangeLookupEnricher,
         fn_constructor_args=(ref, key_col, out_col, key_is_ip, default),
         batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency or actor_pool_size())
+        concurrency=concurrency or actor_pool_size(), max_restarts=0)
 
 
 class RangeLookupEnricher:

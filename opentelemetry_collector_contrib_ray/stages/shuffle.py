@@ -57,6 +57,14 @@ def actor_pool_size(min_div: int = 8, max_div: int = 2) -> tuple[int, int]:
     return (max(1, cpus // min_div), max(2, cpus // max_div))
 
 
+# Tiny-input hybrid threshold (shared by tail_sample, ngram_jaccard_pairs,
+# kmeans_fit; connected_components gates on edge count instead): below this
+# on-disk size a multi-stage shuffle plan is pure fixed cost, so the stage
+# collapses to one task running the identical kernels. Distributed plans
+# are untouched when the size is unknown or large.
+SINGLE_TASK_BYTES = 32 << 20
+
+
 def adaptive_n_parts(size_bytes: int | None = None, *,
                      target_bytes: int = 256 << 20, floor: int = 32) -> int:
     """Partition count for coarse-partitioned group stages.

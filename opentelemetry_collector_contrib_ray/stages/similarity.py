@@ -91,7 +91,7 @@ def ann_topk(ds: Dataset, query_vectors: np.ndarray, query_ids,
         BruteForceTopK, fn_constructor_args=(ref, list(query_ids), k,
                                              vec_col, id_col),
         batch_format="pyarrow", batch_size=None,
-        concurrency=actor_pool_size())
+        concurrency=actor_pool_size(), max_restarts=0)
 
     return _merge_topk(partials, k, id_col, round_digits)
 
@@ -300,5 +300,5 @@ def ann_ivf_topk(ds: Dataset, query_vectors, query_ids, k: int = 5, *,
         fn_constructor_args=(cents_ref, q_ref, list(query_ids), probes_ref,
                              k, vec_col, id_col),
         batch_format="pyarrow", batch_size=None,
-        concurrency=actor_pool_size())
+        concurrency=actor_pool_size(), max_restarts=0)
     return _merge_topk(partials, k, id_col, round_digits)

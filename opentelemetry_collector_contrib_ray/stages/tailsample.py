@@ -63,7 +63,7 @@ from ray.data import Dataset
 
 from ..expr import Expr
 from .metrics import key_change_mask
-from .shuffle import adaptive_n_parts, key_partitioner
+from .shuffle import SINGLE_TASK_BYTES as _SINGLE_TASK_BYTES, adaptive_n_parts, key_partitioner
 
 _RATE_TYPES = ("rate_limiting", "composite")
 
@@ -417,9 +417,6 @@ def _allocate(g: pa.Table, rated: list[dict]) -> pa.Table:
                 sampled |= mine & (cum <= budget)
     keep = g.filter(pa.array(sampled))
     return pa.table({"_tkey": keep["_tkey"]})
-
-
-_SINGLE_TASK_BYTES = 32 << 20
 
 
 def _tail_sample_single(ds: Dataset, policies: list[dict], *,

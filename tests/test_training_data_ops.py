@@ -476,3 +476,28 @@ def test_connected_components_long_chain_converges():
     out = connected_components(pairs, n_parts=4).to_pandas()
     assert set(out.component) == {0}
     assert len(out) == n
+
+
+def test_ngram_single_task_matches_distributed(ray_session):
+    # the <=32MB hybrid must agree with the distributed shingle-join plan
+    # pair-for-pair (same kernels, one task)
+    kw = dict(k=3, threshold=0.5, max_df=256)
+    dist = ngram_jaccard_pairs(_docs_ds(), **kw).to_pandas() \
+        .sort_values(["a", "b"], ignore_index=True)
+    single = ngram_jaccard_pairs(_docs_ds(), size_bytes=1, **kw).to_pandas() \
+        .sort_values(["a", "b"], ignore_index=True)
+    assert len(dist) == len(single) > 0
+    assert list(dist.a) == list(single.a)
+    assert list(dist.b) == list(single.b)
+    assert np.allclose(dist.jaccard, single.jaccard)
+
+
+def test_kmeans_local_matches_distributed(ray_session):
+    from opentelemetry_collector_contrib_ray.stages.cluster import kmeans_fit
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    dist = kmeans_fit(ds, 4, max_iters=3)
+    local = kmeans_fit(ds, 4, max_iters=3, size_bytes=1)
+    assert dist["iters"] == local["iters"]
+    assert np.allclose(dist["centroids"], local["centroids"])
+    assert abs(dist["inertia"] - local["inertia"]) < 1e-6
