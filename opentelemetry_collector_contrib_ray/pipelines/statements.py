@@ -558,6 +558,12 @@ def _adapter_parse_json(ctx, args, kwargs):
         return str(v)
 
     a = _broadcast(args[0], ctx.n)
+    # StandardStringGetter strictness (pkg/ottl/expression.go:245-256):
+    # ParseJSON(1) / ParseJSON(true) is a TYPE error the statement group's
+    # error_mode isolates, not an implicit int->"1" coercion
+    if not (pa.types.is_string(a.type) or pa.types.is_large_string(a.type)
+            or pa.types.is_null(a.type)):
+        raise ValueError(f"expected string but got {a.type}")
     astr = _arr(pc.cast(a, pa.string()))
     fast = _json_to_map_fast(astr)
     if fast is not None:
