@@ -147,6 +147,121 @@ BASE_PATTERNS["SYSLOGLINE"] = (
     r'%{SYSLOGTIMESTAMP:timestamp} %{NOTSPACE:logsource} '
     r'%{SYSLOGPROG}: %{GREEDYDATA:message}')
 
+# Remaining public logstash / go-grok families (grok.NewComplete() loads
+# these sets; bodies are the legacy logstash corpus rewritten RE2-safe —
+# non-capturing groups, no lookarounds). Pure pattern DATA, not code.
+BASE_PATTERNS.update({
+    # base completions
+    "BASE16NUM": r"[+-]?(?:0x)?(?:[0-9A-Fa-f]+)",
+    "BASE16FLOAT": (r"\b[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)"
+                    r"|(?:\.[0-9A-Fa-f]+))\b"),
+    "URN": (r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:"
+            r"(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+"),
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
+    # httpd error-log family
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "HTTPD20_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"),
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] "
+        r"\[(?:%{WORD:module})?:%{LOGLEVEL:loglevel}\] "
+        r"\[pid %{POSINT:pid}(?::tid %{NUMBER:tid})?\]"
+        r"(?: \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_message}:)?"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport}\])?"
+        r"(?: %{DATA:errorcode}:)? %{GREEDYDATA:message}"),
+    "HTTPD_ERRORLOG": r"%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG}",
+    # java / tomcat
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[a-zA-Z$_0-9. -]+)",
+    "JAVAMETHOD": r"(?:(?:<(?:cl)?init>)|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVASTACKTRACEPART": (
+        r"%{SPACE}at %{JAVACLASS:class}\.%{JAVAMETHOD:method}"
+        r"\(%{JAVAFILE:file}(?::%{NUMBER:line})?\)"),
+    "JAVATHREAD": r"(?:[A-Z]{2}-Processor[\d]+)",
+    "JAVALOGMESSAGE": r"(?:.*)",
+    "CATALINA_DATESTAMP":
+        r"%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND} (?:AM|PM)",
+    "CATALINALOG": (r"%{CATALINA_DATESTAMP:timestamp} %{JAVACLASS:class} "
+                    r"%{JAVALOGMESSAGE:logmessage}"),
+    "TOMCAT_DATESTAMP":
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND}",
+    "TOMCATLOG": (r"%{TOMCAT_DATESTAMP:timestamp} \| %{LOGLEVEL:level} \| "
+                  r"%{JAVACLASS:class} - %{JAVALOGMESSAGE:logmessage}"),
+    # syslog (RFC5424 + cron)
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424PRI": r"<[0-9]{1,5}>",
+    "SYSLOG5424SD": r"\[%{DATA}\]+",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} +"
+        r"(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) +"
+        r"(?:%{IPORHOST:syslog5424_host}|-) +"
+        r"(?:-|%{SYSLOG5424PRINTASCII:syslog5424_app}) +"
+        r"(?:-|%{SYSLOG5424PRINTASCII:syslog5424_proc}) +"
+        r"(?:-|%{SYSLOG5424PRINTASCII:syslog5424_msgid}) +"
+        r"(?:%{SYSLOG5424SD:syslog5424_sd}|-|)"),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    "SYSLOGBASE": (r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?"
+                   r"%{SYSLOGHOST:logsource} %{SYSLOGPROG}:"),
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": (r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} "
+                r"\(%{DATA:message}\)"),
+    # aws access logs
+    "S3_REQUEST_LINE":
+        r"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?)",
+    "S3_ACCESS_LOG": (
+        r"%{WORD:owner} %{NOTSPACE:bucket} \[%{HTTPDATE:timestamp}\] "
+        r"%{IP:clientip} %{NOTSPACE:requester} %{NOTSPACE:request_id} "
+        r"%{NOTSPACE:operation} %{NOTSPACE:key} "
+        r'(?:"%{S3_REQUEST_LINE}"|-) (?:%{INT:response:int}|-) '
+        r"(?:-|%{NOTSPACE:error_code}) (?:%{INT:bytes:int}|-) "
+        r"(?:%{INT:object_size:int}|-) (?:%{INT:request_time_ms:int}|-) "
+        r"(?:%{INT:turnaround_time_ms:int}|-) "
+        r'(?:%{QS:referrer}|-) (?:"?%{QS:agent}"?|-) '
+        r"(?:-|%{NOTSPACE:version_id})"),
+    "ELB_REQUEST_LINE":
+        r"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?)",
+    "ELB_ACCESS_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} "
+        r"%{IP:clientip}:%{INT:clientport:int} "
+        r"(?:(?:%{IP:backendip}:?:%{INT:backendport:int})|-) "
+        r"%{NUMBER:request_processing_time:float} "
+        r"%{NUMBER:backend_processing_time:float} "
+        r"%{NUMBER:response_processing_time:float} "
+        r"%{INT:response:int} %{INT:backend_response:int} "
+        r"%{INT:received_bytes:int} %{INT:bytes:int} "
+        r'"%{ELB_REQUEST_LINE}"'
+        r'(?: "%{QS:userAgent}"(?: %{NOTSPACE:ssl_cipher} '
+        r"%{NOTSPACE:ssl_protocol})?)?"),
+    # databases / app frameworks
+    "MONGO_LOG": (r"%{SYSLOGTIMESTAMP:timestamp} \[%{WORD:component}\] "
+                  r"%{GREEDYDATA:message}"),
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"%{WORD}|-",
+    "MONGO3_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{MONGO3_SEVERITY:severity} "
+        r"%{MONGO3_COMPONENT:component}%{SPACE}"
+        r"(?:\[%{DATA:context}\])? %{GREEDYDATA:message}"),
+    "POSTGRESQL": (r"%{DATESTAMP:timestamp} %{TZ} %{DATA:user_id} "
+                   r"%{GREEDYDATA:connection_id} %{POSINT:pid}"),
+    "REDISTIMESTAMP": r"%{MONTHDAY} %{MONTH} %{TIME}",
+    "REDISLOG": r"\[%{POSINT:pid}\] %{REDISTIMESTAMP:timestamp} \*",
+    "REDISMONLOG": (
+        r'%{NUMBER:timestamp} \[%{INT:database} %{IP:client}:%{NUMBER:port}\]'
+        r' "%{WORD:command}"\s?%{GREEDYDATA:params}'),
+    "RUBY_LOGLEVEL": r"(?:DEBUG|FATAL|ERROR|WARN|INFO)",
+    "RUBY_LOGGER": (
+        r"[DFEWI], \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\] *"
+        r"%{RUBY_LOGLEVEL:loglevel} -- +%{DATA:progname}: "
+        r"%{GREEDYDATA:message}"),
+    "MAVEN_VERSION": (r"(?:(?:\d+)\.)?(?:(?:\d+)\.)?(?:\d+)"
+                      r"(?:[.-](?:RELEASE|SNAPSHOT))?"),
+})
+# httpd modern aliases (logstash renamed the apache patterns)
+BASE_PATTERNS["HTTPD_COMMONLOG"] = BASE_PATTERNS["COMMONAPACHELOG"]
+BASE_PATTERNS["HTTPD_COMBINEDLOG"] = BASE_PATTERNS["COMBINEDAPACHELOG"]
+
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")
 
 _TYPE_CASTS = {
@@ -154,6 +269,35 @@ _TYPE_CASTS = {
     "float": pa.float64(), "double": pa.float64(),
     "bool": pa.bool_(),
 }
+
+
+def _noncapture_unnamed(src: str) -> str:
+    """Rewrite unnamed capture groups ``(`` -> ``(?:``. go-grok compiles
+    a pattern like ``(.*)`` fine (unnamed groups simply contribute no
+    named captures, func_extract_grok_patterns_test.go 'no named capture
+    group'); Arrow's extract_regex rejects any unnamed group, so
+    neutralize them while keeping escapes and char-classes intact."""
+    out = []
+    i, n = 0, len(src)
+    in_class = False
+    while i < n:
+        c = src[i]
+        if c == "\\" and i + 1 < n:
+            out.append(src[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and src[i + 1:i + 2] != "?":
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 class GrokCompiler:
@@ -222,7 +366,7 @@ class GrokCompiler:
 
             return _GROK_REF.sub(sub, expr)
 
-        src = expand(expression, 0)
+        src = _noncapture_unnamed(expand(expression, 0))
         # factory-time validation like extractGrokPatterns: an invalid
         # regex or (in named-captures-only mode) a capture-less pattern
         # should fail at compile, not on the first batch
@@ -237,12 +381,35 @@ class GrokCompiler:
         return src, types, names
 
 
+def parse_pattern_definitions(defs: list[str]) -> dict[str, str]:
+    """OTTL PatternDefinitions arg: 'NAME=pattern' strings -> dict, with
+    the reference's validation (func_extract_grok_patterns.go:44-65)."""
+    out: dict[str, str] = {}
+    for i, d in enumerate(defs):
+        key, eq, val = d.partition("=")
+        if not eq:
+            trimmed = d if len(d) <= 20 else d[:17] + "..."
+            raise ValueError(
+                f"pattern {trimmed!r} supplied to ExtractGrokPatterns at "
+                f"index {i} has incorrect format, expecting "
+                "PATTERNNAME=pattern definition")
+        if ":" in key:
+            raise ValueError(f"pattern ID {key!r} should not contain ':'")
+        out[key] = val
+    return out
+
+
 def extract_grok_patterns(expression: str, parse_from: str = "text",
                           prefix: str = "", extra: dict[str, str] | None = None,
                           on_error: str = "send",
-                          named_captures_only: bool = True):
+                          named_captures_only: bool = True,
+                          pattern_definitions: list[str] | None = None):
     """OTTL ExtractGrokPatterns as a map_batches stage: named captures ->
-    columns (typed captures cast per the :type suffix)."""
+    columns (typed captures cast per the :type suffix).
+    ``pattern_definitions``: 'NAME=pattern' strings, the OTTL arg form."""
+    if pattern_definitions:
+        extra = dict(extra or {}, **parse_pattern_definitions(
+            list(pattern_definitions)))
     regex, types, names = GrokCompiler(extra).compile(
         expression, named_captures_only=named_captures_only)
 

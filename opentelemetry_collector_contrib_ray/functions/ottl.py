@@ -961,12 +961,17 @@ REGISTRY.update({
 })
 # Duration was previously bound to the array-only variant; Hex gains the
 # typed dispatch; GetXML gains the xpath form under its reference name.
-def _extract_grok_registry(col, pattern: str, named_only: bool = True):
-    """ExtractGrokPatterns as a registry converter: named captures -> map
-    (compiled via the grok library in functions/grok.py)."""
-    from .grok import GrokCompiler
-    regex, _types, names = GrokCompiler().compile(pattern)
-    _ = named_only  # RE2 registry form captures named groups only
+def _extract_grok_registry(col, pattern: str, named_only: bool = False,
+                           definitions: list | None = None):
+    """ExtractGrokPatterns as a registry converter: captures -> map.
+    Defaults mirror the Go optionals (func_extract_grok_patterns.go:38):
+    NamedCapturesOnly false (un-aliased %{NAME} references capture under
+    the pattern name), PatternDefinitions as 'NAME=pattern' strings."""
+    from .grok import GrokCompiler, parse_pattern_definitions
+    extra = parse_pattern_definitions([str(d) for d in definitions]) \
+        if definitions else None
+    regex, _types, names = GrokCompiler(extra).compile(
+        pattern, named_captures_only=bool(named_only))
     return extract_patterns(col, regex, names=names)
 
 

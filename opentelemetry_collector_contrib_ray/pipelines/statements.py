@@ -599,9 +599,18 @@ def _adapter_tokv(ctx, args, kwargs):
 
 
 def _adapter_grok(ctx, args, kwargs):
-    from ..functions.grok import GrokCompiler
+    """ExtractGrokPatterns(Target, Pattern, NamedCapturesOnly,
+    PatternDefinitions) — func_extract_grok_patterns.go:17-23."""
+    from ..functions.grok import GrokCompiler, parse_pattern_definitions
     target, pattern = args[0], args[1]
-    regex, _types, names = GrokCompiler().compile(pattern)
+    nco = args[2] if len(args) > 2 else kwargs.get("named_captures_only",
+                                                   kwargs.get("namedCapturesOnly", False))
+    defs = args[3] if len(args) > 3 else kwargs.get("pattern_definitions",
+                                                    kwargs.get("patternDefinitions"))
+    extra = parse_pattern_definitions([str(d) for d in defs]) if defs \
+        else None
+    regex, _types, names = GrokCompiler(extra).compile(
+        pattern, named_captures_only=bool(nco))
     return F.extract_patterns(_broadcast(target, ctx.n), regex, names=names)
 
 
