@@ -1223,10 +1223,75 @@ def q_text_source(sf_dir: str):
 
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     d = write_text_fixture(sf_dir, f"/tmp/otelray_textlogs/{base}")
-    ds = read_text_logs(d)
+    # preserve_* opt-out of the stanza-default whitespace trim: the
+    # roundtrip contract is BYTE fidelity vs the parquet text column
+    ds = read_text_logs(d, preserve_leading_whitespaces=True,
+                        preserve_trailing_whitespaces=True)
     ds = ds.map_batches(parse_transcript_batch, batch_format="pyarrow",
                         batch_size=None)
     return count_by(ds, ["template"], count_col="n")
+
+
+def q_multiline_source(sf_dir: str):
+    """fileconsumer multiline split (line_start_pattern): each event is
+    written as a TWO-line record ('EVENT <id>' + indented continuation
+    carrying the type); the source must re-group both lines into one
+    entry per event with the continuation content intact."""
+    from ..sources.textlogs import read_text_logs
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/otelray_textlogs/{base}_multiline"
+    done = os.path.join(out_dir, "events.log")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "event_type"])
+        tmp = f"{done}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for eid, et in zip(t["event_id"].to_pylist(),
+                               t["event_type"].to_pylist()):
+                f.write(f"EVENT {eid}\n  type={et}\n")
+        os.replace(tmp, done)
+
+    ds = read_text_logs(out_dir, line_start_pattern=r"^EVENT \d")
+
+    def parse(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        st = pc.extract_regex(txt, r"^EVENT (?P<id>\d+)\n  type=(?P<t>\w+)$")
+        return pa.table({
+            "event_id": pc.cast(pc.struct_field(st, "id"), pa.int64()),
+            "event_type": pc.struct_field(st, "t")})
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def q_latin1_source(sf_dir: str):
+    """fileconsumer encoding decode: customer market segments written as
+    latin-1 bytes with a non-ASCII suffix; the source must decode to the
+    same UTF-8 strings the oracle computes from the parquet side."""
+    from ..sources.textlogs import read_text_logs
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/otelray_textlogs/{base}_latin1"
+    done = os.path.join(out_dir, "segments.log")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_mktsegment"])
+        tmp = f"{done}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            for seg in t["c_mktsegment"].to_pylist():
+                f.write(f"{seg}é\n".encode("latin-1"))
+        os.replace(tmp, done)
+
+    ds = read_text_logs(out_dir, encoding="latin-1")
+    ds = ds.map_batches(lambda b: pa.table({"seg": b["text"]}),
+                        batch_format="pyarrow", batch_size=None)
+    return count_by(ds, ["seg"], count_col="n")
 
 
 LATENCY_BOUNDS = [10.0, 50.0, 100.0, 500.0, 1000.0, 5000.0]
@@ -1678,6 +1743,10 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
             f"FROM read_parquet('{_transcripts_glob()}')"),
         "text_source": parsed_view_sql() + (
             "SELECT template, count(*) AS n FROM routed GROUP BY template"),
+        "multiline_source":
+            "SELECT event_id, event_type FROM events",
+        "latin1_source": ("SELECT c_mktsegment || 'é' AS seg, "
+                          "count(*) AS n FROM customer GROUP BY seg"),
         "latency_exp_histogram": _latency_exp_sql(),
         "metrics_transform": _METRICS_TRANSFORM_SQL,
         "metrics_combine": _METRICS_COMBINE_SQL,
@@ -1890,6 +1959,8 @@ def ray_queries() -> dict:
         "groupbyattrs": q_groupbyattrs,
         "rfc3164": q_rfc3164,
         "text_source": q_text_source,
+        "multiline_source": q_multiline_source,
+        "latin1_source": q_latin1_source,
         "latency_histogram": q_latency_histogram,
         "latency_exp_histogram": q_latency_exp_histogram,
         "metrics_transform": q_metrics_transform,
