@@ -395,6 +395,85 @@ def q_sampler(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+# Synthetic incoming tvalues for the consistent-sampler queries: a spread
+# of already-sampled rates (50%, 25%, ~0.2%) plus records with no
+# threshold. The SAME mapping feeds the Ray shape step and the SQL oracle.
+_SAMPLER_TH_IN = {"click": "8", "view": "c", "error": "ff8"}
+
+
+def _consistent_sampler_query(mode: str):
+    """Shared body for sampler_equalizing / sampler_proportional: events
+    get a deterministic trace-id hex (md5 of event_id) and a synthetic
+    incoming tvalue; the consistent sampler decides per OTEP-235."""
+    from ..stages.transform import consistent_sampler
+
+    def q(sf_dir: str):
+        ds = _tbl(sf_dir, "events", ("event_id", "event_type"))
+
+        def shape(b: pa.Table) -> pa.Table:
+            import hashlib as _h
+            et = b["event_type"]
+            if isinstance(et, pa.ChunkedArray):
+                et = et.combine_chunks()
+            # one if_else pass per mapping entry (3)
+            th = pa.nulls(b.num_rows, pa.string())
+            for k, v in _SAMPLER_TH_IN.items():
+                th = pc.if_else(pc.equal(et, k),
+                                pa.scalar(v, pa.string()), th)
+            eid = pc.cast(b["event_id"], pa.string())
+            d = pc.dictionary_encode(eid)
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            hx = pa.array([_h.md5(v.encode()).hexdigest()
+                           for v in d.dictionary.to_pylist()], pa.string())
+            return pa.table({"event_id": b["event_id"],
+                             "trace_hex": pc.take(hx, d.indices),
+                             "th_in": th})
+
+        ds = ds.map_batches(shape, batch_format="pyarrow", batch_size=None)
+        fn = consistent_sampler(50.0, mode, "trace_hex",
+                                threshold_col="th_in")
+        ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+        return ds.select_columns(["event_id", "sampling_threshold"])
+
+    return q
+
+
+def _consistent_sampler_sql(mode: str) -> str:
+    """Oracle: identical decision, with per-distinct-tvalue outputs
+    precomputed through the SAME threshold functions."""
+    from ..stages.transform import (_MAX_ADJUSTED_COUNT,
+                                    probability_to_threshold,
+                                    threshold_tvalue, tvalue_to_threshold)
+
+    def decide(tv):
+        t_in = tvalue_to_threshold(tv) if tv else 0
+        t_cfg = probability_to_threshold(0.5, 4)
+        if mode == "equalizing":
+            return t_in if tv and t_cfg < t_in else t_cfg
+        p_in = (_MAX_ADJUSTED_COUNT - t_in) / _MAX_ADJUSTED_COUNT \
+            if tv else 1.0
+        return probability_to_threshold(p_in * 0.5, 4)
+
+    cases_t = " ".join(
+        f"WHEN '{k}' THEN {decide(v)}" for k, v in _SAMPLER_TH_IN.items())
+    cases_s = " ".join(
+        f"WHEN '{k}' THEN '{threshold_tvalue(decide(v))}'"
+        for k, v in _SAMPLER_TH_IN.items())
+    t_none, s_none = decide(None), threshold_tvalue(decide(None))
+    return f"""
+WITH d AS (
+  SELECT event_id,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 19, 14))
+              AS BIGINT) AS rnd,
+         CASE event_type {cases_t} ELSE {t_none} END AS t_out,
+         CASE event_type {cases_s} ELSE '{s_none}' END AS tv_out
+  FROM events)
+SELECT event_id, tv_out AS sampling_threshold
+FROM d WHERE t_out <= rnd
+"""
+
+
 REDACT_PATTERNS = [r"E\d+", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"]
 
 
@@ -1642,6 +1721,8 @@ def oracle_queries() -> dict[str, str]:
             "WHERE CAST(('0x' || substring(md5(conv_id),1,8)) AS BIGINT) "
             "% 10000 < 2000"),
         "redaction": _redact_sql(),
+        "sampler_equalizing": _consistent_sampler_sql("equalizing"),
+        "sampler_proportional": _consistent_sampler_sql("proportional"),
         "attributes_chain": (
             f"SELECT conv_id, turn_idx, "
             f"CASE WHEN regexp_matches(text, '- (\\S+) \\[') THEN "
@@ -1941,6 +2022,8 @@ def ray_queries() -> dict:
         "log_dedup": q_dedup,
         "recombine": q_recombine,
         "sampler": q_sampler,
+        "sampler_equalizing": _consistent_sampler_query("equalizing"),
+        "sampler_proportional": _consistent_sampler_query("proportional"),
         "redaction": q_redact,
         "attributes_chain": q_attributes,
         "transform_statements": q_transform_statements,

@@ -482,6 +482,156 @@ def md5_mod_sampler(percent: float, key_col: str):
     return fn
 
 
+# --- OTEP-235 consistent sampling (equalizing / proportional) --------------
+
+#: pkg/sampling constants: 56-bit threshold/randomness space
+_MAX_ADJUSTED_COUNT = 1 << 56
+_NUM_HEX_DIGITS = 14
+
+
+def tvalue_to_threshold(s: str) -> int:
+    """sampling.TValueToThreshold (threshold.go:60-75): tvalues omit
+    trailing zeros; '' means never-sample."""
+    if len(s) > _NUM_HEX_DIGITS:
+        raise ValueError("t-value too long")
+    if not s:
+        return _MAX_ADJUSTED_COUNT  # NeverSampleThreshold
+    return int(s, 16) << (4 * (_NUM_HEX_DIGITS - len(s)))
+
+
+def threshold_tvalue(t: int) -> str:
+    """sampling.Threshold.TValue (threshold.go:99-115)."""
+    if t == 0:
+        return "0"
+    if t >= _MAX_ADJUSTED_COUNT:
+        return ""
+    return format(t, "014x").rstrip("0")
+
+
+def probability_to_threshold(fraction: float, precision: int = 4) -> int:
+    """sampling.ProbabilityToThresholdWithPrecision (probability.go:33-76):
+    rejection threshold T in [0, 2^56], rounded to ``precision`` hex
+    digits with extra digits near the extremes (frexp rule). Returns
+    2^56 (never sample) on probability-range error — the proportional
+    sampler's documented underflow behavior."""
+    import math
+
+    if precision == 0:
+        precision = _NUM_HEX_DIGITS
+    if not (2.0 ** -56 <= fraction <= 1.0):
+        return _MAX_ADJUSTED_COUNT
+    if fraction == 1:
+        return 0
+    _, exp_f = math.frexp(fraction)
+    _, exp_r = math.frexp(1 - fraction)
+    precision = min(_NUM_HEX_DIGITS,
+                    max(precision + exp_f // -4, precision + exp_r // -4))
+    # Go math.Round = half away from zero (fraction*2^56 is positive)
+    scaled = int(math.floor(fraction * float(_MAX_ADJUSTED_COUNT) + 0.5))
+    threshold = _MAX_ADJUSTED_COUNT - scaled
+    shift = 4 * (_NUM_HEX_DIGITS - precision)
+    if shift:
+        threshold += 1 << (shift - 1)
+        threshold >>= shift
+        threshold <<= shift
+    return threshold
+
+
+_HEX_LUT = np.full(256, 255, np.uint8)
+for _i, _c in enumerate("0123456789abcdef"):
+    _HEX_LUT[ord(_c)] = _i
+    _HEX_LUT[ord(_c.upper())] = _i
+
+
+def _hex_slice_u64(col: pa.Array, start: int, length: int) -> np.ndarray:
+    """Parse a fixed-width hex slice of every string to uint64 — byte-LUT
+    over the flat buffer, no per-row Python."""
+    s = pc.utf8_slice_codeunits(pc.cast(col, pa.string()), start,
+                                start + length)
+    flat = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    flat = pc.cast(flat, pa.large_binary())
+    if len(flat) == 0:
+        return np.zeros(0, np.uint64)
+    offs = np.frombuffer(flat.buffers()[1], np.int64)[
+        flat.offset:flat.offset + len(flat) + 1]
+    if not (np.diff(offs) == length).all():
+        raise ValueError(f"expected fixed {length}-hex-digit slices")
+    buf = np.frombuffer(flat.buffers()[2], np.uint8)
+    nib = _HEX_LUT[buf[offs[0]:offs[-1]].reshape(len(flat), length)]
+    if (nib == 255).any():
+        raise ValueError("non-hex digit in randomness source")
+    out = np.zeros(len(flat), np.uint64)
+    for j in range(length):
+        out = (out << np.uint64(4)) | nib[:, j].astype(np.uint64)
+    return out
+
+
+def consistent_sampler(percent: float, mode: str, key_col: str, *,
+                       threshold_col: str | None = None,
+                       precision: int = 4,
+                       out_col: str = "sampling_threshold"):
+    """probabilisticsampler equalizing/proportional modes as a batch
+    stage (sampler_mode.go:267-303, makeSampler:412-425): OTEP-235
+    consistent sampling. Randomness R = the W3C-spec low 56 bits of the
+    record's trace-id hex in ``key_col`` (last 14 hex digits); incoming
+    per-record thresholds are tvalues in ``threshold_col`` (null/'' =
+    no threshold). Sampled iff T_decided <= R; sampled rows carry the
+    updated tvalue in ``out_col`` (recordCarrier.updateThreshold).
+
+    - equalizing: T = max(T_in, T_cfg) — raises thresholds UP TO the
+      configured rate, records already sampled more aggressively pass
+      through unchanged.
+    - proportional: T = P2T(Probability(T_in) * percent/100) — scales
+      every record's effective rate; underflow below 2^-56 drops the
+      record (NeverSampleThreshold).
+    One pass, no shuffle; threshold math runs per DISTINCT tvalue."""
+    if mode not in ("equalizing", "proportional"):
+        raise ValueError("mode must be equalizing|proportional")
+    pct = min(float(percent), 100.0)
+    ratio = pct / 100.0
+    t_cfg = probability_to_threshold(ratio, precision)
+
+    def decide(tv: str | None) -> int:
+        t_in = tvalue_to_threshold(tv or "") if tv else 0
+        has = bool(tv)
+        if mode == "equalizing":
+            return t_in if has and t_cfg < t_in else t_cfg
+        incoming = (_MAX_ADJUSTED_COUNT - t_in) / _MAX_ADJUSTED_COUNT \
+            if has else 1.0
+        return probability_to_threshold(incoming * ratio, precision)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(out_col, pa.array([], pa.string()))
+        rnd = _hex_slice_u64(_get(batch, key_col),
+                             32 - _NUM_HEX_DIGITS, _NUM_HEX_DIGITS)
+        if threshold_col is not None:
+            d = pc.dictionary_encode(pc.cast(_get(batch, threshold_col),
+                                             pa.string()))
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            t_uniq = [decide(v) for v in d.dictionary.to_pylist()]
+            tv_uniq = pa.array([threshold_tvalue(t) for t in t_uniq],
+                               pa.string())
+            # null threshold -> the sentinel last slot (no-threshold path)
+            idx = pc.fill_null(pc.cast(d.indices, pa.int64()),
+                               len(t_uniq)).to_numpy(zero_copy_only=False)
+            t_out = np.array(t_uniq + [decide(None)], np.uint64)[idx]
+            tvals = pc.take(pa.concat_arrays([
+                tv_uniq, pa.array([threshold_tvalue(decide(None))])]),
+                pa.array(idx))
+        else:
+            t = decide(None)
+            t_out = np.full(n, t, np.uint64)
+            tvals = pa.nulls(n, pa.string()).fill_null(threshold_tvalue(t))
+        keep = t_out <= rnd
+        out = batch.append_column(out_col, tvals)
+        return out.filter(pa.array(keep))
+
+    return fn
+
+
 # --- redaction processor ---------------------------------------------------
 
 def redact(fields: list[str], blocked_values: list[str],

@@ -761,3 +761,56 @@ versions:
                   "value": pa.array([1.0, 2.0])})
     out = semconv_metric_transform(versions, "1.0.0", "1.1.0")(t)
     assert out["metric_name"].to_pylist() == ["b", "c"]
+
+
+def test_probability_to_threshold_reference_examples():
+    # pkg/sampling probability_test.go Example outputs, replayed exactly
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        probability_to_threshold, threshold_tvalue, tvalue_to_threshold)
+    assert [threshold_tvalue(probability_to_threshold(d / 3.0, 3))
+            for d in (1, 2, 3)] == ["aab", "555", "0"]
+    assert threshold_tvalue(probability_to_threshold(1.0 / 3.0, 0)) \
+        == "aaaaaaaaaaaaac"
+    # tvalue roundtrip with trailing-zero omission
+    assert tvalue_to_threshold("8") == 1 << 55
+    assert threshold_tvalue(1 << 55) == "8"
+    assert tvalue_to_threshold("") == 1 << 56            # never sample
+    assert threshold_tvalue(0) == "0"                    # always sample
+    # proportional underflow -> never sample (probability.go range error)
+    assert probability_to_threshold(2.0 ** -60, 4) == 1 << 56
+
+
+def test_consistent_sampler_modes(ray_session):
+    import numpy as np
+    import hashlib
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        consistent_sampler, tvalue_to_threshold, probability_to_threshold)
+    n = 4000
+    hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in range(n)]
+    th = [None, "8", "c", ""][0:1] * n  # start all-None
+    t = pa.table({
+        "k": pa.array(hexes),
+        "th": pa.array([["8", "c", None, None][i % 4] for i in range(n)],
+                       pa.string()),
+    })
+    # equalizing 50%: None/'8' rows -> '8'; 'c' rows keep 'c'
+    out = consistent_sampler(50.0, "equalizing", "k",
+                             threshold_col="th")(t)
+    got = dict(zip(out["th"].to_pylist(),
+                   out["sampling_threshold"].to_pylist()))
+    assert got["8"] == "8" and got["c"] == "c" and got[None] == "8"
+    # sampled iff T <= R, exact per-row check
+    R = np.array([int(h[18:32], 16) for h in hexes], np.uint64)
+    t_cfg = probability_to_threshold(0.5, 4)
+    exp = []
+    for i in range(n):
+        tin = ["8", "c", None, None][i % 4]
+        T = max(tvalue_to_threshold(tin), t_cfg) if tin else t_cfg
+        exp.append(T <= R[i])
+    assert out.num_rows == sum(exp)
+    # proportional 50%: '8' -> 'c', 'c' -> 'e', None -> '8'
+    out2 = consistent_sampler(50.0, "proportional", "k",
+                              threshold_col="th")(t)
+    got2 = dict(zip(out2["th"].to_pylist(),
+                    out2["sampling_threshold"].to_pylist()))
+    assert got2["8"] == "c" and got2["c"] == "e" and got2[None] == "8"
