@@ -1120,6 +1120,29 @@ def q_multimodal(sf_dir: str):
                           concurrency=(1, 4), max_restarts=0)
 
 
+def q_multimodal_real(sf_dir: str):
+    """Multimodal REAL decode: deterministic PNG/WAV payloads decoded by
+    the built-in stdlib codecs (PIL probed first when installed) —
+    image features from true pixels, audio frames from true PCM samples.
+    No external media library required (stages/multimodal.py)."""
+    from ..stages.multimodal import (AudioFrameSampler, ImageDecoder,
+                                     synth_real_media_table)
+
+    t = synth_real_media_table(128)
+    imgs = ray.data.from_arrow(t.filter(pc.equal(t["kind"], "image")))
+    auds = ray.data.from_arrow(t.filter(pc.equal(t["kind"], "audio")))
+    feats = imgs.map_batches(ImageDecoder, fn_constructor_args=(False,),
+                             batch_format="pyarrow", batch_size=16,
+                             concurrency=(1, 4), max_restarts=0) \
+        .select_columns(["media_id"])
+    frames = auds.map_batches(AudioFrameSampler,
+                              fn_constructor_args=(4, False),
+                              batch_format="pyarrow", batch_size=16,
+                              concurrency=(1, 4), max_restarts=0) \
+        .select_columns(["media_id"])
+    return feats.union(frames)
+
+
 # 203.0.113.x split into two synthetic "networks" for the geoip analogue
 GEO_RANGES = [
     ((203 << 24) | (0 << 16) | (113 << 8) | 0,
@@ -2073,6 +2096,7 @@ def ray_queries() -> dict:
         # dict entry missing (a tail truncation), so the cheapest row no
         # longer rides in the caboose
         "multimodal_decode": q_multimodal,
+        "multimodal_real": q_multimodal_real,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

@@ -501,3 +501,102 @@ def test_kmeans_local_matches_distributed(ray_session):
     assert dist["iters"] == local["iters"]
     assert np.allclose(dist["centroids"], local["centroids"])
     assert abs(dist["inertia"] - local["inertia"]) < 1e-6
+
+
+def test_builtin_png_codec_roundtrip():
+    # encode -> decode roundtrip plus all-filter decode coverage
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_png, encode_png)
+    rng = np.random.default_rng(7)
+    for shape in [(5, 4, 3), (3, 7, 4), (6, 2, 1)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+    # filters 1-4: hand-build a PNG with one row per filter type
+    import struct, zlib
+    w, ch = 4, 3
+    rows_px = rng.integers(0, 256, (5, w * ch), dtype=np.uint8)
+    # reconstruct expected image, then forward-filter each row with its type
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int16)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = rows_px[y].astype(np.int16)
+        enc = np.zeros(w * ch, np.int16)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = (prev[x - ch] if x >= ch else 0) if y else 0
+            if f == 0: pred = 0
+            elif f == 1: pred = a
+            elif f == 2: pred = b
+            elif f == 3: pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    from opentelemetry_collector_contrib_ray.stages.multimodal import PNG_SIG
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + \
+            struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+    png = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 5, 8, 2, 0, 0, 0)) \
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    assert (decode_png(png).reshape(5, w * ch) == rows_px).all()
+
+
+def test_builtin_wav_codec_roundtrip():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_wav, encode_wav)
+    rng = np.random.default_rng(11)
+    s = rng.integers(-30000, 30000, 500, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000
+    assert (out[:, 0] == s).all()
+
+
+def test_real_image_decode_and_resize(ray_session):
+    # REAL decode path (PIL when importable, builtin PNG codec otherwise)
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageDecoder, ImageResizer, decode_png, synth_real_media_table)
+    t = synth_real_media_table(16)
+    imgs = t.filter(pa.compute.equal(t["kind"], "image"))
+    dec = ImageDecoder(fake=False)
+    out = dec(imgs)
+    assert out.num_rows == imgs.num_rows
+    # feature[3] is the true pixel mean — recompute from the payload
+    for i in range(out.num_rows):
+        px = decode_png(imgs["payload"][i].as_py())
+        feat = out["feature"][i].as_py()
+        assert abs(feat[3] - px.astype(np.float64).mean() / 255.0) < 1e-9
+    rez = ImageResizer(8, 6, fake=False)
+    rout = rez(imgs)
+    for i in range(rout.num_rows):
+        px = decode_png(rout["payload"][i].as_py())
+        assert px.shape == (6, 8, 3)
+
+
+def test_real_audio_frames(ray_session):
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioFrameSampler, decode_wav, synth_real_media_table)
+    t = synth_real_media_table(16)
+    auds = t.filter(pa.compute.equal(t["kind"], "audio"))
+    out = AudioFrameSampler(n_frames=4, fake=False)(auds)
+    for i in range(out.num_rows):
+        samples, _ = decode_wav(auds["payload"][i].as_py())
+        mono = np.abs(samples.astype(np.float64)).mean(axis=1)
+        want = [float(c.mean()) / 32768.0
+                for c in np.array_split(mono, 4)]
+        assert np.allclose(out["frames"][i].as_py(), want)
+
+
+def test_real_decode_unsupported_format_raises():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageDecoder)
+    dec = ImageDecoder(fake=False)
+    if dec.pil is None:  # builtin path: non-PNG must raise, stub parity
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            dec._decode_one(b"\xff\xd8\xffJFIF-not-a-png")
