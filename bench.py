@@ -515,6 +515,95 @@ def run_scaling(cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     }
 
 
+def run_dedup_e2e(num_cpus: int = NUM_CPUS,
+                  n_docs: int = 63_500_000) -> dict:
+    """End-to-end corpus dedup at scale (VERDICT r4 item 8): synthetic
+    63.5M-doc corpus of planted 3-member near-dup clusters -> exact
+    n-gram Jaccard pairs -> connected components -> keep decision.
+    Pair volume ~= n_docs edges (> the 5M single-task cutoff), so this
+    PROVES the distributed CC path fires at scale and pins the wall
+    time of the whole pairs->clusters->keep chain.
+
+    Corpus: doc i belongs to cluster i//3; its text is 10 cluster-
+    specific words + 1 member-specific word, so within-cluster Jaccard
+    is 8/10 and every shared shingle has df=3 (the max_df cap stays
+    cold — pair volume is structural, not capped)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        connected_components, ngram_jaccard_pairs)
+    from opentelemetry_collector_contrib_ray.stages.shuffle import (
+        partitioned_attach)
+
+    def mk_docs(b: pa.Table) -> pa.Table:
+        ids = b["id"].combine_chunks() if isinstance(
+            b["id"], pa.ChunkedArray) else b["id"]
+        cid = pc.cast(pc.divide(ids, 3), pa.string())
+        member = pc.cast(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 3), 3)), pa.string())
+        words = []
+        for w in "abcdefghij":
+            words.extend([w, cid, " "])
+        text = pc.binary_join_element_wise(
+            *words, "v", member, "")
+        return pa.table({"doc_id": ids, "text": text})
+
+    docs = rd.range(n_docs).map_batches(mk_docs, batch_format="pyarrow")
+
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                max_df=256).materialize()
+    pairs_sec = time.time() - t0
+    n_pairs = pairs.count()
+
+    t1 = time.time()
+    comp = connected_components(pairs).materialize()
+    cc_sec = time.time() - t1
+    n_nodes = comp.count()
+
+    t2 = time.time()
+    only_ids = rd.range(n_docs).map_batches(
+        lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow")
+    attached = partitioned_attach(
+        only_ids, {"doc_id": pa.int64()}, comp, key_col="doc_id",
+        right_key="node", right_val="component", out_name="component")
+
+    def keep(b: pa.Table) -> pa.Table:
+        c = b["component"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        ok = pc.fill_null(pc.equal(c, b["doc_id"]), True)
+        return b.filter(ok).select(["doc_id"])
+
+    kept = attached.map_batches(keep, batch_format="pyarrow",
+                                batch_size=None)
+    n_kept = kept.count()
+    keep_sec = time.time() - t2
+
+    expected_clusters = -(-n_docs // 3)
+    return {
+        "metric": "corpus dedup e2e (pairs->CC->keep) wall time",
+        "value": round(pairs_sec + cc_sec + keep_sec, 3),
+        "unit": "sec",
+        "rows": n_docs,
+        "num_cpus": num_cpus,
+        "pairs_sec": round(pairs_sec, 3),
+        "pairs": n_pairs,
+        "cc_sec": round(cc_sec, 3),
+        "cc_nodes": n_nodes,
+        "cc_distributed_path": n_pairs > 5_000_000,
+        "keep_sec": round(keep_sec, 3),
+        "kept": n_kept,
+        "kept_expected": expected_clusters,
+        "keep_correct": n_kept == expected_clusters,
+    }
+
+
 def run_cc_scale(num_cpus: int = NUM_CPUS, clusters: int = 5_000,
                  cluster_size: int = 10, chain_len: int = 4,
                  chains: int = 20) -> dict:
@@ -606,6 +695,11 @@ def main() -> None:
         print(json.dumps(run_dedup_blowup()))
     elif "--cc-scale" in sys.argv:
         print(json.dumps(run_cc_scale()))
+    elif "--dedup-e2e" in sys.argv:
+        i = sys.argv.index("--dedup-e2e")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 \
+            and sys.argv[i + 1].isdigit() else 63_500_000
+        print(json.dumps(run_dedup_e2e(n_docs=n)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -119,6 +119,36 @@ def md5_hex_u64(texts: pa.Array) -> tuple[pa.Array, pa.Array]:
         pc.fill_null(pc.take(u64, d.indices), 0)
 
 
+def _emit_group_pairs(ids: np.ndarray, starts: np.ndarray,
+                      max_df: int | None, kind: str):
+    """(a, b) cross-product pairs for every sorted run ids[starts[g]:
+    starts[g+1]] with 2 <= size <= max_df. Vectorized per DISTINCT run
+    size: one triu_indices + one broadcast add over all runs of that
+    size, so cost is O(total pairs) numpy work regardless of how many
+    runs there are. Returns (None, None) when no run qualifies."""
+    sizes = starts[1:] - starts[:-1]
+    gstarts = starts[:-1]
+    if max_df is not None:
+        over = sizes > max_df
+        if over.any():
+            _log.warning(
+                "%s: dropped %d shingle(s) with df > %d (max df seen: %d)",
+                kind, int(over.sum()), max_df, int(sizes[over].max()))
+        sel = (sizes >= 2) & ~over
+    else:
+        sel = sizes >= 2
+    if not sel.any():
+        return None, None
+    sizes, gstarts = sizes[sel], gstarts[sel]
+    a_out, b_out = [], []
+    for m in np.unique(sizes):
+        gs = gstarts[sizes == m]
+        iu0, iu1 = np.triu_indices(m, 1)
+        a_out.append(ids[(gs[:, None] + iu0[None, :]).ravel()])
+        b_out.append(ids[(gs[:, None] + iu1[None, :]).ravel()])
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -240,19 +270,11 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
             sh, d = hs[order], did[order]
             starts = np.concatenate(
                 [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [len(sh)]])
-            a_out, b_out = [], []
-            for s, e in zip(starts[:-1], starts[1:]):
-                m = e - s
-                if m < 2 or (max_df is not None and m > max_df):
-                    continue
-                bids = d[s:e]
-                iu = np.triu_indices(m, 1)
-                a_out.append(bids[iu[0]])
-                b_out.append(bids[iu[1]])
-            if not a_out:
+            a_arr, b_arr = _emit_group_pairs(d, starts, max_df,
+                                             "ngram_jaccard")
+            if a_arr is None:
                 return empty
-            pairs = np.stack([np.concatenate(a_out),
-                              np.concatenate(b_out)], axis=1)
+            pairs = np.stack([a_arr, b_arr], axis=1)
             uniq, i_cnt = np.unique(pairs, axis=0, return_counts=True)
             sidx = np.argsort(ids)
             ssizes = sizes[sidx]
@@ -293,7 +315,10 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         """All shingles of one coarse partition: sort by shingle, emit the
-        per-shingle id-pair cross products vectorized."""
+        per-shingle id-pair cross products. Vectorized by DISTINCT GROUP
+        SIZE (<= max_df sizes, each a single broadcast over every group
+        of that size) — a per-group Python loop is O(distinct shingles)
+        and dominated the wall at 10^7 docs."""
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64())})
         n = group.num_rows
@@ -305,26 +330,12 @@ def ngram_jaccard_pairs(ds: Dataset, *, text_col: str = "text",
         sh, ids = sh[order], ids[order]
         starts = np.concatenate(
             [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [n]])
-        a_out, b_out, dropped = [], [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            m = e - s
-            if m < 2:
-                continue
-            if max_df is not None and m > max_df:
-                dropped.append(m)
-                continue
-            bids = ids[s:e]
-            iu = np.triu_indices(m, 1)
-            a_out.append(bids[iu[0]])
-            b_out.append(bids[iu[1]])
-        if dropped:
-            _log.warning(
-                "ngram_jaccard: dropped %d shingle(s) with df > %d "
-                "(max df seen: %d)", len(dropped), max_df, max(dropped))
-        if not a_out:
+        a_arr, b_arr = _emit_group_pairs(ids, starts, max_df,
+                                         "ngram_jaccard")
+        if a_arr is None:
             return empty
-        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
-                         "b": pa.array(np.concatenate(b_out), pa.int64())})
+        return pa.table({"a": pa.array(a_arr, pa.int64()),
+                         "b": pa.array(b_arr, pa.int64())})
 
     pair_counts = exploded.groupby("sh_part").map_groups(
         partition_pairs, batch_format="pyarrow")
