@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import re
 
+from .gostr import go_unquote
+
 # pdata severity enum (pkg/stanza/entry/severity.go mirrors the same 25
 # levels; OTTL exposes them as SEVERITY_NUMBER_* constants)
 ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
@@ -54,11 +56,23 @@ _KEYWORDS = {"where", "and", "or", "not", "nil", "true", "false"}
 # shape (not continued by lowercase) is an enum symbol, not a path
 _UPPER_RE = re.compile(r"[A-Z][A-Z0-9_]*\Z")
 
+# grammar.go path field = ONE Lowercase token ([a-z][a-z0-9_]*): an
+# uppercase letter anywhere in a path segment is a participle parse error
+# ('SEVmax', 'observedTime'), never a valid field
+_FIELD_RE = re.compile(r"[a-z][a-z0-9_]*\Z")
+
 
 def _unescape(s: str) -> str:
-    # OTTL string escapes: \" \\ \n \t (grammar.go String lexeme)
-    return (s.replace("\\\\", "\x00").replace('\\"', '"')
-            .replace("\\n", "\n").replace("\\t", "\t").replace("\x00", "\\"))
+    """Full Go strconv.Unquote decoding for a quoted String token —
+    participle.Unquote("String") (pkg/ottl/parser.go:310) runs every
+    string literal through strconv.Unquote, so \\a \\b \\f \\n \\r \\t
+    \\v \\xNN \\uNNNN \\UNNNNNNNN and 3-digit octal all decode, and an
+    invalid escape (\\q, lone \\x9, raw newline) is a PARSE error, not
+    a pass-through."""
+    out = go_unquote(s)
+    if out is None:
+        raise ValueError(f"OTTL parse: invalid string literal {s}")
+    return out
 
 
 _VALUE_END = ("num", "str", "hex", "rparen", "rbrack")
@@ -183,7 +197,7 @@ class Parser:
             return e
         if k == "str":
             self.eat()
-            return ("lit", _unescape(v[1:-1]))
+            return ("lit", _unescape(v))
         if k == "num":
             self.eat()
             return ("lit", float(v) if ("." in v or "e" in v or "E" in v)
@@ -219,14 +233,15 @@ class Parser:
                 args, kwargs = self._arglist()
                 node = ("call", v, args, kwargs)
                 return self._indexes_on(node)
-            if _UPPER_RE.match(v):
-                # grammar.go: a bare Uppercase token is either an enum
-                # symbol (value position, resolved via the context's
-                # parseEnum) or a converter reference (argument.FunctionName
-                # — e.g. the `function` param of replace_pattern). The
-                # parser is type-blind like participle's: emit ("fname", v)
-                # and let compilation decide; evaluating one as a value
-                # raises 'enum symbol not found' (eval_expr).
+            if v[0].isupper():
+                # grammar.go: a bare Uppercase-led token is either an enum
+                # symbol (all-caps `Uppercase (?! Lowercase)` in value
+                # position, resolved via the context's parseEnum) or a
+                # converter reference (argument.FunctionName — mixed-case
+                # allowed, e.g. the `function` param of replace_pattern).
+                # The parser is type-blind like participle's: emit
+                # ("fname", v) and let compilation decide; evaluating one
+                # as a value raises 'enum symbol not found' (eval_expr).
                 self.eat()
                 return ("fname", v)
             return self._path()
@@ -246,6 +261,10 @@ class Parser:
         segs = []
         while True:
             name = self.eat("name")
+            if not _FIELD_RE.match(name):
+                raise ValueError(
+                    f"OTTL parse: invalid path segment '{name}' — a path "
+                    "field is a single lowercase token (grammar.go field)")
             idxs = []
             while self.peek()[0] == "lbrack":
                 self.eat()
@@ -299,7 +318,7 @@ class Parser:
         self.eat("lbrace")
         out = []
         while self.peek()[0] != "rbrace":
-            k = _unescape(self.eat("str")[1:-1])
+            k = _unescape(self.eat("str"))
             self.eat("colon")
             out.append((k, self.parse_expr()))
             if self.peek()[0] == "comma":

@@ -1164,3 +1164,32 @@ def test_kv_to_map_double_quote_inside_single_quotes():
     # odd quotes with NO protecting quote syntax still error
     m2 = _kv_to_map(pa.array(['k="broken'], pa.string()), "=", " ")
     assert m2.to_pylist() == [None]
+
+
+def test_parser_go_string_escape_parity():
+    """String literals decode through strconv.Unquote like participle's
+    Unquote("String") option (pkg/ottl/parser.go:310): the full Go escape
+    set works and an invalid escape is a PARSE error."""
+    from opentelemetry_collector_contrib_ray.functions.ottl_parser import (
+        parse_statement)
+    st = parse_statement(r'set(body, "\x41é\a\v\101\t")')
+    assert st[2][1] == ("lit", "Aé\a\vA\t")
+    for bad in (r'set(body, "\q")', r'set(body, "\x4")',
+                'set(body, "a\nb")'):
+        with pytest.raises(ValueError, match="invalid string literal"):
+            parse_statement(bad)
+
+
+def test_parser_path_fields_are_lowercase_tokens():
+    """grammar.go path field = one Lowercase token: an uppercase letter in
+    a path segment ('body.Foo') is a parse error, exactly as participle
+    fails to lex it as a field; an Uppercase-led MIXED-case bare name
+    ('Sha256') still parses as a converter reference (argument.FunctionName
+    grammar), matching replace_pattern's optional `function` param."""
+    from opentelemetry_collector_contrib_ray.functions.ottl_parser import (
+        parse_statement)
+    with pytest.raises(ValueError, match="invalid path segment"):
+        parse_statement('set(body.Foo, 1)')
+    st = parse_statement(
+        'replace_pattern(attributes["x"], "p", "r", Sha256)')
+    assert st[2][3] == ("fname", "Sha256")
