@@ -1095,13 +1095,25 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """Language-ID heuristic (marker-word scoring). Model-like — rows-only."""
+    """Language-ID heuristic (marker-word scoring). The scoring is plain
+    non-overlapping RE2 counting + argmax, so it IS SQL-expressible —
+    _langid_sql() reproduces it in DuckDB (regexp_extract_all is RE2 with
+    the same leftmost non-overlap semantics as pc.count_substring_regex);
+    lang_conf rounds to 6 here and in the oracle (token_stats convention)."""
     from ..stages.textstats import LanguageID
 
     ds = _docs(sf_dir)
+
+    def rounded(b: pa.Table) -> pa.Table:
+        conf = pc.round(b["lang_conf"], ndigits=6,
+                        round_mode="half_towards_infinity")  # DuckDB ROUND
+        return b.set_column(b.column_names.index("lang_conf"),
+                            "lang_conf", conf)
+
     # plain callable instance: tiny state -> fuse with the read (no pool)
     return ds.map_batches(LanguageID(), batch_format="pyarrow",
-                          batch_size=None)
+                          batch_size=None) \
+             .map_batches(rounded, batch_format="pyarrow", batch_size=None)
 
 
 def q_multimodal(sf_dir: str):
@@ -1985,10 +1997,42 @@ FROM p
         "fingerprint": (
             "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', "
             "'g')))) AS fingerprint FROM documents"),
-        # minhash_lsh / simhash / langid / multimodal_decode: sketch- or
+        "langid": _langid_sql(),
+        # minhash_lsh / simhash / multimodal_decode: sketch- or
         # model-based -> no SQL oracle (driver records rows-only checks;
         # recall/accuracy pinned by unit tests instead)
     }
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of stages/textstats.LanguageID: per-language marker
+    counts via RE2 regexp_extract_all over lower(text), first-max argmax
+    (language i wins iff strictly above every EARLIER language and >= every
+    LATER one — numpy argmax tie-breaking), conf = max/total rounded 6."""
+    from ..stages.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    scores = []
+    for lang, words in LANG_MARKERS.items():
+        pat = "|".join(rf"(?:(?:^|\s){w}(?:\s|$))" for w in words)
+        scores.append("len(regexp_extract_all(lower(text), "
+                      f"'{pat}')) AS s_{lang}")
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > s_{langs[j]}" for j in range(i)] + \
+                [f"s_{lang} >= s_{langs[j]}" for j in range(i + 1, len(langs))]
+        whens.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN '{lang}'")
+    case = "CASE WHEN total = 0 THEN 'unknown' " + " ".join(whens) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents),
+t AS (SELECT *, {total} AS total FROM s)
+SELECT doc_id, {case} AS lang_pred,
+       CASE WHEN total > 0 THEN ROUND({greatest}*1.0 / total, 6)
+            ELSE 0.0 END AS lang_conf
+FROM t
+"""
 
 
 def _recombine_sql() -> str:
