@@ -30,7 +30,19 @@ from .gostr import go_unquote
 
 # pdata severity enum (pkg/stanza/entry/severity.go mirrors the same 25
 # levels; OTTL exposes them as SEVERITY_NUMBER_* constants)
-ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0,
+                         # pmetric.AggregationTemporality (ottlmetric /
+                         # ottldatapoint enum symbols)
+                         "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+                         "AGGREGATION_TEMPORALITY_DELTA": 1,
+                         "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+                         # pmetric.MetricType (ottlmetric METRIC_DATA_TYPE_*)
+                         "METRIC_DATA_TYPE_NONE": 0,
+                         "METRIC_DATA_TYPE_GAUGE": 1,
+                         "METRIC_DATA_TYPE_SUM": 2,
+                         "METRIC_DATA_TYPE_HISTOGRAM": 3,
+                         "METRIC_DATA_TYPE_EXPONENTIAL_HISTOGRAM": 4,
+                         "METRIC_DATA_TYPE_SUMMARY": 5}
 for _i, _name in enumerate(["TRACE", "DEBUG", "INFO", "WARN", "ERROR",
                             "FATAL"]):
     for _j in range(4):

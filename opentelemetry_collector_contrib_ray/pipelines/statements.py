@@ -47,6 +47,7 @@ from ..functions import jsonpath as J
 from ..functions import maps as M
 from ..functions import ottl as F
 from ..functions.ottl_parser import parse_ottl_condition, parse_statement
+from . import metric_editors as ME
 
 logger = logging.getLogger(__name__)
 
@@ -784,7 +785,30 @@ def _eval_path(segs, ctx: _Ctx):
     return cur
 
 
+_TEMPORALITY_STRINGS = pa.array([None, "delta", "cumulative"], pa.string())
+_METRIC_TYPE_NAMES = ["Gauge", "Sum", "Histogram", "ExponentialHistogram",
+                      "Summary"]
+
+
 def _column(ctx: _Ctx, name: str):
+    if name == "__metric_type_code__":
+        # virtual int view of metric_type (pmetric.MetricType codes via
+        # METRIC_DATA_TYPE_* enum symbols; the path itself is read-only
+        # in ottlmetric)
+        s = pc.cast(_column(ctx, "metric_type"), pa.string())
+        code = pc.index_in(s, value_set=pa.array(_METRIC_TYPE_NAMES))
+        return pc.cast(pc.fill_null(pc.add(code, 1), 0), pa.int64())
+    if name == "__temporality_code__":
+        # virtual int view of metric_temporality (pmetric enum codes:
+        # 0 unspecified / 1 delta / 2 cumulative), read by the
+        # metric.aggregation_temporality path
+        s = pc.cast(_column(ctx, "metric_temporality"), pa.string())
+        code = pc.if_else(pc.equal(s, "delta"),
+                          pa.scalar(1, pa.int64()),
+                          pc.if_else(pc.equal(s, "cumulative"),
+                                     pa.scalar(2, pa.int64()),
+                                     pa.scalar(0, pa.int64())))
+        return pc.fill_null(code, 0)
     if name not in ctx.batch.column_names:
         return pa.nulls(ctx.n, pa.string())
     return _arr(ctx.batch[name])
@@ -1039,6 +1063,14 @@ def _apply_set(ctx: _Ctx, args, mask):
         return _set_column(ctx.batch, colname, _choose_rows(eff, new, old))
     # plain column
     colname = tgt[1]
+    if colname == "__temporality_code__":
+        # write-through: int enum codes -> metric_temporality strings
+        codes = pc.cast(varr, pa.int64())
+        varr = pc.take(_TEMPORALITY_STRINGS,
+                       pc.if_else(pc.and_(pc.greater_equal(codes, 0),
+                                          pc.less_equal(codes, 2)),
+                                  codes, pa.scalar(0, pa.int64())))
+        colname = "metric_temporality"
     if colname in ctx.batch.column_names:
         old = _arr(ctx.batch[colname])
         if old.type != varr.type and not pa.types.is_null(old.type):
@@ -1494,19 +1526,31 @@ class StatementGroupExecutor:
             # extract_sum_metric, ...) create new metric objects — use
             # stages/metrics.py metrics_transform for those shapes.
             return dict(self.colmap, **{
+                "__context__": "datapoint",
                 "metric.name": "metric_name",
                 "metric.unit": "metric_unit",
                 "metric.description": "metric_description",
-                "metric.type": "metric_type",
+                "metric.type": "__metric_type_code__",
+                "metric.aggregation_temporality": "__temporality_code__",
                 "value_double": "value", "value_int": "value",
                 "count": "count", "time": "ts",
-                "start_time": "start_ts"})
+                "start_time": "start_ts",
+                # exponential-histogram point fields (ottldatapoint
+                # contexts/ottldatapoint; flat envelope spellings)
+                "positive.offset": "positive_offset",
+                "negative.offset": "negative_offset",
+                "positive.bucket_counts": "positive_bucket_counts",
+                "negative.bucket_counts": "negative_bucket_counts"})
         if context == "metric":
             # ottlmetric: bare name/unit/description address the metric
             return dict(self.colmap,
+                        __context__="metric",
                         name="metric_name", unit="metric_unit",
                         description="metric_description",
-                        type="metric_type")
+                        type="__metric_type_code__",
+                        aggregation_temporality="__temporality_code__",
+                        **{"metric.aggregation_temporality":
+                           "__temporality_code__"})
         return self.colmap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1545,6 +1589,32 @@ class StatementGroupExecutor:
                 # this statement
                 ctx.batch, ctx.cache = self._apply_rowsafe(
                     ctx.batch, ctx.cache, ctx.colmap, st, gate)
+            if ctx.batch.num_rows != ctx.n:
+                # metric-structural editor changed the row count
+                # (copy_metric/extract_*/aggregate_*): resync the context
+                # and re-evaluate the group gate so appended rows are
+                # condition-gated for subsequent statements, like the
+                # reference's grow-during-iteration metrics slice. Cache
+                # rows: null-extended on append, dropped on merge (a
+                # merge has no stable row mapping).
+                grown = ctx.batch.num_rows - ctx.n
+                if grown > 0:
+                    ctx.cache = {k: pa.concat_arrays(
+                        [_arr(v), pa.nulls(grown, _arr(v).type)])
+                        for k, v in ctx.cache.items()}
+                else:
+                    ctx.cache = {}
+                keep_cache = ctx.cache
+                ctx = _Ctx(ctx.batch, ctx.colmap)
+                ctx.cache = keep_cache
+                if conds:
+                    gate = None
+                    for c in conds:
+                        cm = _to_mask(eval_expr(c, ctx), ctx.n)
+                        gate = cm if gate is None else pc.or_kleene(gate, cm)
+                    gate = pc.fill_null(gate, False)
+                else:
+                    gate = pa.array([True] * ctx.n, pa.bool_())
         if shared is not None and ctx.cache is not shared:
             # rowsafe retry rebuilt the cache dict — fold it back into the
             # shared store so later shared groups observe the writes
@@ -1630,6 +1700,14 @@ class StatementGroupExecutor:
             return _apply_append(ctx, args, kwargs, mask)
         if name == "flatten":
             return _apply_flatten(ctx, args, kwargs, mask)
+        if name in ME.METRIC_EDITORS:
+            # metric-structural editors (transformprocessor metrics
+            # contexts only, processor/transformprocessor/internal/
+            # metrics/functions.go)
+            if ctx.colmap.get("__context__") not in ("datapoint", "metric"):
+                raise ValueError(
+                    f"{name} requires a datapoint/metric context")
+            return ME.METRIC_EDITORS[name](ctx, args, kwargs, mask)
         raise ValueError(f"unknown editor {name!r}")
 
 

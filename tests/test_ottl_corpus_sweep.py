@@ -115,3 +115,36 @@ def test_logs_processor_statement_corpus_sweep(ray_session):
                 continue
             unexpected.append((s, str(e)))
     assert not unexpected, unexpected
+
+
+def test_metrics_processor_statement_corpus_sweep(ray_session):
+    """Every statement in processor/transformprocessor/internal/metrics/
+    processor_test.go must execute in the metric or datapoint context over
+    the flat constructMetrics fixture (test_metric_editors.metrics_fixture).
+    Output exactness for the structural editors is pinned case-by-case in
+    test_metric_editors.py; this sweep pins breadth."""
+    import test_metric_editors as ME
+    stmts = _stmts(
+        "processor/transformprocessor/internal/metrics/processor_test.go",
+        r"`([a-z][a-z_]*\([^`]*)`")
+    assert len(stmts) >= 100
+    unexpected = []
+    for s in stmts:
+        last = None
+        # scope/resource for the context-inferred scope.cache/resource.*
+        # statements the metrics suite also carries
+        for ctx in ("metric", "datapoint", "scope", "resource"):
+            try:
+                fn = transform_processor([{
+                    "context": ctx, "conditions": [], "statements": [s],
+                    "error_mode": "propagate"}])
+                fn(ME.metrics_fixture())
+                last = None
+                break
+            except Exception as e:  # noqa: BLE001
+                last = e
+        if last is not None:
+            if ERROR_RE.search(s) and "expected string but got" in str(last):
+                continue
+            unexpected.append((s, str(last)))
+    assert not unexpected, unexpected
