@@ -1605,6 +1605,93 @@ FROM base WHERE metric_name NOT IN ('click', 'view')
 """
 
 
+def q_metrics_ottl(sf_dir: str):
+    """transformprocessor metric-context STRUCTURAL editors end-to-end
+    (pipelines/metric_editors.py; processor/transformprocessor/internal/
+    metrics/functions.go): scale_metric + copy_metric are row-local and
+    run per batch; aggregate_on_attributes needs a metric's datapoints
+    co-located, so rows hash-partition by metric_name first
+    (DIVERGENCES #32d) and the statement chain runs once per partition.
+    Sums rounded to 6 decimals (merge-order rule, as sum_events)."""
+    from ..functions import maps as M
+    from ..pipelines.statements import transform_processor
+    from ..stages.shuffle import key_partitioner, round_half_away
+
+    ds = _tbl(sf_dir, "events", ("event_type", "user_id", "value"))
+
+    def shape(b: pa.Table) -> pa.Table:
+        uid = b["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        n = b.num_rows
+        shard = pc.cast(pc.bit_wise_and(uid, 3), pa.string())
+        attrs = pa.MapArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)),
+            pa.array(["shard"] * n), shard)
+        return pa.table({
+            "metric_name": b["event_type"],
+            "metric_type": pa.array(["Sum"] * n),
+            "metric_temporality": pa.array(["cumulative"] * n),
+            "value": b["value"],
+            "attributes": attrs})
+
+    fn = transform_processor([{
+        "context": "metric",
+        "statements": [
+            'scale_metric(10.0, "ms") where name == "click"',
+            'copy_metric(name="click_copy", unit="cp") '
+            'where name == "click"',
+            'aggregate_on_attributes("sum", ["shard"]) '
+            'where name == "view"',
+        ]}])
+    part = key_partitioner("metric_name", 16)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        out = fn(g.drop_columns(["_part"]))
+        attrs = out["attributes"]
+        if isinstance(attrs, pa.ChunkedArray):
+            attrs = attrs.combine_chunks()
+        v = out["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({
+            "metric_name": out["metric_name"],
+            "metric_unit": out["metric_unit"],
+            "shard": pc.cast(M.map_get(attrs, "shard"), pa.int64()),
+            "value": pa.array(round_half_away(
+                v.to_numpy(zero_copy_only=False), 6), pa.float64())})
+
+    return ds.map_batches(shape, batch_format="pyarrow",
+                          batch_size=None) \
+        .map_batches(part, batch_format="pyarrow", batch_size=None) \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+_METRICS_OTTL_SQL = """
+WITH base AS (SELECT event_type AS metric_name,
+                     CAST(user_id & 3 AS BIGINT) AS shard, value
+              FROM events),
+scaled AS (SELECT metric_name,
+                  CASE WHEN metric_name = 'click' THEN 'ms' END
+                      AS metric_unit,
+                  shard,
+                  CASE WHEN metric_name = 'click' THEN value * 10.0
+                       ELSE value END AS value
+           FROM base),
+withcopies AS (
+  SELECT * FROM scaled
+  UNION ALL
+  SELECT 'click_copy' AS metric_name, 'cp' AS metric_unit, shard, value
+  FROM scaled WHERE metric_name = 'click')
+SELECT metric_name, metric_unit, shard, ROUND(value, 6) AS value
+FROM withcopies WHERE metric_name <> 'view'
+UNION ALL
+SELECT metric_name, metric_unit, shard, ROUND(SUM(value), 6) AS value
+FROM withcopies WHERE metric_name = 'view'
+GROUP BY metric_name, metric_unit, shard
+"""
+
+
 def q_latency_exp_histogram(sf_dir: str):
     """spanmetricsconnector `histogram: exponential` — base-2 exponential
     latency buckets by (service, severity_bucket) at fixed scale 3 (the
@@ -1866,6 +1953,7 @@ FROM d WHERE pts IS NOT NULL AND epoch_us(ts) > epoch_us(pts)
         "latency_exp_histogram": _latency_exp_sql(),
         "metrics_transform": _METRICS_TRANSFORM_SQL,
         "metrics_combine": _METRICS_COMBINE_SQL,
+        "metrics_ottl": _METRICS_OTTL_SQL,
         "transform_datapoint": _TRANSFORM_DATAPOINT_SQL,
         "schema_translate": _schema_translate_sql(),
         "latency_histogram": parsed_view_sql() + """
@@ -2115,6 +2203,7 @@ def ray_queries() -> dict:
         "latency_exp_histogram": q_latency_exp_histogram,
         "metrics_transform": q_metrics_transform,
         "metrics_combine": q_metrics_combine,
+        "metrics_ottl": q_metrics_ottl,
         "transform_datapoint": q_transform_datapoint,
         "schema_translate": q_schema_translate,
         "service_graph": q_service_graph,
