@@ -618,6 +618,163 @@ def aggregate_on_attribute_value(ctx, args, kwargs, mask):
     return _group_merge(ctx, pa.array(m), aggfn)
 
 
+# ---------------------------------------------------------------------------
+# convert_exponential_histogram_to_histogram
+# ---------------------------------------------------------------------------
+
+def _exp_bucket_matrix(scale, offset, bc_list, zero_count, bounds,
+                       fn: str) -> np.ndarray:
+    """Vectorized calculateBucketCounts over all converted rows at once:
+    explode positive bucket counts to (row, pos) entries, compute each
+    exp-bucket's [lower, upper) from scale/offset, then route counts into
+    the explicit bounds by the distribution algorithm
+    (func_convert_exponential_hist_to_explicit_hist.go:110-263)."""
+    nb = len(bounds)
+    nrows = len(scale)
+    mat = np.zeros((nrows, nb), np.int64)
+    barr = np.asarray(bounds, np.float64)
+    # zero bucket -> bounds[0] when it starts at zero
+    if barr[0] == 0:
+        mat[:, 0] += zero_count
+    off_l = np.asarray(bc_list.offsets, np.int64)
+    counts = np.asarray(pc.fill_null(pc.cast(bc_list.values, pa.int64()),
+                                     0).to_numpy())
+    ln = off_l[1:] - off_l[:-1]
+    row = np.repeat(np.arange(nrows), ln)
+    pos = np.arange(len(counts)) - np.repeat(off_l[:-1], ln)
+    if len(counts) == 0:
+        return mat
+    idx = offset[row] + pos
+    factor = np.log(2.0) * np.exp2(-scale[row].astype(np.float64))
+    upper = np.exp((idx + 1) * factor)
+    lower = np.exp(idx * factor)
+    live = counts > 0
+    # overflow: lower beyond the last boundary -> last bucket
+    over = live & (lower > barr[-1])
+    np.add.at(mat, (row[over], nb - 1), counts[over])
+    rest = live & ~over
+    L = np.searchsorted(barr, lower, side="left")  # bounds[L-1] < lo <= [L]
+    U = np.searchsorted(barr, upper, side="left")  # first j: up <= bounds[j]
+    # single-bucket fit: smallest bIndex in 1..nb-1 with lo > bounds[b-1]
+    # and up <= bounds[b]
+    b = np.maximum(U, 1)
+    single = rest & (b <= L) & (b <= nb - 1)
+    np.add.at(mat, (row[single], b[single] - 1), counts[single])
+    spread = rest & ~single
+    if not spread.any():
+        return mat
+    if fn == "upper":
+        dest = np.minimum(U, nb - 1)
+        np.add.at(mat, (row[spread], dest[spread]), counts[spread])
+    elif fn == "midpoint":
+        mid = (upper + lower) / 2.0
+        jm = np.searchsorted(barr, mid, side="left")
+        dest = np.where(jm >= nb, nb - 1, np.maximum(jm - 1, 0))
+        np.add.at(mat, (row[spread], dest[spread]), counts[spread])
+    else:  # uniform ("random" maps here: deterministic batch analogue)
+        start = L
+        end = np.minimum(np.maximum(U, start), nb - 1)
+        sp = np.nonzero(spread)[0]
+        width = end[sp] - start[sp] + 1
+        base = counts[sp] // width
+        rem = counts[sp] % width
+        # diff-array trick: add base on [start..end], +1 on the first
+        # `rem` buckets, then prefix-sum along the bounds axis
+        diff = np.zeros((nrows, nb + 1), np.int64)
+        np.add.at(diff, (row[sp], start[sp]), base)
+        np.add.at(diff, (row[sp], end[sp] + 1), -base)
+        np.add.at(diff, (row[sp], start[sp]), np.minimum(rem, 1))
+        np.add.at(diff, (row[sp], np.minimum(start[sp] + rem, nb)),
+                  -np.minimum(rem, 1))
+        # remainder may span multiple buckets (rem > 1): the two add.at
+        # calls above only handle rem as a contiguous +1 run, which is
+        # exactly the reference's behavior (one extra per bucket from
+        # start until the remainder is exhausted)
+        mat += np.cumsum(diff, axis=1)[:, :nb]
+        # rows where the range collapsed (end == start handled by width=1)
+    return mat
+
+
+def convert_exponential_histogram_to_histogram(ctx, args, kwargs, mask):
+    """func_convert_exponential_hist_to_explicit_hist.go: rewrite gated
+    ExponentialHistogram rows as explicit-bounds Histogram rows. The
+    'random' distribution maps to 'uniform' here — a batch engine must be
+    deterministic (rerun-stable sinks), and uniform is random's expected
+    value; documented in DIVERGENCES #32."""
+    fn = str(_scalar(args[0], ctx)) if args else "random"
+    bounds = [float(x) for x in _scalar(args[1], ctx)] if len(args) > 1 \
+        else [float(x) for x in _scalar(kwargs["explicit_bounds"], ctx)] \
+        if "explicit_bounds" in kwargs else []
+    if fn not in ("upper", "midpoint", "random", "uniform"):
+        raise ValueError(f"invalid conversion function: {fn}, must be one "
+                         "of [upper, midpoint, random, uniform]")
+    if not bounds:
+        raise ValueError(f"explicit bounds cannot be empty: {bounds}")
+    if fn == "random":
+        fn = "uniform"
+    typ = _typ(ctx)
+    sel = pc.and_(mask, pc.equal(typ, "ExponentialHistogram"))
+    m = _npmask(sel)
+    if not m.any():
+        return ctx.batch
+    b = ctx.batch
+    rows = b.filter(pa.array(m))
+    nconv = rows.num_rows
+
+    def _ivals(name):
+        if name in rows.column_names:
+            return np.asarray(pc.fill_null(pc.cast(
+                _arr(rows[name]), pa.int64()), 0).to_numpy())
+        return np.zeros(nconv, np.int64)
+
+    scale = _ivals("scale")
+    offset = _ivals("positive_offset")
+    zc = _ivals("zero_count")
+    if "positive_bucket_counts" in rows.column_names:
+        bc = _arr(rows["positive_bucket_counts"])
+        if bc.null_count:
+            bc = pc.fill_null(bc, [])
+        bc = _arr(bc)
+    else:
+        bc = pa.array([[]] * nconv, pa.list_(pa.int64()))
+    mat = _exp_bucket_matrix(scale, offset, bc, zc, bounds, fn)
+    nb = len(bounds)
+    new_counts = pa.ListArray.from_arrays(
+        pa.array(np.arange(nconv + 1, dtype=np.int32) * nb),
+        pa.array(mat.reshape(-1)))
+    new_bounds = pa.ListArray.from_arrays(
+        pa.array(np.arange(nconv + 1, dtype=np.int32) * nb),
+        pa.array(np.tile(np.asarray(bounds, np.float64), nconv)))
+    # write back: type flips to Histogram, bounds/buckets land, the
+    # exponential-only fields null out on converted rows
+    sel_pa = pa.array(m)
+    ctx.batch = _masked_set(ctx, "metric_type", "Histogram", sel_pa)
+
+    def _scatter(colname, new_vals, value_type):
+        cur = _arr(ctx.batch[colname]) if colname in \
+            ctx.batch.column_names else pa.nulls(ctx.n,
+                                                 pa.list_(value_type))
+        n = ctx.n
+        idx = np.where(m, np.cumsum(m) - 1 + n, np.arange(n))
+        combined = pa.concat_arrays([
+            cur.cast(pa.list_(value_type)) if pa.types.is_list(cur.type)
+            else pa.nulls(n, pa.list_(value_type)),
+            new_vals.cast(pa.list_(value_type))])
+        ctx.batch = _set_col(ctx.batch, colname,
+                             combined.take(pa.array(idx)))
+
+    _scatter("explicit_bounds", new_bounds, pa.float64())
+    _scatter("bucket_counts", new_counts, pa.int64())
+    for c in ("scale", "zero_count", "positive_offset", "negative_offset",
+              "positive_bucket_counts", "negative_bucket_counts"):
+        if c in ctx.batch.column_names:
+            old = _arr(ctx.batch[c])
+            ctx.batch = _set_col(
+                ctx.batch, c,
+                _st()._choose_rows(sel_pa, pa.nulls(ctx.n, old.type), old))
+    return ctx.batch
+
+
 METRIC_EDITORS = {
     "scale_metric": scale_metric,
     "copy_metric": copy_metric,
@@ -629,4 +786,6 @@ METRIC_EDITORS = {
     "convert_summary_count_val_to_sum": convert_summary_count_val_to_sum,
     "aggregate_on_attributes": aggregate_on_attributes,
     "aggregate_on_attribute_value": aggregate_on_attribute_value,
+    "convert_exponential_histogram_to_histogram":
+        convert_exponential_histogram_to_histogram,
 }

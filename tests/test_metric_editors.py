@@ -425,3 +425,93 @@ def test_structural_editors_preserve_row_identity_of_others():
     assert out.slice(0, 9).select(["metric_name", "value"]).equals(
         fx.select(["metric_name", "value"]))
     assert np.sum(np.asarray(out["metric_name"].to_pylist()) == "c") == 2
+
+
+# --- convert_exponential_histogram_to_histogram ----------------------------
+# (func_convert_exponential_hist_to_explicit_hist_test.go replays)
+
+def _exp_hist_table(scale, offset, buckets, zero_count=0, count=2,
+                    summ=361.0):
+    return pa.table({
+        "metric_name": pa.array(["response_time"]),
+        "metric_type": pa.array(["ExponentialHistogram"]),
+        "metric_temporality": pa.array(["delta"]),
+        "value": pa.array([None], pa.float64()),
+        "sum": pa.array([summ]),
+        "count": pa.array([count], pa.int64()),
+        "scale": pa.array([scale], pa.int64()),
+        "zero_count": pa.array([zero_count], pa.int64()),
+        "positive_offset": pa.array([offset], pa.int64()),
+        "positive_bucket_counts": pa.array([buckets], pa.list_(pa.int64())),
+        "explicit_bounds": pa.array([None], pa.list_(pa.float64())),
+        "bucket_counts": pa.array([None], pa.list_(pa.int64())),
+    })
+
+
+SPARSE7 = [1] + [0] * 28 + [1]  # scale=7, offset=944 default fixture
+
+
+@pytest.mark.parametrize("bounds,expected", [
+    ([1.0, 2.0, 3.0, 4.0, 5.0], [0, 0, 0, 0, 2]),          # all overflow
+    ([1000.0, 2000.0, 3000.0, 4000.0, 5000.0], [2, 0, 0, 0, 0]),
+    ([160.0, 170.0, 180.0, 190.0, 200.0], [1, 0, 0, 1, 0]),
+])
+def test_convert_exp_hist_upper(bounds, expected):
+    t = _exp_hist_table(7, 944, SPARSE7)
+    out = _run([f'convert_exponential_histogram_to_histogram("upper", '
+                f'{bounds})'], table=t)
+    assert out["metric_type"].to_pylist() == ["Histogram"]
+    assert out["bucket_counts"].to_pylist() == [expected]
+    assert out["explicit_bounds"].to_pylist() == [bounds]
+    assert out["count"].to_pylist() == [2]
+    assert out["sum"].to_pylist() == [361.0]
+    assert out["metric_temporality"].to_pylist() == ["delta"]
+    # exponential-only fields cleared on the converted row
+    assert out["scale"].to_pylist() == [None]
+    assert out["positive_bucket_counts"].to_pylist() == [None]
+
+
+def test_convert_exp_hist_midpoint():
+    t = _exp_hist_table(0, 5, [10, 22, 12], count=44, summ=999.0)
+    bounds = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
+    out = _run([f'convert_exponential_histogram_to_histogram("midpoint", '
+                f'{bounds})'], table=t)
+    assert out["bucket_counts"].to_pylist() == \
+        [[0, 0, 0, 10, 0, 0, 0, 0, 22, 12]]
+
+
+def test_convert_exp_hist_midpoint_zero_count():
+    t = _exp_hist_table(0, 5, [10, 22, 12], zero_count=5, count=49,
+                        summ=999.0)
+    bounds = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0,
+              100.0]
+    out = _run([f'convert_exponential_histogram_to_histogram("midpoint", '
+                f'{bounds})'], table=t)
+    assert out["bucket_counts"].to_pylist() == \
+        [[5, 0, 0, 0, 10, 0, 0, 0, 0, 22, 12]]
+
+
+def test_convert_exp_hist_uniform():
+    t = _exp_hist_table(0, 5, [10, 22, 12], count=44, summ=999.0)
+    bounds = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
+    out = _run([f'convert_exponential_histogram_to_histogram("uniform", '
+                f'{bounds})'], table=t)
+    assert out["bucket_counts"].to_pylist() == \
+        [[0, 0, 0, 3, 3, 2, 8, 6, 5, 17]]
+
+
+def test_convert_exp_hist_non_exponential_untouched():
+    out = _run(['convert_exponential_histogram_to_histogram("upper", '
+                '[1.0, 2.0]) where name == "operationA"'])
+    t = _named(out, "operationA")
+    assert t["metric_type"].to_pylist() == ["Sum", "Sum"]
+
+
+def test_convert_exp_hist_bad_fn_and_empty_bounds():
+    t = _exp_hist_table(0, 5, [1])
+    with pytest.raises(Exception, match="invalid conversion function"):
+        _run(['convert_exponential_histogram_to_histogram("bogus", '
+              '[1.0])'], table=t)
+    with pytest.raises(Exception, match="explicit bounds cannot be empty"):
+        _run(['convert_exponential_histogram_to_histogram("upper", [])'],
+             table=t)
