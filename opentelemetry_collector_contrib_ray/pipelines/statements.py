@@ -193,6 +193,30 @@ def _adapter_len(ctx, args, kwargs):
     raise ValueError(f"Len: unsupported operand {type(x)}")
 
 
+def _adapter_has_attr_on_datapoint(ctx, args, kwargs):
+    """filterottl HasAttrOnDatapoint(key, value) (pkg/filter/filterottl/
+    functions.go): true when a datapoint of the metric carries
+    attributes[key] == value. Flat model: evaluated per datapoint row —
+    the reference's per-METRIC any() is recovered by running the filter
+    after metric_name co-location (DIVERGENCES #32d)."""
+    key, val = str(args[0]), args[1]
+    attrs = _column(ctx, ctx.colmap.get("attributes", "attributes"))
+    if not pa.types.is_map(_arr(attrs).type):
+        return pa.array([False] * ctx.n)
+    got = M.map_get(_arr(attrs), key)
+    return pc.fill_null(
+        pc.equal(pc.cast(got, pa.string()), str(val)), False)
+
+
+def _adapter_has_attr_key_on_datapoint(ctx, args, kwargs):
+    """filterottl HasAttrKeyOnDatapoint(key): per-datapoint-row key
+    presence (same flat-model note as HasAttrOnDatapoint)."""
+    attrs = _column(ctx, ctx.colmap.get("attributes", "attributes"))
+    if not pa.types.is_map(_arr(attrs).type):
+        return pa.array([False] * ctx.n)
+    return pa.array(M.map_has(_arr(attrs), str(args[0])))
+
+
 def _adapter_ismap(ctx, args, kwargs):
     x = args[0]
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
@@ -667,6 +691,8 @@ _ADAPTERS = {
     "ParseJSON": _adapter_parse_json, "ToKeyValueString": _adapter_tokv,
     "ExtractGrokPatterns": _adapter_grok, "SliceToMap": _adapter_slice_to_map,
     "IsMap": _adapter_ismap, "IsList": _adapter_islist,
+    "HasAttrOnDatapoint": _adapter_has_attr_on_datapoint,
+    "HasAttrKeyOnDatapoint": _adapter_has_attr_key_on_datapoint,
 }
 
 

@@ -515,3 +515,21 @@ def test_convert_exp_hist_bad_fn_and_empty_bounds():
     with pytest.raises(Exception, match="explicit bounds cannot be empty"):
         _run(['convert_exponential_histogram_to_histogram("upper", [])'],
              table=t)
+
+
+# --- filterottl datapoint-attr converters -----------------------------------
+
+def test_has_attr_on_datapoint():
+    out = _run(['set(attributes["hit"], "y") '
+                'where HasAttrOnDatapoint("attr1", "test1")'],
+               ctx="datapoint")
+    got = [dict(m).get("hit") for m in out["attributes"].to_pylist()]
+    # every dp except operationE dp1 (attr1=test2) carries attr1=test1
+    assert got == ["y"] * 7 + [None, "y"][::-1]
+
+
+def test_has_attr_key_on_datapoint():
+    out = _run(['set(attributes["hit"], "y") '
+                'where HasAttrKeyOnDatapoint("flags")'], ctx="datapoint")
+    got = [dict(m).get("hit") for m in out["attributes"].to_pylist()]
+    assert got == ["y"] * 4 + [None] * 5

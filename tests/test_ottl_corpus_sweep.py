@@ -148,3 +148,40 @@ def test_metrics_processor_statement_corpus_sweep(ray_session):
                 continue
             unexpected.append((s, str(last)))
     assert not unexpected, unexpected
+
+
+def test_filterprocessor_condition_corpus_sweep(ray_session):
+    """Every OTTL condition in processor/filterprocessor's logs_test.go
+    and metrics_test.go must compile and evaluate to a boolean mask over
+    the flat fixtures (the `MetricName ==` case is the legacy 'expr'
+    language, not OTTL — excluded)."""
+    import pyarrow as pa
+    import test_metric_editors as ME
+    import test_statement_executor as T
+    conds = sorted(set(
+        _stmts("processor/filterprocessor/logs_test.go", r"`([^`]+)`") +
+        _stmts("processor/filterprocessor/metrics_test.go", r"`([^`]+)`")))
+    assert len(conds) >= 20
+    unexpected = []
+    for c in conds:
+        if c.startswith("MetricName"):  # expr language, not OTTL
+            continue
+        ok = False
+        last = None
+        for ctx, fx in (("datapoint", ME.metrics_fixture),
+                        ("metric", ME.metrics_fixture),
+                        ("log", T.fixture)):
+            try:
+                fn = transform_processor([{
+                    "context": ctx, "conditions": [c],
+                    "statements": ['set(attributes["swept"], "y")'],
+                    "error_mode": "propagate"}])
+                out = fn(fx())
+                assert isinstance(out, pa.Table)
+                ok = True
+                break
+            except Exception as e:  # noqa: BLE001
+                last = e
+        if not ok:
+            unexpected.append((c, str(last)))
+    assert not unexpected, unexpected
