@@ -1610,12 +1610,12 @@ def q_metrics_ottl(sf_dir: str):
     (pipelines/metric_editors.py; processor/transformprocessor/internal/
     metrics/functions.go): scale_metric + copy_metric are row-local and
     run per batch; aggregate_on_attributes needs a metric's datapoints
-    co-located, so rows hash-partition by metric_name first
-    (DIVERGENCES #32d) and the statement chain runs once per partition.
+    co-located, so transform_metrics hash-partitions by metric_name
+    (DIVERGENCES #32d) and runs the statement chain once per partition.
     Sums rounded to 6 decimals (merge-order rule, as sum_events)."""
     from ..functions import maps as M
-    from ..pipelines.statements import transform_processor
-    from ..stages.shuffle import key_partitioner, round_half_away
+    from ..pipelines.statements import transform_metrics
+    from ..stages.shuffle import round_half_away
 
     ds = _tbl(sf_dir, "events", ("event_type", "user_id", "value"))
 
@@ -1635,36 +1635,33 @@ def q_metrics_ottl(sf_dir: str):
             "value": b["value"],
             "attributes": attrs})
 
-    fn = transform_processor([{
-        "context": "metric",
-        "statements": [
-            'scale_metric(10.0, "ms") where name == "click"',
-            'copy_metric(name="click_copy", unit="cp") '
-            'where name == "click"',
-            'aggregate_on_attributes("sum", ["shard"]) '
-            'where name == "view"',
-        ]}])
-    part = key_partitioner("metric_name", 16)
+    out = transform_metrics(
+        ds.map_batches(shape, batch_format="pyarrow", batch_size=None),
+        [{"context": "metric",
+          "statements": [
+              'scale_metric(10.0, "ms") where name == "click"',
+              'copy_metric(name="click_copy", unit="cp") '
+              'where name == "click"',
+              'aggregate_on_attributes("sum", ["shard"]) '
+              'where name == "view"',
+          ]}], n_parts=16)
 
-    def per_part(g: pa.Table) -> pa.Table:
-        out = fn(g.drop_columns(["_part"]))
-        attrs = out["attributes"]
+    def project(b: pa.Table) -> pa.Table:
+        attrs = b["attributes"]
         if isinstance(attrs, pa.ChunkedArray):
             attrs = attrs.combine_chunks()
-        v = out["value"]
+        v = b["value"]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         return pa.table({
-            "metric_name": out["metric_name"],
-            "metric_unit": out["metric_unit"],
+            "metric_name": b["metric_name"],
+            "metric_unit": b["metric_unit"],
             "shard": pc.cast(M.map_get(attrs, "shard"), pa.int64()),
             "value": pa.array(round_half_away(
                 v.to_numpy(zero_copy_only=False), 6), pa.float64())})
 
-    return ds.map_batches(shape, batch_format="pyarrow",
-                          batch_size=None) \
-        .map_batches(part, batch_format="pyarrow", batch_size=None) \
-        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    return out.map_batches(project, batch_format="pyarrow",
+                           batch_size=None)
 
 
 _METRICS_OTTL_SQL = """

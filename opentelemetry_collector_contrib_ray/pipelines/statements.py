@@ -1748,6 +1748,39 @@ def transform_processor(groups: list[dict],
     return fn
 
 
+# editors whose semantics span rows of one metric: the input must be
+# partitioned so each metric's datapoints co-locate (DIVERGENCES #32d)
+_COLOCATING_EDITORS = ("aggregate_on_attributes",
+                       "aggregate_on_attribute_value")
+
+
+def transform_metrics(ds, groups: list[dict], *,
+                      colmap: dict[str, str] | None = None,
+                      n_parts: int | None = None):
+    """Dataset-level transformprocessor for the metrics contexts. Plain
+    row-local statement chains map per batch with no shuffle; when a
+    statement merges datapoints across rows (aggregate_on_*), the input
+    hash-partitions by metric_name first so each task holds whole
+    metrics — the batch analogue of the reference's per-ResourceMetrics
+    execution scope. Partition count is adaptive (cluster CPUs) unless
+    pinned."""
+    fn = transform_processor(groups, colmap)
+    needs_colocate = any(
+        parse_statement(s)[1] in _COLOCATING_EDITORS
+        for g in groups for s in g.get("statements", []))
+    if not needs_colocate:
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    from ..stages.shuffle import adaptive_n_parts, key_partitioner
+    add_part = key_partitioner("metric_name", n_parts or adaptive_n_parts())
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["_part"]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
 def value_expression(expr: str, colmap: dict[str, str] | None = None):
     """ottl ParseValueExpression analogue (pkg/ottl/parser.go
     ParseValueExpression; replayed by e2e Test_e2e_ottl_value_expressions):

@@ -533,3 +533,46 @@ def test_has_attr_key_on_datapoint():
                 'where HasAttrKeyOnDatapoint("flags")'], ctx="datapoint")
     got = [dict(m).get("hit") for m in out["attributes"].to_pylist()]
     assert got == ["y"] * 4 + [None] * 5
+
+
+# --- transform_metrics dataset helper ---------------------------------------
+
+def test_transform_metrics_colocates_for_aggregation(ray_session):
+    """aggregate_on_attributes spanning blocks: transform_metrics must
+    produce ONE merged dp per metric even when the metric's datapoints
+    start in different input blocks."""
+    import ray
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        transform_metrics,
+    )
+    rows = pa.table({
+        "metric_name": pa.array(["m1", "m2"] * 10),
+        "metric_type": pa.array(["Sum"] * 20),
+        "value": pa.array([float(i) for i in range(20)]),
+    })
+    ds = ray.data.from_arrow(rows).repartition(5)
+    out = transform_metrics(ds, [{
+        "context": "metric",
+        "statements": ['aggregate_on_attributes("sum")'],
+    }], n_parts=4)
+    got = out.to_pandas().set_index("metric_name")["value"].to_dict()
+    assert got == {"m1": float(sum(range(0, 20, 2))),
+                   "m2": float(sum(range(1, 20, 2)))}
+
+
+def test_transform_metrics_rowlocal_needs_no_shuffle(ray_session):
+    import ray
+    from opentelemetry_collector_contrib_ray.pipelines.statements import (
+        transform_metrics,
+    )
+    rows = pa.table({
+        "metric_name": pa.array(["m1", "m2"]),
+        "metric_type": pa.array(["Sum", "Sum"]),
+        "value": pa.array([1.0, 2.0]),
+    })
+    out = transform_metrics(ray.data.from_arrow(rows), [{
+        "context": "metric",
+        "statements": ['scale_metric(3.0) where name == "m1"'],
+    }])
+    got = out.to_pandas().set_index("metric_name")["value"].to_dict()
+    assert got == {"m1": 3.0, "m2": 2.0}
