@@ -96,7 +96,10 @@ def _rebuild(offsets, keys, items, keep_mask: np.ndarray,
 def keep_keys(col, keys_to_keep: list[str]) -> pa.MapArray:
     """func_keep_keys.go: retain only the listed keys."""
     _, offsets, keys, items, valid = _map_parts(col)
-    keep = np.asarray(pc.is_in(keys, value_set=pa.array(keys_to_keep)))
+    # typed value set: pa.array([]) infers null and is_in rejects it
+    # (keep_keys(attrs, []) means "clear all", aggregateutil FilterAttrs)
+    keep = np.asarray(pc.is_in(
+        keys, value_set=pa.array(keys_to_keep, pa.string())))
     return _rebuild(offsets, keys, items, keep, valid)
 
 

@@ -1659,10 +1659,37 @@ class StatementGroupExecutor:
             self._apply(probe, st, gate.slice(0, 0))
         except Exception:  # noqa: BLE001 — config-level: skip for all rows
             return batch, cache
+        if st[1] in _COLOCATING_EDITORS:
+            # cross-row editors can't bisect (a merge inside an arbitrary
+            # row slice is a different answer): isolate per METRIC like
+            # the reference's per-TransformContext error scope — failing
+            # metrics pass through unchanged, the rest aggregate
+            return self._metric_isolated_apply(batch, cache, colmap, st,
+                                               _arr(gate))
         # the caller just saw the FULL batch fail — skip straight to the
         # halves instead of re-running the known-failing full attempt
         return self._bisect_apply(batch, cache, colmap, st, _arr(gate),
                                   known_failing=True)
+
+    def _metric_isolated_apply(self, batch, cache, colmap, st, gate):
+        name = _arr(batch["metric_name"]) \
+            if "metric_name" in batch.column_names \
+            else pa.array([""] * batch.num_rows)
+        outs = []
+        for key in pc.unique(pc.fill_null(
+                pc.cast(name, pa.string()), "")).to_pylist():
+            sel = pc.fill_null(pc.equal(
+                pc.cast(name, pa.string()), key),
+                key == "")
+            sub = batch.filter(sel)
+            ctx = _Ctx(sub, colmap)
+            try:
+                outs.append(self._apply(ctx, st, _arr(gate).filter(sel)))
+            except Exception:  # noqa: BLE001 — this metric skips
+                outs.append(sub)
+        # cache rows have no stable mapping across a merge — drop, same
+        # rule as the success path's row-count resync
+        return _concat_aligned(outs), {}
 
     def _bisect_apply(self, batch, cache, colmap, st, gate,
                       known_failing: bool = False):

@@ -576,3 +576,20 @@ def test_transform_metrics_rowlocal_needs_no_shuffle(ray_session):
     }])
     got = out.to_pandas().set_index("metric_name")["value"].to_dict()
     assert got == {"m1": 3.0, "m2": 2.0}
+
+
+def test_ignore_mode_isolates_aggregate_per_metric():
+    """error_mode=ignore + a data-dependent aggregate failure: the
+    Summary metric skips the statement (reference per-metric isolation),
+    every other metric still aggregates — and no cross-metric slice
+    merge happens (the bisect path would be wrong here)."""
+    out = _run(['aggregate_on_attributes("sum", [])'], mode="ignore")
+    # operationD (Summary) survives un-aggregated
+    assert _named(out, "operationD").num_rows == 1
+    # operationA's two dps merged (attrs cleared by the empty keep list)
+    a = _named(out, "operationA")
+    assert a.num_rows == 1
+    assert a["value"].to_pylist() == [pytest.approx(4.7)]
+    # operationE merged too
+    assert _named(out, "operationE")["value"].to_pylist() == \
+        [pytest.approx(4.7)]
