@@ -1558,6 +1558,7 @@ class StatementGroupExecutor:
                 "metric.description": "metric_description",
                 "metric.type": "__metric_type_code__",
                 "metric.aggregation_temporality": "__temporality_code__",
+                "metric.is_monotonic": "metric_is_monotonic",
                 "value_double": "value", "value_int": "value",
                 "count": "count", "time": "ts",
                 "start_time": "start_ts",
@@ -1575,8 +1576,10 @@ class StatementGroupExecutor:
                         description="metric_description",
                         type="__metric_type_code__",
                         aggregation_temporality="__temporality_code__",
+                        is_monotonic="metric_is_monotonic",
                         **{"metric.aggregation_temporality":
-                           "__temporality_code__"})
+                           "__temporality_code__",
+                           "metric.is_monotonic": "metric_is_monotonic"})
         return self.colmap
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -593,3 +593,13 @@ def test_ignore_mode_isolates_aggregate_per_metric():
     # operationE merged too
     assert _named(out, "operationE")["value"].to_pylist() == \
         [pytest.approx(4.7)]
+
+
+def test_metric_is_monotonic_path():
+    out = _run(['set(description, "mono") where is_monotonic == false'])
+    desc = out["metric_description"].to_pylist()
+    names = out["metric_name"].to_pylist()
+    assert all(d == "mono" for d, n in zip(desc, names)
+               if n in ("operationA", "operationE"))
+    assert all(d != "mono" for d, n in zip(desc, names)
+               if n in ("operationB", "operationC", "operationD"))
