@@ -1562,6 +1562,10 @@ class StatementGroupExecutor:
                 "value_double": "value", "value_int": "value",
                 "count": "count", "time": "ts",
                 "start_time": "start_ts",
+                # the flat envelope holds ONE timestamp column per slot;
+                # the *_unix_nano integer views alias it (ctxdatapoint)
+                "time_unix_nano": "ts",
+                "start_time_unix_nano": "start_ts",
                 # exponential-histogram point fields (ottldatapoint
                 # contexts/ottldatapoint; flat envelope spellings)
                 "positive.offset": "positive_offset",
